@@ -1,0 +1,275 @@
+"""Multiscale image model.
+
+TPU-native rebuild of the reference's ``msi_utils``
+(/root/reference/src/multiview_stitcher/msi_utils.py). The reference stores
+multiscale images ("msims") as ``xarray.DataTree`` pyramids with per-scale
+transform data variables. Here an msim is a :class:`Msim` holding an ordered
+list of :class:`~.si_utils.Sim` scales plus shared transform metadata (the
+reference keeps transforms identical across scales and always reads them from
+``scale0``, msi_utils.py:392-396, so a single shared dict is equivalent).
+
+Downsampling follows the reference exactly (msi_utils.py:49-80):
+coarsen-mean with boundary trim, spacing multiplied by the factor, and origin
+shifted by ``(factor - 1) * spacing / 2`` (pixel-center convention).
+"""
+
+from __future__ import annotations
+
+import copy as _copy
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from multiview_stitcher_tpu import param_utils, si_utils
+from multiview_stitcher_tpu.param_utils import XAffine
+from multiview_stitcher_tpu.si_utils import Sim
+
+
+@dataclass
+class Msim:
+    """Multiscale image: scale0 is the highest resolution."""
+
+    sims: List[Sim]
+    transforms: Dict[str, XAffine] = field(default_factory=dict)
+    attrs: Dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        if not self.transforms and self.sims and self.sims[0].transforms:
+            self.transforms = {
+                k: v.copy() for k, v in self.sims[0].transforms.items()
+            }
+
+    @property
+    def scale_keys(self) -> List[str]:
+        return [f"scale{i}" for i in range(len(self.sims))]
+
+    def scale_index(self, scale: str) -> int:
+        return int(scale.replace("scale", ""))
+
+    def get_scale(self, scale="scale0") -> Sim:
+        idx = self.scale_index(scale) if isinstance(scale, str) else scale
+        sim = self.sims[idx].copy()
+        sim.transforms = {k: v.copy() for k, v in self.transforms.items()}
+        return sim
+
+    def copy(self) -> "Msim":
+        return Msim(
+            sims=[s.copy() for s in self.sims],
+            transforms={k: v.copy() for k, v in self.transforms.items()},
+            attrs=dict(self.attrs),
+        )
+
+
+def is_msim(image) -> bool:
+    return isinstance(image, Msim)
+
+
+def _coarsen_mean(data: np.ndarray, factors: Sequence[int]) -> np.ndarray:
+    """Block-mean downsample with boundary='trim' (reference msi_utils.py:58)."""
+    data = np.asarray(data)
+    trimmed = tuple(
+        slice(0, (s // f) * f) for s, f in zip(data.shape, factors)
+    )
+    data = data[trimmed]
+    new_shape = []
+    mean_axes = []
+    for i, (s, f) in enumerate(zip(data.shape, factors)):
+        new_shape.extend([s // f, f])
+        mean_axes.append(2 * i + 1)
+    out = data.reshape(new_shape).mean(axis=tuple(mean_axes))
+    return out.astype(data.dtype)
+
+
+def _downsample_sim(sim: Sim, scale_factor) -> Sim:
+    sdims = sim.spatial_dims
+    if not isinstance(scale_factor, dict):
+        scale_factor = {d: int(scale_factor) for d in sdims}
+    scale_factor = {d: int(scale_factor.get(d, 1)) for d in sdims}
+
+    factors = [
+        scale_factor[d] if d in scale_factor else 1 for d in sim.dims
+    ]
+    factors = [scale_factor.get(d, 1) for d in sim.dims]
+    data = _coarsen_mean(sim.to_numpy(), factors)
+
+    spacing = si_utils.get_spacing_from_sim(sim)
+    origin = si_utils.get_origin_from_sim(sim)
+    out = si_utils.to_spatial_image(
+        data,
+        dims=sim.dims,
+        scale={d: spacing[d] * scale_factor[d] for d in sdims},
+        translation={
+            d: origin[d] + (scale_factor[d] - 1) * spacing[d] / 2 for d in sdims
+        },
+        t_coords=sim.coords.get("t"),
+        c_coords=sim.coords.get("c"),
+    )
+    out.transforms = {k: v.copy() for k, v in sim.transforms.items()}
+    out.attrs.update(_copy.deepcopy(sim.attrs))
+    return out
+
+
+def calc_resolution_levels(
+    spatial_shape: Dict[str, int],
+    downscale_factors_per_spatial_dim: Optional[Dict[str, int]] = None,
+    min_shape: int = 100,
+):
+    """Pyramid plan: 2× per dim until a dim would fall below ``min_shape``.
+
+    Returns (shapes, relative factors, absolute factors), including level 0.
+    Reference: msi_utils.py:279-326.
+    """
+    sdims = list(spatial_shape.keys())
+    if downscale_factors_per_spatial_dim is None:
+        downscale_factors_per_spatial_dim = {d: 2 for d in sdims}
+
+    res_shapes = [dict(spatial_shape)]
+    res_rel_factors = [{d: 1 for d in sdims}]
+    res_abs_factors = [{d: 1 for d in sdims}]
+    while True:
+        new_rel = {
+            d: downscale_factors_per_spatial_dim[d]
+            if res_shapes[-1][d] // downscale_factors_per_spatial_dim[d] > min_shape
+            else 1
+            for d in sdims
+        }
+        if not any(new_rel[d] > 1 for d in sdims):
+            break
+        res_shapes.append({d: res_shapes[-1][d] // new_rel[d] for d in sdims})
+        res_rel_factors.append(new_rel)
+        res_abs_factors.append(
+            {d: res_abs_factors[-1][d] * new_rel[d] for d in sdims}
+        )
+    return res_shapes, res_rel_factors, res_abs_factors
+
+
+def get_msim_from_sim(sim: Sim, scale_factors=None) -> Msim:
+    """Build a pyramid from a sim (reference msi_utils.py:373)."""
+    spatial_shape = si_utils.get_shape_from_sim(sim)
+    if scale_factors is None:
+        scale_factors = calc_resolution_levels(spatial_shape)[1][1:]
+    sims = [sim.copy()]
+    for factor in scale_factors:
+        sims.append(_downsample_sim(sims[-1], factor))
+    return Msim(sims=sims)
+
+
+def get_msim_from_sims(sims: Sequence[Sim]) -> Msim:
+    """Build an msim from precomputed levels (reference msi_utils.py:433)."""
+    sims = list(sims)
+    if not sims:
+        raise ValueError("sims must contain at least one image.")
+    dims = sims[0].dims
+    for s in sims[1:]:
+        if s.dims != dims:
+            raise ValueError("All sims must have the same dimensions.")
+    sdims = sims[0].spatial_dims
+
+    def shape_key(s):
+        shape = si_utils.get_shape_from_sim(s)
+        return tuple(shape[d] for d in sdims)
+
+    sims = sorted(sims, key=shape_key, reverse=True)
+    return Msim(sims=sims)
+
+
+def get_sim_from_msim(msim, scale="scale0") -> Sim:
+    if isinstance(msim, Sim):
+        return msim
+    return msim.get_scale(scale)
+
+
+def get_sorted_scale_keys(msim: Msim) -> List[str]:
+    return msim.scale_keys
+
+
+def get_ndim(msim: Msim) -> int:
+    return len(msim.sims[0].spatial_dims)
+
+
+def get_dims(msim: Msim):
+    return list(msim.sims[0].dims)
+
+
+def get_spatial_dims(msim: Msim):
+    return msim.sims[0].spatial_dims
+
+
+def get_transform_from_msim(msim: Msim, transform_key: str) -> XAffine:
+    return msim.transforms[transform_key]
+
+
+def set_affine_transform(
+    msim: Msim, xaffine=None, transform_key=None, base_transform_key=None
+):
+    """Attach a transform to every scale (reference msi_utils.py:596)."""
+    assert transform_key is not None
+    if xaffine is None:
+        xaffine = param_utils.identity_transform(get_ndim(msim))
+    xaffine = param_utils.to_xaffine(xaffine)
+    if base_transform_key is not None:
+        xaffine = param_utils.rebase_affine(
+            xaffine, msim.transforms[base_transform_key]
+        )
+    msim.transforms[transform_key] = xaffine
+    return msim
+
+
+def multiscale_sel_coords(msim: Msim, sel_dict) -> Msim:
+    out = Msim(
+        sims=[si_utils.sim_sel_coords(s, sel_dict) for s in msim.sims],
+        transforms={},
+        attrs=dict(msim.attrs),
+    )
+    # select transforms along t if needed
+    for key, xaff in msim.transforms.items():
+        if "t" in sel_dict and xaff.has_t:
+            tval = sel_dict["t"]
+            if np.isscalar(tval):
+                out.transforms[key] = xaff.sel_t(tval)
+            else:
+                idxs = [int(np.where(xaff.t_coords == t)[0][0]) for t in tval]
+                out.transforms[key] = XAffine(
+                    xaff.data[idxs], t_coords=np.asarray(tval)
+                )
+        else:
+            out.transforms[key] = xaff.copy()
+    return out
+
+
+def get_res_level_from_spacing(msim: Msim, output_spacing: Dict[str, float]) -> str:
+    """Coarsest scale whose spacing is still <= output_spacing per dim.
+
+    Reference: msi_utils.py:655.
+    """
+    scale_keys = get_sorted_scale_keys(msim)
+    chosen = scale_keys[0]
+    for sk in scale_keys:
+        sim = msim.get_scale(sk)
+        spacing = si_utils.get_spacing_from_sim(sim)
+        if all(
+            spacing[d] <= output_spacing[d] * (1 + 1e-6) for d in spacing
+        ):
+            chosen = sk
+        else:
+            break
+    return chosen
+
+
+def get_res_level_from_binning_factors(msim: Msim, binning_factors: Dict[str, int]) -> str:
+    """Coarsest scale not exceeding the requested binning per dim."""
+    scale_keys = get_sorted_scale_keys(msim)
+    base_spacing = si_utils.get_spacing_from_sim(msim.get_scale("scale0"))
+    chosen = scale_keys[0]
+    for sk in scale_keys:
+        sim = msim.get_scale(sk)
+        spacing = si_utils.get_spacing_from_sim(sim)
+        if all(
+            spacing[d] / base_spacing[d] <= binning_factors.get(d, 1) * (1 + 1e-6)
+            for d in spacing
+        ):
+            chosen = sk
+        else:
+            break
+    return chosen

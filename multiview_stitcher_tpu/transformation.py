@@ -1,0 +1,103 @@
+"""Physical-space image resampling.
+
+TPU-native rebuild of the reference's ``transformation``
+(/root/reference/src/multiview_stitcher/transformation.py). The backend seam
+(scipy / dask_image / cupyx) collapses to a single JAX kernel
+(:mod:`.ops.resample`); the physical→pixel affine conversion, float-error
+snapping (transformation.py:72-83) and no-op detection (:102-116) follow the
+reference exactly so output grids are bit-comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from multiview_stitcher_tpu import param_utils, si_utils
+from multiview_stitcher_tpu.ops import resample as resample_ops
+from multiview_stitcher_tpu.si_utils import Sim
+
+
+def transform_sim(
+    sim: Sim,
+    p=None,
+    output_stack_properties=None,
+    input_spacing=None,
+    order: int = 1,
+    cval=np.nan,
+    mode: str = "constant",
+    keep_transform_keys: bool = False,
+):
+    """Resample a (purely spatial) sim onto ``output_stack_properties``.
+
+    ``p`` maps output physical coordinates → input physical coordinates
+    (reference transformation.py:15; fusion passes ``inv(view_param)``).
+    """
+    assert mode == "constant"
+    ndim = si_utils.get_ndim_from_sim(sim)
+    sdims = si_utils.get_spatial_dims_from_sim(sim)
+
+    if p is None:
+        p = np.eye(ndim + 1)
+    p = np.asarray(param_utils.to_xaffine(p).squeeze(), dtype=float)
+
+    if input_spacing is None:
+        input_spacing_arr = si_utils.get_spacing_from_sim(sim, asarray=True)
+    else:
+        input_spacing_arr = np.array([input_spacing[d] for d in sdims])
+    input_origin_arr = si_utils.get_origin_from_sim(sim, asarray=True)
+    output_spacing_arr = np.array(
+        [output_stack_properties["spacing"][d] for d in sdims]
+    )
+    output_origin_arr = np.array(
+        [output_stack_properties["origin"][d] for d in sdims]
+    )
+    out_shape = tuple(
+        int(output_stack_properties["shape"][d]) for d in sdims
+    )
+
+    matrix, offset = resample_ops.physical_to_pixel_params(
+        p,
+        input_spacing=input_spacing_arr,
+        input_origin=input_origin_arr,
+        output_spacing=output_spacing_arr,
+        output_origin=output_origin_arr,
+    )
+
+    data = sim.data
+    input_shape = tuple(data.shape)
+
+    is_noop = (
+        out_shape == input_shape
+        and np.allclose(matrix, np.eye(ndim), rtol=0, atol=1e-10)
+        and np.allclose(offset, 0, rtol=0, atol=1e-10)
+    )
+
+    if is_noop:
+        out_data = data
+    else:
+        out_data = resample_ops.affine_resample(
+            jnp.asarray(np.asarray(data[...] if not isinstance(data, (np.ndarray, jnp.ndarray)) else data)),
+            matrix,
+            offset,
+            out_shape,
+            order=order,
+            cval=cval,
+        )
+
+    out = si_utils.to_spatial_image(
+        out_data,
+        dims=sim.dims,
+        scale=output_stack_properties["spacing"],
+        translation=output_stack_properties["origin"],
+    )
+    if keep_transform_keys:
+        out.transforms = {k: v.copy() for k, v in sim.transforms.items()}
+    return out
+
+
+def transform_pts(pts, affine):
+    """Apply homogeneous ``affine`` to an (M, N) point array (host numpy)."""
+    return param_utils.transform_pts(pts, affine)

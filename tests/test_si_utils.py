@@ -1,0 +1,147 @@
+import numpy as np
+import pytest
+
+from multiview_stitcher_tpu import msi_utils, param_utils, si_utils
+
+
+def test_get_sim_from_array_defaults():
+    arr = np.random.random((10, 20))
+    sim = si_utils.get_sim_from_array(arr)
+    assert sim.dims == ("y", "x")
+    assert si_utils.get_ndim_from_sim(sim) == 2
+    np.testing.assert_allclose(
+        si_utils.get_spacing_from_sim(sim, asarray=True), [1, 1]
+    )
+    assert si_utils.DEFAULT_TRANSFORM_KEY in sim.transforms
+
+
+def test_sim_metadata_and_coords():
+    arr = np.zeros((2, 3, 5, 6))
+    sim = si_utils.get_sim_from_array(
+        arr,
+        dims=("t", "c", "y", "x"),
+        scale={"y": 0.5, "x": 0.25},
+        translation={"y": 10.0, "x": -5.0},
+        c_coords=["DAPI", "GFP", "RFP"],
+    )
+    assert sim.spatial_dims == ["y", "x"]
+    assert sim.nsdims == ["t", "c"]
+    np.testing.assert_allclose(sim.spatial_coords("y"), 10 + 0.5 * np.arange(5))
+    props = si_utils.get_stack_properties_from_sim(sim)
+    assert props["shape"] == {"y": 5, "x": 6}
+    assert props["origin"] == {"y": 10.0, "x": -5.0}
+
+
+def test_isel_spatial_slice_shifts_origin():
+    arr = np.arange(100).reshape(10, 10).astype(float)
+    sim = si_utils.get_sim_from_array(
+        arr, scale={"y": 2.0, "x": 1.0}, translation={"y": 1.0, "x": 0.0}
+    )
+    sub = sim.isel({"y": slice(2, 6), "x": slice(3, 8)})
+    assert sub.shape == (4, 5)
+    assert sub.origin["y"] == 1.0 + 2 * 2.0
+    assert sub.origin["x"] == 3.0
+    np.testing.assert_array_equal(sub.to_numpy(), arr[2:6, 3:8])
+
+
+def test_sel_coords_channel():
+    arr = np.random.random((2, 4, 4))
+    sim = si_utils.get_sim_from_array(
+        arr, dims=("c", "y", "x"), c_coords=["a", "b"],
+        scale={"y": 1, "x": 1}, translation={"y": 0, "x": 0},
+    )
+    sub = si_utils.sim_sel_coords(sim, {"c": "b"})
+    assert sub.dims == ("y", "x")
+    np.testing.assert_array_equal(sub.to_numpy(), arr[1])
+
+
+def test_set_and_get_affine():
+    sim = si_utils.get_sim_from_array(np.zeros((4, 4)))
+    aff = param_utils.affine_from_translation([3.0, 4.0])
+    si_utils.set_sim_affine(sim, aff, transform_key="reg")
+    out = si_utils.get_affine_from_sim(sim, "reg")
+    np.testing.assert_allclose(out.squeeze(), aff)
+
+
+def test_center_of_sim_with_transform():
+    sim = si_utils.get_sim_from_array(
+        np.zeros((5, 5)), scale={"y": 1, "x": 1}, translation={"y": 0, "x": 0},
+        affine=param_utils.affine_from_translation([10, 0]),
+    )
+    center = si_utils.get_center_of_sim(sim, transform_key=si_utils.DEFAULT_TRANSFORM_KEY)
+    np.testing.assert_allclose(center, [12, 2])
+
+
+def test_ensure_time_dim_broadcasts_transforms():
+    sim = si_utils.get_sim_from_array(np.zeros((4, 4)))
+    simt = si_utils.ensure_time_dim(sim)
+    assert simt.dims == ("t", "y", "x")
+    xaff = simt.transforms[si_utils.DEFAULT_TRANSFORM_KEY]
+    assert xaff.has_t and xaff.data.shape == (1, 3, 3)
+
+
+def test_concat_channels():
+    sims = [
+        si_utils.get_sim_from_array(np.full((3, 3), i, dtype=float))
+        for i in range(3)
+    ]
+    stacked = si_utils.stack(sims, "c")
+    assert stacked.dims == ("c", "y", "x")
+    assert stacked.shape == (3, 3, 3)
+    np.testing.assert_allclose(stacked.to_numpy()[2], 2)
+
+
+def test_extend_stack_props():
+    props = {"shape": {"y": 10}, "spacing": {"y": 0.5}, "origin": {"y": 5.0}}
+    out = si_utils.extend_stack_props(props, 1.0)
+    assert out["origin"]["y"] == 4.0
+    assert out["shape"]["y"] == 14
+
+
+class TestMsi:
+    def test_pyramid_levels(self):
+        arr = np.random.random((512, 300))
+        sim = si_utils.get_sim_from_array(arr)
+        msim = msi_utils.get_msim_from_sim(sim)
+        assert len(msim.sims) >= 2
+        s1 = msim.get_scale("scale1")
+        assert s1.shape == (256, 150)
+        assert s1.spacing["y"] == 2.0
+        # pixel-center origin shift for 2x binning
+        assert s1.origin["y"] == 0.5
+
+    def test_coarsen_mean_matches_block_mean(self):
+        arr = np.arange(16, dtype=float).reshape(4, 4)
+        out = msi_utils._coarsen_mean(arr, [2, 2])
+        np.testing.assert_allclose(
+            out, [[2.5, 4.5], [10.5, 12.5]]
+        )
+
+    def test_coarsen_trim(self):
+        arr = np.ones((5, 7))
+        out = msi_utils._coarsen_mean(arr, [2, 2])
+        assert out.shape == (2, 3)
+
+    def test_calc_resolution_levels(self):
+        shapes, rel, absf = msi_utils.calc_resolution_levels(
+            {"y": 1000, "x": 1000}, min_shape=100
+        )
+        assert shapes[0] == {"y": 1000, "x": 1000}
+        assert shapes[-1]["y"] >= 100
+        assert absf[-1]["y"] in (4, 8)
+
+    def test_res_level_from_spacing(self):
+        sim = si_utils.get_sim_from_array(np.zeros((800, 800)))
+        msim = msi_utils.get_msim_from_sim(sim)
+        key = msi_utils.get_res_level_from_spacing(msim, {"y": 2.0, "x": 2.0})
+        assert key == "scale1"
+        key0 = msi_utils.get_res_level_from_spacing(msim, {"y": 1.0, "x": 1.0})
+        assert key0 == "scale0"
+
+    def test_transform_roundtrip_through_msim(self):
+        sim = si_utils.get_sim_from_array(np.zeros((256, 256)))
+        msim = msi_utils.get_msim_from_sim(sim)
+        aff = param_utils.affine_from_translation([1.0, 2.0])
+        msi_utils.set_affine_transform(msim, aff, transform_key="reg")
+        out = msi_utils.get_sim_from_msim(msim, scale="scale0")
+        np.testing.assert_allclose(out.transforms["reg"].squeeze(), aff)
