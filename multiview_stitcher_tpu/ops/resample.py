@@ -98,7 +98,10 @@ def affine_resample(data, matrix, offset, out_shape: tuple, order: int = 1,
             w = jnp.ones(out_shape, dtype=compute_dtype)
             for d in range(ndim):
                 w = w * (fracs[d] if bits[d] else (1.0 - fracs[d]))
-            vals = vals + w * data_f[gather_idx]
+            # zero-weight corners must contribute exactly 0 even when the
+            # gathered value is NaN (e.g. NaN-padded slabs at exact-integer
+            # coordinates); scipy's spline loop has the same property.
+            vals = vals + jnp.where(w > 0, w * data_f[gather_idx], 0.0)
     else:
         raise NotImplementedError(f"order={order}")
 

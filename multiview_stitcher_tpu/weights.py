@@ -1,0 +1,316 @@
+"""Fusion weights.
+
+TPU-native rebuild of the reference's ``weights``
+(/root/reference/src/multiview_stitcher/weights.py).
+
+Linear blending (reference weights.py:391-511): the reference computes an EDT
+on a 5^ndim proxy mask (border ring = 0), resamples it through the tile affine
+into the target chunk, and cosine-shapes values < 1. For that specific mask
+the anisotropic EDT has the closed form ``min_d(min(i_d, 4-i_d) * s_d)``
+(nearest zero pixel lies on the closest face along a single axis), so we build
+the tiny grid analytically on the host and push it through the *same* JAX
+resampling kernel as the image data — bit-comparable to the reference without
+any on-device EDT.
+
+Content-based weights (Preibisch ``G_σ2*(I-G_σ1*I)²`` and the Royer DCT
+Shannon-entropy variant) are implemented as JAX kernels in
+:mod:`.ops.filters` / here.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multiview_stitcher_tpu import param_utils, si_utils
+from multiview_stitcher_tpu.ops import resample as resample_ops
+from multiview_stitcher_tpu.utils.misc import requires_overlap
+
+BoundingBox = Dict[str, Dict[str, Union[float, int]]]
+
+DEFAULT_BLENDING_WIDTHS = {"z": 3.0, "y": 10.0, "x": 10.0}
+
+
+def normalize_weights(weights):
+    """Normalize per-view weights to sum 1 where any view contributes."""
+    xp = jnp if isinstance(weights, jnp.ndarray) else np
+    wsum = xp.nansum(weights, axis=0)
+    wsum = xp.where(wsum == 0, 1.0, wsum)
+    return weights / wsum
+
+
+def _shrink_source_bb(source_bb: BoundingBox, shrink_distance) -> BoundingBox:
+    """Shrink a bbox inward by a physical distance per side (reference :348)."""
+    sdims = list(source_bb["origin"].keys())
+    if isinstance(shrink_distance, (int, float)):
+        shrink_distance = {d: float(shrink_distance) for d in sdims}
+    return {
+        "origin": {
+            d: source_bb["origin"][d] + shrink_distance.get(d, 0) for d in sdims
+        },
+        "spacing": dict(source_bb["spacing"]),
+        "shape": {
+            d: source_bb["shape"][d]
+            - 2 * shrink_distance.get(d, 0) / source_bb["spacing"][d]
+            for d in sdims
+        },
+    }
+
+
+def get_blending_support_grid(
+    source_bb: BoundingBox,
+    blending_widths: Optional[Dict[str, float]] = None,
+    shrink_distance=0,
+):
+    """Host-side 5^ndim EDT proxy grid + its stack properties.
+
+    Returns (grid ndarray of shape (5,)*ndim, grid_stack_properties) where the
+    grid values equal ``distance_transform_edt(mask, sampling=s)`` for the
+    border-ring mask — computed in closed form.
+    """
+    if blending_widths is None:
+        blending_widths = dict(DEFAULT_BLENDING_WIDTHS)
+    sdims = sorted(source_bb["origin"].keys())[::-1]
+    if shrink_distance:
+        source_bb = _shrink_source_bb(source_bb, shrink_distance)
+    ndim = len(sdims)
+
+    support_spacing = {
+        d: (source_bb["shape"][d] - 1) / 4 * source_bb["spacing"][d]
+        for d in sdims
+    }
+    # slight enlargement so the taper transitions smoothly at shared borders
+    edt_support_spacing = {
+        d: support_spacing[d]
+        * (source_bb["shape"][d] - 1 + 2)
+        / (source_bb["shape"][d] - 1)
+        for d in sdims
+    }
+    edt_support_origin = {
+        d: source_bb["origin"][d] - source_bb["spacing"][d] for d in sdims
+    }
+
+    sampling = np.array(
+        [edt_support_spacing[d] / blending_widths[d] for d in sdims]
+    )
+    # closed-form EDT of the 5^ndim border-ring mask
+    axis_dist = [
+        np.minimum(np.arange(5), 4 - np.arange(5)).astype(float) * sampling[i]
+        for i in range(ndim)
+    ]
+    grid = np.minimum.reduce(np.meshgrid(*axis_dist, indexing="ij"))
+
+    grid_props = {
+        "origin": edt_support_origin,
+        "spacing": edt_support_spacing,
+        "shape": {d: 5 for d in sdims},
+    }
+    return grid.astype(np.float32), grid_props
+
+
+def cosine_weights(x):
+    """Cosine taper of distance values < 1 (reference weights.py:502-509)."""
+    xp = jnp if isinstance(x, jnp.ndarray) else np
+    shaped = (xp.cos((1 - x) * np.pi) + 1) / 2
+    out = xp.where(x < 1, shaped, x)
+    return xp.clip(out, 0, 1)
+
+
+def get_blending_weights(
+    target_bb: BoundingBox,
+    source_bb: BoundingBox,
+    affine,
+    blending_widths: Optional[Dict[str, float]] = None,
+    shrink_distance=0,
+):
+    """Blending weights of one view over a target chunk (reference :391).
+
+    ``affine`` maps source intrinsic-physical coords -> target world coords
+    (a resolved view param); the proxy grid is resampled with its inverse.
+    """
+    sdims = sorted(source_bb["origin"].keys())[::-1]
+    grid, grid_props = get_blending_support_grid(
+        source_bb, blending_widths=blending_widths, shrink_distance=shrink_distance
+    )
+
+    affine_mat = np.asarray(param_utils.to_xaffine(affine).squeeze())
+    if affine_mat.ndim == 3:
+        affine_mat = affine_mat[0]
+
+    matrix, offset = resample_ops.physical_to_pixel_params(
+        np.linalg.inv(affine_mat),
+        input_spacing=np.array([grid_props["spacing"][d] for d in sdims]),
+        input_origin=np.array([grid_props["origin"][d] for d in sdims]),
+        output_spacing=np.array([target_bb["spacing"][d] for d in sdims]),
+        output_origin=np.array([target_bb["origin"][d] for d in sdims]),
+    )
+    out_shape = tuple(int(target_bb["shape"][d]) for d in sdims)
+    target_weights = resample_ops.affine_resample(
+        jnp.asarray(grid), matrix, offset, out_shape, order=1, cval=0.0
+    )
+    return cosine_weights(target_weights)
+
+
+def blending_weights_pixel_params(
+    target_bb: BoundingBox,
+    source_bb: BoundingBox,
+    affine,
+    blending_widths: Optional[Dict[str, float]] = None,
+    shrink_distance=0,
+):
+    """Host-side precomputation for the fused chunk kernel.
+
+    Returns (grid, matrix, offset): the 5^ndim proxy grid and the pixel-space
+    affine mapping target chunk pixels -> grid pixels, so the fused kernel can
+    resample + cosine-shape on device without host round trips.
+    """
+    sdims = sorted(source_bb["origin"].keys())[::-1]
+    grid, grid_props = get_blending_support_grid(
+        source_bb, blending_widths=blending_widths, shrink_distance=shrink_distance
+    )
+    affine_mat = np.asarray(param_utils.to_xaffine(affine).squeeze())
+    if affine_mat.ndim == 3:
+        affine_mat = affine_mat[0]
+    matrix, offset = resample_ops.physical_to_pixel_params(
+        np.linalg.inv(affine_mat),
+        input_spacing=np.array([grid_props["spacing"][d] for d in sdims]),
+        input_origin=np.array([grid_props["origin"][d] for d in sdims]),
+        output_spacing=np.array([target_bb["spacing"][d] for d in sdims]),
+        output_origin=np.array([target_bb["origin"][d] for d in sdims]),
+    )
+    return grid, matrix, offset
+
+
+# ---------------------------------------------------------------------------
+# content-based weights (reference weights.py:22-74)
+# ---------------------------------------------------------------------------
+
+
+@requires_overlap(lambda kwargs: 2 * kwargs.get("sigma_2", 11))
+def content_based(
+    transformed_views,
+    blending_weights,
+    sigma_1: float = 5,
+    sigma_2: float = 11,
+):
+    """Preibisch content-based weights ``W = G_σ2 * (I - G_σ1 * I)²`` (JAX)."""
+    from multiview_stitcher_tpu.ops import filters as filter_ops
+
+    tv = jnp.asarray(transformed_views, dtype=jnp.float32)
+    bw = jnp.asarray(blending_weights)
+    tv = jnp.where(bw < 1e-7, jnp.nan, tv)
+
+    def per_view(view):
+        inner = filter_ops.nan_gaussian_filter(view, sigma_1, mode="reflect")
+        return filter_ops.nan_gaussian_filter(
+            (view - inner) ** 2, sigma_2, mode="reflect"
+        )
+
+    w = jax.vmap(per_view)(tv)
+    return normalize_weights(w)
+
+
+@requires_overlap(
+    lambda kwargs: kwargs.get("dct_size", 32)
+)
+def content_based_dct(
+    transformed_views,
+    dct_size: Union[int, Dict[str, int]] = 32,
+    exponent: float = 1.0,
+    otf_support_fraction: Optional[float] = 0.5,
+    output_chunksize=None,
+):
+    """Royer-2016 DCT Shannon-entropy quality weights (reference :85-290).
+
+    Per non-overlapping ``dct_size`` block, quality = entropy of the DCT
+    spectrum (optionally restricted to the OTF support L1-ball); qualities
+    are interpolated back to full resolution. DCTs are computed as per-axis
+    matmuls (MXU-friendly; block sizes are small).
+    """
+    from multiview_stitcher_tpu.ops import filters as filter_ops
+
+    tv = np.asarray(transformed_views, dtype=np.float32)
+    spatial_shape = tv.shape[1:]
+    ndim = len(spatial_shape)
+    sdims = ["z", "y", "x"][-ndim:]
+
+    if isinstance(dct_size, dict):
+        dct_sizes = tuple(dct_size[d] for d in sdims)
+    else:
+        dct_sizes = (int(dct_size),) * ndim
+    if output_chunksize is not None:
+        dct_sizes = tuple(
+            int(min(ds, output_chunksize[d], s))
+            for ds, d, s in zip(dct_sizes, sdims, spatial_shape)
+        )
+    else:
+        dct_sizes = tuple(int(min(ds, s)) for ds, s in zip(dct_sizes, spatial_shape))
+
+    quality_maps = filter_ops.dct_entropy_quality(
+        jnp.asarray(tv),
+        dct_sizes,
+        otf_support_fraction=otf_support_fraction,
+        exponent=exponent,
+    )
+    quality_maps = np.asarray(quality_maps)
+
+    quality_maps -= np.nanmin(quality_maps, axis=0)
+    quality_maps = normalize_weights(quality_maps)
+
+    # interpolate back to full resolution: output pixel p maps to quality-map
+    # index (p - (ds-1)/2) / ds  (reference weights.py:266-282, mode nearest
+    # approximated by edge clamping of the linear resample)
+    n_views = len(tv)
+    scale = np.diag([1.0 / ds for ds in dct_sizes])
+    offset = np.array([-(ds - 1) / (2.0 * ds) for ds in dct_sizes])
+    weights_full = np.stack(
+        [
+            np.asarray(
+                _resample_nearest_edge(
+                    jnp.asarray(quality_maps[i]), scale, offset, spatial_shape
+                )
+            )
+            for i in range(n_views)
+        ]
+    )
+    return normalize_weights(weights_full)
+
+
+def _resample_nearest_edge(grid, matrix, offset, out_shape):
+    """order-1 resample with edge clamping (scipy mode='nearest')."""
+    import jax.numpy as jnp
+
+    ndim = grid.ndim
+    coords = resample_ops._output_pixel_to_input_coords(
+        jnp.asarray(matrix, dtype=jnp.float32),
+        jnp.asarray(offset, dtype=jnp.float32),
+        tuple(out_shape),
+    )
+    clamped = [
+        jnp.clip(coords[d], 0, grid.shape[d] - 1) for d in range(ndim)
+    ]
+    floors = [jnp.floor(c) for c in clamped]
+    fracs = [c - f for c, f in zip(clamped, floors)]
+    base = [f.astype(jnp.int32) for f in floors]
+    vals = jnp.zeros(tuple(out_shape), dtype=grid.dtype)
+    for corner in range(2**ndim):
+        bits = [(corner >> d) & 1 for d in range(ndim)]
+        idx = tuple(
+            jnp.clip(base[d] + bits[d], 0, grid.shape[d] - 1)
+            for d in range(ndim)
+        )
+        w = jnp.ones(tuple(out_shape), dtype=grid.dtype)
+        for d in range(ndim):
+            w = w * (fracs[d] if bits[d] else 1 - fracs[d])
+        vals = vals + w * grid[idx]
+    return vals
+
+
+def nan_gaussian_filter(ar, sigma, mode="reflect"):
+    """NaN-aware gaussian filter (JAX); see ops.filters."""
+    from multiview_stitcher_tpu.ops import filters as filter_ops
+
+    return filter_ops.nan_gaussian_filter(jnp.asarray(ar), sigma, mode=mode)

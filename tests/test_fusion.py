@@ -1,0 +1,219 @@
+import numpy as np
+import pytest
+
+from multiview_stitcher_tpu import fusion, msi_utils, param_utils, si_utils, weights
+
+
+def _two_tile_sims(shape=(40, 60), overlap=20, dtype=np.float32, seed=0):
+    """Two tiles cut from one ground-truth image with known translation."""
+    rng = np.random.default_rng(seed)
+    full = rng.random((shape[0], 2 * shape[1] - overlap)).astype(dtype) * 100
+    tile0 = full[:, : shape[1]]
+    tile1 = full[:, shape[1] - overlap :]
+    sim0 = si_utils.get_sim_from_array(
+        tile0, translation={"y": 0.0, "x": 0.0}
+    )
+    sim1 = si_utils.get_sim_from_array(
+        tile1, translation={"y": 0.0, "x": float(shape[1] - overlap)}
+    )
+    return full, [sim0, sim1]
+
+
+def test_blending_support_grid_matches_scipy_edt():
+    from scipy.ndimage import distance_transform_edt
+
+    source_bb = {
+        "origin": {"y": 5.0, "x": -3.0},
+        "spacing": {"y": 0.5, "x": 2.0},
+        "shape": {"y": 41, "x": 21},
+    }
+    grid, props = weights.get_blending_support_grid(
+        source_bb, blending_widths={"y": 10, "x": 10}
+    )
+    mask = np.zeros((5, 5))
+    mask[1:-1, 1:-1] = 1
+    sampling = [
+        props["spacing"][d] / 10 for d in ["y", "x"]
+    ]
+    ref = distance_transform_edt(mask, sampling=sampling)
+    np.testing.assert_allclose(grid, ref, rtol=1e-6)
+
+
+def test_blending_weights_shape_and_range():
+    source_bb = {
+        "origin": {"y": 0.0, "x": 0.0},
+        "spacing": {"y": 1.0, "x": 1.0},
+        "shape": {"y": 50, "x": 50},
+    }
+    target_bb = {
+        "origin": {"y": 0.0, "x": 0.0},
+        "spacing": {"y": 1.0, "x": 1.0},
+        "shape": {"y": 50, "x": 50},
+    }
+    w = np.asarray(
+        weights.get_blending_weights(target_bb, source_bb, np.eye(3))
+    )
+    assert w.shape == (50, 50)
+    assert (w >= 0).all() and (w <= 1).all()
+    # interior plateau is 1, border tapers toward 0
+    assert w[25, 25] == 1.0
+    assert w[25, 0] < 0.5
+    assert w[25, 1] > w[25, 0]
+
+
+def test_fuse_identity_single_view():
+    data = (np.random.random((30, 30)) * 100).astype(np.float32)
+    sim = si_utils.get_sim_from_array(data)
+    fused = fusion.fuse([sim], transform_key=si_utils.DEFAULT_TRANSFORM_KEY)
+    np.testing.assert_allclose(fused.to_numpy(), data, atol=1e-4)
+
+
+def test_fuse_two_tiles_reconstructs_ground_truth():
+    full, sims = _two_tile_sims()
+    fused = fusion.fuse(sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY)
+    out = fused.to_numpy()
+    assert out.shape == full.shape
+    # non-overlap regions must be exact; overlap is a blend of identical data
+    np.testing.assert_allclose(out, full, atol=1e-3)
+
+
+def test_fuse_two_tiles_with_shifted_params():
+    """Registration params (transform key) move tile content in the output."""
+    full, sims = _two_tile_sims()
+    # pretend tile1's metadata was off by 3 px in x; registration fixed it
+    shifted = sims[1].copy()
+    shifted.origin["x"] += 3.0
+    si_utils.set_sim_affine(
+        shifted,
+        param_utils.affine_from_translation([0.0, -3.0]),
+        transform_key="registered",
+    )
+    si_utils.set_sim_affine(
+        sims[0], np.eye(3), transform_key="registered"
+    )
+    fused = fusion.fuse([sims[0], shifted], transform_key="registered")
+    np.testing.assert_allclose(fused.to_numpy(), full, atol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "fusion_func",
+    [fusion.weighted_average_fusion, fusion.max_fusion, fusion.simple_average_fusion],
+)
+def test_fusion_funcs_on_identical_data(fusion_func):
+    full, sims = _two_tile_sims()
+    fused = fusion.fuse(
+        sims,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        fusion_func=fusion_func,
+    )
+    np.testing.assert_allclose(fused.to_numpy(), full, atol=1e-3)
+
+
+def test_chunked_matches_unchunked():
+    full, sims = _two_tile_sims()
+    fused1 = fusion.fuse(
+        sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_chunksize=1024,
+    )
+    fused2 = fusion.fuse(
+        sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_chunksize=16,
+    )
+    np.testing.assert_allclose(
+        fused1.to_numpy(), fused2.to_numpy(), atol=1e-3
+    )
+
+
+def test_fuse_multichannel_multitime():
+    rng = np.random.default_rng(1)
+    arr0 = rng.random((2, 3, 20, 20)).astype(np.float32)
+    arr1 = rng.random((2, 3, 20, 20)).astype(np.float32)
+    sims = [
+        si_utils.get_sim_from_array(
+            a,
+            dims=("t", "c", "y", "x"),
+            translation={"y": 0.0, "x": 15.0 * i},
+            scale={"y": 1.0, "x": 1.0},
+        )
+        for i, a in enumerate([arr0, arr1])
+    ]
+    fused = fusion.fuse(sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY)
+    assert fused.dims == ("t", "c", "y", "x")
+    assert fused.sizes["t"] == 2 and fused.sizes["c"] == 3
+    assert fused.sizes["x"] == 35
+    # exclusive region of tile0 must match exactly per (t, c)
+    np.testing.assert_allclose(
+        fused.to_numpy()[:, :, :, :10], arr0[:, :, :, :10], atol=1e-4
+    )
+
+
+def test_output_stack_modes():
+    _, sims = _two_tile_sims(shape=(40, 60), overlap=20)
+    props_union = fusion.calc_fusion_stack_properties(
+        sims,
+        [si_utils.get_affine_from_sim(s, si_utils.DEFAULT_TRANSFORM_KEY) for s in sims],
+        spacing={"y": 1.0, "x": 1.0},
+        mode="union",
+    )
+    assert props_union["shape"] == {"y": 40, "x": 100}
+    props_int = fusion.calc_fusion_stack_properties(
+        sims,
+        [si_utils.get_affine_from_sim(s, si_utils.DEFAULT_TRANSFORM_KEY) for s in sims],
+        spacing={"y": 1.0, "x": 1.0},
+        mode="intersection",
+    )
+    assert props_int["shape"]["x"] == 20
+    assert props_int["origin"]["x"] == 40.0
+
+
+def test_fuse_3d():
+    rng = np.random.default_rng(2)
+    full = rng.random((10, 20, 36)).astype(np.float32)
+    t0 = full[:, :, :20]
+    t1 = full[:, :, 16:]
+    sims = [
+        si_utils.get_sim_from_array(
+            t0, scale={"z": 2.0, "y": 1.0, "x": 1.0},
+            translation={"z": 0.0, "y": 0.0, "x": 0.0},
+        ),
+        si_utils.get_sim_from_array(
+            t1, scale={"z": 2.0, "y": 1.0, "x": 1.0},
+            translation={"z": 0.0, "y": 0.0, "x": 16.0},
+        ),
+    ]
+    fused = fusion.fuse(sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY)
+    assert fused.shape == (10, 20, 36)
+    np.testing.assert_allclose(fused.to_numpy(), full, atol=1e-3)
+
+
+def test_fuse_custom_fusion_func():
+    """Extension API: custom funcs get arrays via signature dispatch."""
+    calls = {}
+
+    def my_fusion(transformed_views, blending_weights):
+        calls["shapes"] = (
+            np.asarray(transformed_views).shape,
+            np.asarray(blending_weights).shape,
+        )
+        return np.nansum(
+            np.asarray(transformed_views) * np.asarray(blending_weights), axis=0
+        )
+
+    full, sims = _two_tile_sims()
+    fused = fusion.fuse(
+        sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        fusion_func=my_fusion,
+    )
+    assert "shapes" in calls
+    np.testing.assert_allclose(fused.to_numpy(), full, atol=1e-3)
+
+
+def test_fuse_msims_multiscale():
+    full, sims = _two_tile_sims(shape=(256, 300), overlap=40)
+    msims = [msi_utils.get_msim_from_sim(s) for s in sims]
+    fused = fusion.fuse(msims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY)
+    assert msi_utils.is_msim(fused)
+    s0 = fused.get_scale("scale0")
+    assert s0.shape == full.shape
+    np.testing.assert_allclose(s0.to_numpy(), full, atol=1e-2)
+    assert len(fused.sims) >= 2
