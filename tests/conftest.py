@@ -2,8 +2,9 @@ import os
 import sys
 
 # Run the test suite on a virtual 8-device CPU mesh so multi-chip sharding
-# paths are exercised without TPU hardware.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# paths are exercised without TPU hardware (the session env may point
+# JAX_PLATFORMS at the tunneled TPU; tests must not depend on it).
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,3 +12,12 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; force CPU through
+# the config so the suite runs on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
+# allow float64 parity checks against scipy/numpy oracles
+jax.config.update("jax_enable_x64", True)
