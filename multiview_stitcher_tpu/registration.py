@@ -1,0 +1,1110 @@
+"""Registration: pairwise phase correlation + orchestration.
+
+TPU-native rebuild of the reference's ``registration``
+(/root/reference/src/multiview_stitcher/registration.py, 3292 LoC). The
+pairwise hot loop (FFT phase correlation, candidate disambiguation with SSIM
+scoring, Spearman quality) runs as batched JAX kernels
+(:mod:`.ops.phase_correlation`, :mod:`.ops.image_metrics`); graph building,
+binning selection and global resolution stay host-side.
+
+Key behaviors mirrored from the reference:
+- binning heuristic capping overlap volume at 400³ voxels
+  (registration.py:114-191)
+- overlap bboxes from halfspace intersections projected into intrinsic
+  frames (:194-277)
+- pixel-space resampling of the moving image into the fixed frame (:280-350)
+- candidate disambiguation over the ≤4^ndim sign/wrap alternatives per
+  phase-correlation result, ranked by SSIM over the union/intersection box,
+  with Spearman correlation as the link quality (:353-565)
+- pixel-space result → world transform conversion (:1382-1474)
+- register() flow: channel select → singleton-z 3D→2D reduction → adjacency
+  graph → pruning → pairwise → quality filter → groupwise resolution →
+  param write-back (:2227-2619)
+"""
+
+from __future__ import annotations
+
+import logging
+import warnings
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import networkx as nx
+import numpy as np
+
+from multiview_stitcher_tpu import (
+    msi_utils,
+    mv_graph,
+    param_resolution,
+    param_utils,
+    si_utils,
+    transformation,
+)
+from multiview_stitcher_tpu.msi_utils import Msim
+from multiview_stitcher_tpu.ops import image_metrics as im_metrics
+from multiview_stitcher_tpu.ops import phase_correlation as pc_ops
+from multiview_stitcher_tpu.ops import resample as resample_ops
+from multiview_stitcher_tpu.param_utils import XAffine
+from multiview_stitcher_tpu.si_utils import Sim
+from multiview_stitcher_tpu.utils.misc import has_keyword
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# binning heuristic (reference :114-191)
+# ---------------------------------------------------------------------------
+
+
+def get_optimal_registration_binning(
+    sim1: Sim,
+    sim2: Sim,
+    max_total_pixels_per_stack=400**3,
+    overlap_tolerance=None,
+):
+    """Double the binning of the finest-spaced dims (x/y tied) until the
+    overlap stack fits under ``max_total_pixels_per_stack``."""
+    spatial_dims = si_utils.get_spatial_dims_from_sim(sim1)
+    ndim = len(spatial_dims)
+    input_spacings = [
+        si_utils.get_spacing_from_sim(sim, asarray=False) for sim in [sim1, sim2]
+    ]
+    if overlap_tolerance is not None:
+        raise NotImplementedError("overlap_tolerance")
+
+    overlap = {
+        d: max(sim1.sizes[d], sim2.sizes[d]) for d in spatial_dims
+    }
+    registration_binning = {d: 1 for d in spatial_dims}
+    spacings = input_spacings
+    while (
+        max(
+            np.prod(
+                [overlap[d] / registration_binning[d] for d in spatial_dims]
+            )
+            for _ in range(2)
+        )
+        >= max_total_pixels_per_stack
+    ):
+        dim_to_bin = np.argmin(
+            [
+                min(spacings[isim][d] for isim in range(2))
+                for d in spatial_dims
+            ]
+        )
+        if ndim == 3 and dim_to_bin == 0:
+            registration_binning["z"] += 1
+        else:
+            for d in ["x", "y"]:
+                registration_binning[d] += 1
+        spacings = [
+            {
+                d: input_spacings[isim][d] * registration_binning[d]
+                for d in spatial_dims
+            }
+            for isim in range(2)
+        ]
+    return registration_binning
+
+
+# ---------------------------------------------------------------------------
+# overlap bboxes (reference :194-350)
+# ---------------------------------------------------------------------------
+
+
+def _get_overlap_bboxes(
+    sim1: Sim,
+    sim2: Sim,
+    input_transform_key=None,
+    output_transform_key=None,
+    overlap_tolerance=None,
+):
+    """Overlap AABBs of two sims in world coords, optionally projected to
+    intrinsic frames. Returns dict with lowers/uppers per sim + intersection."""
+    ndim = si_utils.get_ndim_from_sim(sim1)
+    stack_propss = [
+        si_utils.get_stack_properties_from_sim(sim, transform_key=input_transform_key)
+        for sim in [sim1, sim2]
+    ]
+    if overlap_tolerance is not None:
+        stack_propss = [
+            si_utils.extend_stack_props(sp, overlap_tolerance)
+            for sp in stack_propss
+        ]
+
+    vol, intersection = mv_graph.get_overlap_between_pair_of_stack_props(
+        stack_propss[0], stack_propss[1]
+    )
+    if intersection is None:
+        raise mv_graph.NotEnoughOverlapError(
+            "No overlap between views for pairwise registration."
+        )
+
+    corners = np.asarray(intersection.intersections)
+
+    if output_transform_key is None:
+        corners_target_space = []
+        for sim in [sim1, sim2]:
+            aff = si_utils.get_affine_from_sim(sim, input_transform_key)
+            mat = np.asarray(aff.squeeze())
+            if mat.ndim == 3:
+                mat = mat[0]
+            corners_target_space.append(
+                param_utils.transform_pts(corners, np.linalg.inv(mat))
+            )
+    elif output_transform_key == input_transform_key:
+        corners_target_space = [corners, corners]
+    else:
+        raise NotImplementedError
+
+    lowers = [np.min(cts, axis=0) for cts in corners_target_space]
+    uppers = [np.max(cts, axis=0) for cts in corners_target_space]
+    return {
+        "lowers": lowers,
+        "uppers": uppers,
+        "intersection": intersection,
+        "vol": vol,
+    }
+
+
+def sims_to_intrinsic_coord_system(sim1: Sim, sim2: Sim, transform_key, overlap_bboxes):
+    """Resample both sims onto the fixed sim's pixel grid over the overlap."""
+    spatial_dims = si_utils.get_spatial_dims_from_sim(sim1)
+    lowers, uppers = overlap_bboxes
+
+    spacing = np.max(
+        [si_utils.get_spacing_from_sim(s, asarray=True) for s in [sim1, sim2]],
+        axis=0,
+    )
+    affines = []
+    for sim in [sim1, sim2]:
+        m = np.asarray(si_utils.get_affine_from_sim(sim, transform_key).squeeze())
+        affines.append(m[0] if m.ndim == 3 else m)
+    transf_affine = np.linalg.inv(affines[1]) @ affines[0]
+
+    shape = np.floor(np.array(uppers[0] - lowers[0]) / spacing + 1).astype(
+        np.int64
+    )
+    out_props = {
+        "origin": {d: lowers[0][i] for i, d in enumerate(spatial_dims)},
+        "spacing": {d: spacing[i] for i, d in enumerate(spatial_dims)},
+        "shape": {d: int(shape[i]) for i, d in enumerate(spatial_dims)},
+    }
+    out = []
+    for isim, sim in enumerate(
+        [sim1.astype(np.float32), sim2.astype(np.float32)]
+    ):
+        res = transformation.transform_sim(
+            sim,
+            [None, transf_affine][isim],
+            output_stack_properties=out_props,
+            cval=np.nan,
+        )
+        si_utils.set_sim_affine(
+            res,
+            si_utils.get_affine_from_sim(sim1, transform_key),
+            transform_key=transform_key,
+        )
+        out.append(res)
+    return out[0], out[1]
+
+
+# ---------------------------------------------------------------------------
+# phase correlation registration (reference :353-565)
+# ---------------------------------------------------------------------------
+
+
+def link_quality_metric_func(im0, im1t):
+    """Spearman correlation of overlap samples (reference :109-111)."""
+    mask = jnp.ones(np.asarray(im0).shape, dtype=bool).reshape(-1)
+    return float(
+        im_metrics.masked_spearman(
+            jnp.asarray(im0).reshape(-1), jnp.asarray(im1t).reshape(-1), mask
+        )
+    )
+
+
+def _evaluate_candidates_kernel(
+    im0, im1, t_candidates, im0nm, valid_pixels1, data_range, im1_min,
+    region_mode: str,
+):
+    """Score each candidate translation: SSIM (disambiguation) + Spearman
+    (quality), all on static shapes."""
+    ndim = im0.ndim
+    im1t = resample_ops.translate_resample_batch(
+        im1, jnp.asarray(t_candidates, dtype=jnp.float32), order=1,
+        cval=jnp.nan,
+    )
+    im0_b = jnp.broadcast_to(im0, im1t.shape)
+    im0nm_b = jnp.broadcast_to(im0nm, im1t.shape)
+
+    mask = (~jnp.isnan(im1t)) & (~im0nm_b)
+    mask_sum = jnp.sum(mask, axis=tuple(range(1, ndim + 1)))
+    frac_ok = (mask_sum > 0) & (
+        mask_sum.astype(jnp.float32) / jnp.maximum(valid_pixels1, 1) >= 0.1
+    )
+
+    im0_valid = ~im0nm
+    lo0, hi0 = im_metrics._bbox_bounds_from_mask(im0_valid)
+
+    def per_candidate(im1t_c, mask_c):
+        im1t_valid = ~jnp.isnan(im1t_c)
+        lo1, hi1 = im_metrics._bbox_bounds_from_mask(im1t_valid)
+        if region_mode == "union":
+            lo = jnp.minimum(lo0, lo1)
+            hi = jnp.maximum(hi0, hi1)
+        else:
+            lo = jnp.maximum(lo0, lo1)
+            hi = jnp.minimum(hi0, hi1)
+
+        box = im_metrics._box_mask(im0.shape, lo, hi)
+        im1t_box_max = jnp.max(jnp.where(box, jnp.nan_to_num(im1t_c, nan=-jnp.inf), -jnp.inf))
+
+        extents = hi - lo + 1
+        min_shape = jnp.min(extents)
+        # largest odd window <= min(7, min_shape)
+        win_eff = jnp.minimum(7, min_shape - ((min_shape - 1) % 2))
+
+        im0f = jnp.nan_to_num(im0)
+        im1tf = jnp.nan_to_num(im1t_c)
+        ssims = jnp.stack(
+            [
+                im_metrics.ssim_mean_over_box(
+                    im0f, im1tf, lo, hi, win_size=w, data_range=data_range
+                )
+                for w in (3, 5, 7)
+            ]
+        )
+        ssim_val = jnp.where(
+            win_eff >= 7,
+            ssims[2],
+            jnp.where(win_eff >= 5, ssims[1], ssims[0]),
+        )
+        ssim_val = jnp.where(
+            (win_eff < 3) | (im1t_box_max <= im1_min), -1.0, ssim_val
+        )
+
+        quality = im_metrics.masked_spearman(im0_b[0], im1t_c - 1, mask_c)
+        quality = jnp.where(im1t_box_max <= im1_min, -1.0, quality)
+        return ssim_val, quality
+
+    ssim_vals, quality_vals = jax.vmap(per_candidate)(im1t, mask)
+    ssim_vals = jnp.where(frac_ok, ssim_vals, -1.0)
+    quality_vals = jnp.where(frac_ok, quality_vals, -1.0)
+    return ssim_vals, quality_vals
+
+
+def phase_correlation_registration(
+    fixed_data,
+    moving_data,
+    disambiguate_region_mode=None,
+    **phase_corr_kwargs,
+):
+    """Default pairwise registration (reference :353-565).
+
+    Runs phase correlation with and without spectral normalization (plus the
+    masked variant when NaNs are present), expands each result into the
+    ≤4^ndim sign/wrap candidate shifts, scores candidates by SSIM over the
+    union/intersection box and returns the Spearman quality of the winner.
+    """
+    im0 = np.asarray(
+        fixed_data.data if hasattr(fixed_data, "data") else fixed_data,
+        dtype=np.float32,
+    )
+    im1 = np.asarray(
+        moving_data.data if hasattr(moving_data, "data") else moving_data,
+        dtype=np.float32,
+    )
+    ndim = im0.ndim
+
+    im0 = np.asarray(pc_ops.rescale_intensity(im0))
+    im1 = np.asarray(pc_ops.rescale_intensity(im1))
+
+    im0nm = np.isnan(im0)
+    im1nm = np.isnan(im1)
+    has_nans = bool(im0nm.any() or im1nm.any())
+
+    if disambiguate_region_mode is None:
+        disambiguate_region_mode = "intersection" if has_nans else "union"
+
+    valid_pixels1 = int(np.sum(~im1nm))
+    im0nn = np.nan_to_num(im0) if has_nans else im0
+    im1nn = np.nan_to_num(im1) if has_nans else im1
+
+    upsample_factor = phase_corr_kwargs.pop(
+        "upsample_factor", 10 if ndim == 2 else 2
+    )
+
+    shift_candidates = []
+    for normalization in ["phase", None]:
+        shift, _ = pc_ops.phase_cross_correlation(
+            jnp.asarray(im0nn),
+            jnp.asarray(im1nn),
+            upsample_factor=upsample_factor,
+            normalization=normalization,
+        )
+        shift_candidates.append(np.asarray(shift))
+
+    if has_nans:
+        # the masked variant uses valid-pixel masks (Padfield NCC)
+        shift, _ = pc_ops.masked_phase_cross_correlation(
+            jnp.asarray(im0nn),
+            jnp.asarray(im1nn),
+            jnp.asarray(~im0nm),
+            jnp.asarray(~im1nm),
+        )
+        shift_candidates.append(np.asarray(shift))
+
+    # candidate expansion: sign/wrap ambiguities (reference :461-477)
+    max_shift_per_dim = np.max([im0.shape, im1.shape])
+    t_candidates = []
+    for shift_candidate in shift_candidates:
+        ranges = [1 if shift_candidate[d] == 0 else 4 for d in range(ndim)]
+        for s in np.ndindex(tuple(ranges)):
+            t_candidate = []
+            for d in range(ndim):
+                c = shift_candidate[d]
+                if s[d] == 0:
+                    t_candidate.append(c)
+                elif s[d] == 1:
+                    t_candidate.append(-c)
+                elif s[d] == 2:
+                    t_candidate.append(-(c - im1.shape[d]))
+                else:
+                    t_candidate.append(-c - im1.shape[d])
+            if np.max(np.abs(t_candidate)) < max_shift_per_dim:
+                t_candidates.append(t_candidate)
+
+    if not len(t_candidates):
+        return {
+            "affine_matrix": param_utils.affine_from_translation(
+                np.zeros(ndim)
+            ),
+            "quality": np.nan,
+        }
+
+    t_candidates = np.array(t_candidates, dtype=np.float32)
+    data_range = float(np.nanmax([np.nanmax(im0), np.nanmax(im1)])
+                       - np.nanmin([np.nanmin(im0), np.nanmin(im1)]))
+    im1_min = float(np.nanmin(im1))
+
+    ssim_vals, quality_vals = _evaluate_candidates_kernel(
+        jnp.asarray(im0),
+        jnp.asarray(im1),
+        t_candidates,
+        jnp.asarray(im0nm),
+        valid_pixels1,
+        data_range,
+        im1_min,
+        disambiguate_region_mode,
+    )
+    ssim_vals = np.asarray(ssim_vals)
+    quality_vals = np.asarray(quality_vals)
+
+    argmax_index = int(np.nanargmax(ssim_vals))
+    t = t_candidates[argmax_index]
+
+    return {
+        "affine_matrix": param_utils.affine_from_translation(list(t)),
+        "quality": float(quality_vals[argmax_index]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# intrinsic -> world conversion (reference :1382-1474)
+# ---------------------------------------------------------------------------
+
+
+def get_affine_from_intrinsic_affine(
+    data_affine,
+    sim_fixed: Sim,
+    sim_moving: Sim,
+    transform_key_fixed=None,
+    transform_key_moving=None,
+):
+    """Pixel-space result -> world transform: M_W = D_to_W_f · M_D · inv(D_to_W_c)."""
+    data_affine = np.asarray(data_affine, dtype=float)
+
+    def phys2world(sim, key):
+        if key is None:
+            return np.eye(data_affine.shape[0])
+        m = np.asarray(si_utils.get_affine_from_sim(sim, key).squeeze())
+        return m[0] if m.ndim == 3 else m
+
+    phys2world_moving = phys2world(sim_moving, transform_key_moving)
+    phys2world_fixed = phys2world(sim_fixed, transform_key_moving)
+
+    def d_to_p(sim):
+        return param_utils.affine_from_translation(
+            si_utils.get_origin_from_sim(sim, asarray=True)
+        ) @ np.diag(
+            list(si_utils.get_spacing_from_sim(sim, asarray=True)) + [1]
+        )
+
+    D_to_W_f = phys2world_moving @ d_to_p(sim_moving)
+    D_to_W_c = phys2world_fixed @ d_to_p(sim_fixed)
+    return D_to_W_f @ data_affine @ np.linalg.inv(D_to_W_c)
+
+
+# ---------------------------------------------------------------------------
+# pairwise dispatch (reference :1477-2093)
+# ---------------------------------------------------------------------------
+
+
+def dispatch_pairwise_reg_func(
+    pairwise_reg_func,
+    fixed_data=None,
+    moving_data=None,
+    skip_constant_check=False,
+    **pairwise_reg_func_kwargs,
+):
+    """Constant-image guard then call the reg func (reference :1477-1544)."""
+    has_image_data = fixed_data is not None and moving_data is not None
+    if has_image_data and not skip_constant_check:
+        f_arr = np.asarray(
+            fixed_data.data if hasattr(fixed_data, "data") else fixed_data
+        )
+        m_arr = np.asarray(
+            moving_data.data if hasattr(moving_data, "data") else moving_data
+        )
+        for i, arr in enumerate([f_arr, m_arr]):
+            if np.nanmin(arr) == np.nanmax(arr):
+                warnings.warn(
+                    "An overlap region between tiles/views is all zero or "
+                    "constant. Assuming identity transform.",
+                    UserWarning,
+                    stacklevel=2,
+                )
+                return {
+                    "affine_matrix": np.eye(arr.ndim + 1),
+                    "quality": np.nan,
+                }
+    if has_image_data:
+        pairwise_reg_func_kwargs["fixed_data"] = fixed_data
+        pairwise_reg_func_kwargs["moving_data"] = moving_data
+    return pairwise_reg_func(**pairwise_reg_func_kwargs)
+
+
+def _bin_sim(sim: Sim, binning: Dict[str, int]) -> Sim:
+    if max(binning.values()) <= 1:
+        return sim
+    factors = [binning.get(d, 1) for d in sim.dims]
+    data = msi_utils._coarsen_mean(sim.to_numpy(), factors)
+    sdims = sim.spatial_dims
+    spacing = si_utils.get_spacing_from_sim(sim)
+    origin = si_utils.get_origin_from_sim(sim)
+    out = si_utils.to_spatial_image(
+        data,
+        dims=sim.dims,
+        scale={d: spacing[d] * binning.get(d, 1) for d in sdims},
+        translation={
+            d: origin[d] + (binning.get(d, 1) - 1) * spacing[d] / 2
+            for d in sdims
+        },
+    )
+    out.transforms = {k: v.copy() for k, v in sim.transforms.items()}
+    return out
+
+
+def _sel_spatial_range(sim: Sim, ranges: Dict[str, Tuple[float, float]]) -> Sim:
+    """Select pixel-center coords within [lo, hi] per spatial dim."""
+    indexers = {}
+    for d, (lo, hi) in ranges.items():
+        origin = sim.origin[d]
+        spacing = sim.spacing[d]
+        i0 = int(np.ceil((lo - origin) / spacing - 1e-12))
+        i1 = int(np.floor((hi - origin) / spacing + 1e-12))
+        i0 = max(0, i0)
+        i1 = min(sim.sizes[d] - 1, i1)
+        indexers[d] = slice(i0, i1 + 1)
+    return sim.isel(indexers)
+
+
+def register_pair_of_msims(
+    msim1,
+    msim2,
+    transform_key,
+    points_key: str = "beads",
+    prefilter_markers: bool = False,
+    registration_binning=None,
+    reg_res_level=None,
+    overlap_tolerance=None,
+    pairwise_reg_func: Callable = phase_correlation_registration,
+    pairwise_reg_func_kwargs: Optional[dict] = None,
+):
+    """Register two (purely spatial) views (reference :1547-2058).
+
+    Returns dict with 'transform' (fixed world -> moving world XAffine),
+    'quality' and 'bbox' (overlap box in world coords).
+    """
+    if pairwise_reg_func_kwargs is None:
+        pairwise_reg_func_kwargs = {}
+    pairwise_reg_func_kwargs = dict(pairwise_reg_func_kwargs)
+
+    msim1 = msim1 if isinstance(msim1, Msim) else msi_utils.get_msim_from_sim(msim1, scale_factors=[])
+    msim2 = msim2 if isinstance(msim2, Msim) else msi_utils.get_msim_from_sim(msim2, scale_factors=[])
+
+    spatial_dims = msi_utils.get_spatial_dims(msim1)
+    ndim = len(spatial_dims)
+
+    if overlap_tolerance is None:
+        overlap_tolerance = {d: 0.0 for d in spatial_dims}
+    elif isinstance(overlap_tolerance, (int, float)):
+        overlap_tolerance = {d: float(overlap_tolerance) for d in spatial_dims}
+    else:
+        overlap_tolerance = {
+            d: float(overlap_tolerance.get(d, 0.0)) for d in spatial_dims
+        }
+
+    # resolution level / binning selection
+    if reg_res_level is not None:
+        scale_key = f"scale{reg_res_level}"
+        if scale_key not in msi_utils.get_sorted_scale_keys(msim1):
+            raise ValueError(
+                f"Resolution level {reg_res_level} does not exist."
+            )
+        sim1 = msi_utils.get_sim_from_msim(msim1, scale=scale_key)
+        sim2 = msi_utils.get_sim_from_msim(msim2, scale=scale_key)
+        if registration_binning is not None:
+            sim0_1 = msi_utils.get_sim_from_msim(msim1, scale="scale0")
+            actual = {
+                d: int(round(sim0_1.sizes[d] / sim1.sizes[d]))
+                for d in spatial_dims
+            }
+            for d in spatial_dims:
+                if registration_binning.get(d, 1) % actual[d] != 0:
+                    raise ValueError(
+                        f"Resolution level {reg_res_level} factor {actual[d]} "
+                        f"does not divide registration_binning[{d}]"
+                    )
+            registration_binning = {
+                d: registration_binning[d] // actual[d] for d in spatial_dims
+            }
+        else:
+            registration_binning = {d: 1 for d in spatial_dims}
+    else:
+        if registration_binning is None:
+            sim1_0 = msi_utils.get_sim_from_msim(msim1, scale="scale0")
+            sim2_0 = msi_utils.get_sim_from_msim(msim2, scale="scale0")
+            registration_binning = get_optimal_registration_binning(
+                sim1_0, sim2_0
+            )
+        # pick the coarsest level compatible with the binning
+        scale_key = msi_utils.get_res_level_from_binning_factors(
+            msim1, registration_binning
+        )
+        sim1 = msi_utils.get_sim_from_msim(msim1, scale=scale_key)
+        sim2 = msi_utils.get_sim_from_msim(msim2, scale=scale_key)
+        sim1_0 = msi_utils.get_sim_from_msim(msim1, scale="scale0")
+        actual = {
+            d: int(round(sim1_0.sizes[d] / sim1.sizes[d]))
+            for d in spatial_dims
+        }
+        registration_binning = {
+            d: max(1, registration_binning.get(d, 1) // actual[d])
+            for d in spatial_dims
+        }
+
+    reg_sims_b = [
+        _bin_sim(sim, registration_binning) for sim in [sim1, sim2]
+    ]
+
+    overlap_dict = _get_overlap_bboxes(
+        reg_sims_b[0],
+        reg_sims_b[1],
+        input_transform_key=transform_key,
+        output_transform_key=None,
+        overlap_tolerance=overlap_tolerance,
+    )
+    lowers, uppers = overlap_dict["lowers"], overlap_dict["uppers"]
+
+    spacings = [si_utils.get_spacing_from_sim(s) for s in reg_sims_b]
+    tol = 1e-6
+    reg_sims_b = [
+        _sel_spatial_range(
+            sim,
+            {
+                d: (
+                    lowers[isim][i] - tol - spacings[isim][d],
+                    uppers[isim][i] + tol + spacings[isim][d],
+                )
+                for i, d in enumerate(spatial_dims)
+            },
+        )
+        for isim, sim in enumerate(reg_sims_b)
+    ]
+
+    # signature-based dispatch (reference :1800-1978)
+    phys_keywords = [
+        "fixed_origin", "moving_origin", "fixed_spacing", "moving_spacing",
+        "initial_affine",
+    ]
+    has_phys = {k: has_keyword(pairwise_reg_func, k) for k in phys_keywords}
+    has_data = all(
+        has_keyword(pairwise_reg_func, k) for k in ["fixed_data", "moving_data"]
+    )
+    has_points = all(
+        has_keyword(pairwise_reg_func, k)
+        for k in ["fixed_points", "moving_points"]
+    )
+
+    sims_pixel_space = None
+    affines = [
+        np.asarray(
+            si_utils.get_affine_from_sim(s, transform_key).squeeze()
+        )
+        for s in reg_sims_b
+    ]
+    affines = [a[0] if a.ndim == 3 else a for a in affines]
+
+    if has_points:
+        registration_func_space = "transform_key_space"
+        initial_affine = np.linalg.inv(affines[1]) @ affines[0]
+        point_sets = [
+            s.attrs.get("point_sets", {}).get(points_key) for s in [sim1, sim2]
+        ]
+        if point_sets[0] is None or point_sets[1] is None:
+            raise ValueError(
+                f"Point set {points_key!r} missing for marker registration."
+            )
+        fixed_points = param_utils.transform_pts(point_sets[0], affines[0])
+        moving_points = param_utils.transform_pts(point_sets[1], affines[1])
+        pairwise_reg_func_kwargs["fixed_points"] = fixed_points
+        pairwise_reg_func_kwargs["moving_points"] = moving_points
+        if has_phys["initial_affine"]:
+            pairwise_reg_func_kwargs["initial_affine"] = (
+                param_utils.affine_to_xaffine(initial_affine)
+            )
+        fixed_data = moving_data = None
+        if has_data:
+            fixed_data = reg_sims_b[0]
+            moving_data = reg_sims_b[1]
+    elif not any(has_phys.values()):
+        fixed_data = moving_data = None
+        if has_data:
+            registration_func_space = "pixel_space"
+            sims_pixel_space = sims_to_intrinsic_coord_system(
+                reg_sims_b[0],
+                reg_sims_b[1],
+                transform_key=transform_key,
+                overlap_bboxes=(lowers, uppers),
+            )
+            fixed_data = sims_pixel_space[0]
+            moving_data = sims_pixel_space[1]
+        else:
+            registration_func_space = "transform_key_space"
+    elif all(has_phys.values()):
+        registration_func_space = "physical_space"
+        for isim, sim in enumerate(reg_sims_b):
+            prefix = ["fixed", "moving"][isim]
+            pairwise_reg_func_kwargs[f"{prefix}_origin"] = (
+                si_utils.get_origin_from_sim(sim)
+            )
+            pairwise_reg_func_kwargs[f"{prefix}_spacing"] = (
+                si_utils.get_spacing_from_sim(sim)
+            )
+        initial_affine = np.linalg.inv(affines[1]) @ affines[0]
+        pairwise_reg_func_kwargs["initial_affine"] = (
+            param_utils.affine_to_xaffine(initial_affine)
+        )
+        fixed_data = moving_data = None
+        if has_data:
+            fixed_data = reg_sims_b[0]
+            moving_data = reg_sims_b[1]
+    else:
+        raise ValueError("Unknown registration function signature")
+
+    reg_result = dispatch_pairwise_reg_func(
+        pairwise_reg_func,
+        fixed_data=fixed_data,
+        moving_data=moving_data,
+        skip_constant_check=(
+            not has_data or registration_func_space == "transform_key_space"
+        ),
+        **pairwise_reg_func_kwargs,
+    )
+
+    affine = np.asarray(
+        param_utils.to_xaffine(reg_result["affine_matrix"]).squeeze()
+    )
+    if affine.ndim == 3:
+        affine = affine[0]
+    quality = reg_result["quality"]
+
+    if registration_func_space == "pixel_space":
+        affine_phys = get_affine_from_intrinsic_affine(
+            data_affine=affine,
+            sim_fixed=sims_pixel_space[0],
+            sim_moving=sims_pixel_space[1],
+            transform_key_fixed=transform_key,
+            transform_key_moving=transform_key,
+        )
+    elif registration_func_space == "physical_space":
+        affine_phys = affines[1] @ affine @ np.linalg.inv(affines[0])
+    else:
+        affine_phys = affine
+
+    # bbox in world coords
+    overlap_dict_phys = _get_overlap_bboxes(
+        sim1,
+        sim2,
+        input_transform_key=transform_key,
+        output_transform_key=transform_key,
+        overlap_tolerance=overlap_tolerance,
+    )
+    bbox = np.array(
+        [overlap_dict_phys["lowers"][0], overlap_dict_phys["uppers"][0]]
+    )
+
+    return {
+        "transform": param_utils.affine_to_xaffine(affine_phys),
+        "quality": quality,
+        "bbox": bbox,
+    }
+
+
+def register_pair_of_msims_over_time(msim1, msim2, **register_kwargs):
+    """Per-timepoint pairwise registration, concatenated along t."""
+    msim1 = _ensure_msim_t(msim1)
+    msim2 = _ensure_msim_t(msim2)
+    sim1 = msi_utils.get_sim_from_msim(msim1)
+    t_coords = np.asarray(sim1.coords["t"])
+
+    results = [
+        register_pair_of_msims(
+            msi_utils.multiscale_sel_coords(msim1, {"t": t}),
+            msi_utils.multiscale_sel_coords(msim2, {"t": t}),
+            **register_kwargs,
+        )
+        for t in t_coords
+    ]
+    transform = XAffine(
+        np.stack([np.asarray(r["transform"].squeeze()) for r in results]),
+        t_coords=t_coords,
+    )
+    quality = np.array([r["quality"] for r in results])
+    return {
+        "transform": transform,
+        "quality": quality,
+        "bbox": results[0]["bbox"],
+    }
+
+
+def _ensure_msim_t(msim):
+    if "t" in msi_utils.get_dims(msim):
+        return msim
+    return Msim(
+        sims=[si_utils.ensure_time_dim(s) for s in msim.sims],
+        transforms={
+            k: (v if v.has_t else XAffine(v.data[None], t_coords=np.arange(1)))
+            for k, v in msim.transforms.items()
+        },
+        attrs=dict(msim.attrs),
+    )
+
+
+def _get_singleton_spatial_dim(sims):
+    """Spatial dim with single-pixel extent at a shared coordinate (3D→2D)."""
+    sdims = si_utils.get_spatial_dims_from_sim(sims[0])
+    if len(sdims) != 3:
+        return None
+    singleton_dims = [
+        d for d in sdims if all(s.sizes[d] == 1 for s in sims)
+    ]
+    if len(singleton_dims) != 1:
+        return None
+    d = singleton_dims[0]
+    coords = [float(s.origin[d]) for s in sims]
+    if not np.allclose(coords, coords[0]):
+        return None
+    return d
+
+
+def _drop_spatial_dim(msim: Msim, dim: str) -> Msim:
+    """Project an msim along a singleton spatial dim (select its only coord)."""
+    new_sims = []
+    for s in msim.sims:
+        idx = {dim: 0}
+        sub = s.isel(idx)
+        new_sims.append(sub)
+    ndim_in = len(msim.sims[0].spatial_dims)
+    sdims = msim.sims[0].spatial_dims
+    keep = [i for i, d in enumerate(sdims) if d != dim]
+    new_transforms = {}
+    for key, xaff in msim.transforms.items():
+        def proj(mat):
+            idx = keep + [ndim_in]
+            return mat[np.ix_(idx, idx)]
+        if xaff.has_t:
+            new_transforms[key] = XAffine(
+                np.stack([proj(m) for m in xaff.data]), t_coords=xaff.t_coords
+            )
+        else:
+            new_transforms[key] = XAffine(proj(xaff.data))
+    out = Msim(sims=new_sims, transforms=new_transforms, attrs=dict(msim.attrs))
+    for s in out.sims:
+        s.transforms = {}
+    return out
+
+
+def register(
+    msims: Sequence,
+    transform_key: str = None,
+    points_key: str = "beads",
+    prefilter_markers: bool = False,
+    reg_channel_index: Optional[int] = None,
+    reg_channel: Optional[str] = None,
+    new_transform_key: Optional[str] = None,
+    registration_binning: Optional[Dict[str, int]] = None,
+    reg_res_level: Optional[int] = None,
+    overlap_tolerance: Union[float, Dict[str, float]] = 0.0,
+    pairwise_reg_func: Callable = phase_correlation_registration,
+    pairwise_reg_func_kwargs: Optional[dict] = None,
+    groupwise_resolution_method: str = "global_optimization",
+    groupwise_resolution_kwargs: Optional[dict] = None,
+    pre_registration_pruning_method: str = "alternating_pattern",
+    pre_reg_pruning_method_kwargs: Optional[dict] = None,
+    post_registration_do_quality_filter: bool = False,
+    post_registration_quality_threshold: float = 0.2,
+    plot_summary: bool = False,
+    pairs: Optional[List[Tuple[int, int]]] = None,
+    n_parallel_pairwise_regs: Optional[int] = None,
+    pairwise_executor: Optional[Callable] = None,
+    return_dict: bool = False,
+):
+    """Register a list of views to a common extrinsic coordinate system.
+
+    Flow (reference :2227-2619): build overlap graph → prune → pairwise
+    registrations → optional quality filter → groupwise resolution → optional
+    transform write-back under ``new_transform_key``.
+    """
+    pairwise_reg_func_kwargs = pairwise_reg_func_kwargs or {}
+    groupwise_resolution_kwargs = groupwise_resolution_kwargs or {}
+    pre_reg_pruning_method_kwargs = pre_reg_pruning_method_kwargs or {}
+
+    msims = [
+        m if isinstance(m, Msim) else msi_utils.get_msim_from_sim(m, scale_factors=[])
+        for m in msims
+    ]
+    sims = [msi_utils.get_sim_from_msim(m) for m in msims]
+
+    # registration channel selection
+    if "c" in msi_utils.get_dims(msims[0]):
+        if reg_channel is None:
+            if reg_channel_index is None:
+                raise ValueError("Please choose a registration channel.")
+            reg_channel = np.asarray(sims[0].coords["c"])[reg_channel_index]
+        msims_reg = [
+            msi_utils.multiscale_sel_coords(m, {"c": reg_channel})
+            if "c" in msi_utils.get_dims(m)
+            else m
+            for m in msims
+        ]
+    else:
+        msims_reg = msims
+
+    # singleton-z 3D→2D reduction (reference :2441-2464)
+    reduced_dim = _get_singleton_spatial_dim(sims)
+    if reduced_dim is not None:
+        msims_reg = [_drop_spatial_dim(m, reduced_dim) for m in msims_reg]
+        registration_binning, overlap_tolerance = [
+            {d: v for d, v in param.items() if d != reduced_dim}
+            if isinstance(param, dict)
+            else param
+            for param in [registration_binning, overlap_tolerance]
+        ]
+
+    g = mv_graph.build_view_adjacency_graph_from_msims(
+        msims_reg,
+        transform_key=transform_key,
+        pairs=pairs,
+        overlap_tolerance=overlap_tolerance,
+    )
+
+    if pre_registration_pruning_method is not None:
+        g_reg = mv_graph.prune_view_adjacency_graph(
+            g,
+            method=pre_registration_pruning_method,
+            pruning_method_kwargs=pre_reg_pruning_method_kwargs,
+        )
+    else:
+        g_reg = g
+
+    g_reg_computed = compute_pairwise_registrations(
+        msims_reg,
+        g_reg,
+        transform_key=transform_key,
+        points_key=points_key,
+        prefilter_markers=prefilter_markers,
+        registration_binning=registration_binning,
+        reg_res_level=reg_res_level,
+        overlap_tolerance=overlap_tolerance,
+        pairwise_reg_func=pairwise_reg_func,
+        pairwise_reg_func_kwargs=pairwise_reg_func_kwargs,
+        n_parallel_pairwise_regs=n_parallel_pairwise_regs,
+        pairwise_executor=pairwise_executor,
+    )
+
+    if post_registration_do_quality_filter:
+        g_reg_computed = mv_graph.filter_edges(
+            g_reg_computed,
+            threshold=post_registration_quality_threshold,
+            weight_key="quality",
+        )
+
+    params_dict, groupwise_resolution_info_dict = (
+        param_resolution.groupwise_resolution(
+            g_reg_computed,
+            method=groupwise_resolution_method,
+            **groupwise_resolution_kwargs,
+        )
+    )
+    params = [params_dict[iview] for iview in sorted(g_reg_computed.nodes())]
+
+    if reduced_dim is not None:
+        params = [
+            param_utils.expand_affine_dims(p, [reduced_dim]) for p in params
+        ]
+
+    if new_transform_key is not None:
+        for imsim, msim in enumerate(msims):
+            msi_utils.set_affine_transform(
+                msim,
+                params[imsim],
+                transform_key=new_transform_key,
+                base_transform_key=transform_key,
+            )
+
+    plot_info = {}
+    if plot_summary:
+        from multiview_stitcher_tpu import vis_utils
+
+        plot_info = vis_utils.plot_registration_summaries(
+            msims,
+            transform_key,
+            new_transform_key,
+            g_reg_computed,
+            groupwise_resolution_info_dict,
+            show_plot=plot_summary,
+        )
+
+    if return_dict:
+        return {
+            "params": params,
+            "pairwise_registration": {
+                "graph": g_reg_computed,
+                "metrics": {
+                    "qualities": nx.get_edge_attributes(
+                        g_reg_computed, "quality"
+                    )
+                },
+                "summary_plot": (
+                    (plot_info.get("fig_pair_reg"), plot_info.get("ax_pair_reg"))
+                    if plot_summary
+                    else None
+                ),
+            },
+            "groupwise_resolution": {
+                "metrics": groupwise_resolution_info_dict,
+                "summary_plot": (
+                    (
+                        plot_info.get("fig_group_res"),
+                        plot_info.get("ax_group_res"),
+                    )
+                    if plot_summary
+                    else None
+                ),
+            },
+        }
+    return params
+
+
+def compute_pairwise_registrations(
+    msims,
+    g_reg,
+    n_parallel_pairwise_regs=None,
+    pairwise_executor=None,
+    **register_kwargs,
+):
+    """Compute pairwise registrations for all graph edges.
+
+    ``pairwise_executor(msims, edges, kwargs)`` hook kept from the reference
+    (:2622-2714) so alternative schedulers (multi-host, browser-style pools)
+    can run the edge batch; the default path evaluates each edge through the
+    batched JAX kernels locally.
+    """
+    g_reg_computed = g_reg.copy()
+    edges = [tuple(sorted([e[0], e[1]])) for e in g_reg.edges]
+
+    if pairwise_executor is not None:
+        params = pairwise_executor(msims, edges, dict(register_kwargs))
+        if len(params) != len(edges):
+            raise ValueError(
+                f"pairwise_executor returned {len(params)} results for "
+                f"{len(edges)} registration pairs."
+            )
+        return _assign_pairwise_registrations(g_reg_computed, edges, params)
+
+    params = [
+        register_pair_of_msims_over_time(
+            msims[pair[0]], msims[pair[1]], **register_kwargs
+        )
+        if "t" in msi_utils.get_dims(msims[pair[0]])
+        else register_pair_of_msims(
+            msims[pair[0]], msims[pair[1]], **register_kwargs
+        )
+        for pair in edges
+    ]
+    return _assign_pairwise_registrations(g_reg_computed, edges, params)
+
+
+def _assign_pairwise_registrations(g_reg_computed, edges, params):
+    for i, pair in enumerate(edges):
+        g_reg_computed.edges[pair]["transform"] = params[i]["transform"]
+        g_reg_computed.edges[pair]["quality"] = params[i]["quality"]
+        g_reg_computed.edges[pair]["bbox"] = params[i]["bbox"]
+    return g_reg_computed
+
+
+def get_pairs_from_sample_masks(
+    mask_sims,
+    transform_key: str = si_utils.DEFAULT_TRANSFORM_KEY,
+    fused_mask_spacing=None,
+):
+    """Pair discovery by fusing label masks and scanning touching labels
+    (reference :3256-3292)."""
+    from multiview_stitcher_tpu import fusion
+
+    label_sims = [
+        si_utils.get_sim_from_array(
+            (np.asarray(m.data) > 0).astype(np.float32) * (i + 1),
+            dims=m.dims,
+            scale=si_utils.get_spacing_from_sim(m),
+            translation=si_utils.get_origin_from_sim(m),
+            affine=si_utils.get_affine_from_sim(m, transform_key),
+            transform_key=transform_key,
+        )
+        for i, m in enumerate(mask_sims)
+    ]
+    if fused_mask_spacing is None:
+        fused_mask_spacing = si_utils.get_spacing_from_sim(mask_sims[0])
+
+    def nanmin_fusion(transformed_views):
+        stacked = jnp.where(
+            jnp.isnan(transformed_views) | (transformed_views == 0),
+            jnp.inf,
+            transformed_views,
+        )
+        out = jnp.min(stacked, axis=0)
+        return jnp.where(jnp.isinf(out), 0.0, out)
+
+    fused = fusion.fuse(
+        label_sims,
+        transform_key=transform_key,
+        fusion_func=nanmin_fusion,
+        output_spacing=fused_mask_spacing,
+    )
+    labels = np.asarray(fused.to_numpy()).astype(int)
+    pairs = mv_graph.get_connected_labels(labels)
+    return [tuple(sorted(p)) for p in pairs.tolist()], fused

@@ -97,10 +97,10 @@ def has_keyword(func, keyword: str) -> bool:
         sig = inspect.signature(func)
     except (TypeError, ValueError):
         return False
-    params = sig.parameters
-    if keyword in params:
-        return True
-    return any(p.kind == inspect.Parameter.VAR_KEYWORD for p in params.values())
+    # Like dask.utils.has_keyword: only named parameters count — a **kwargs
+    # catch-all does NOT signal that a func wants a given input (the
+    # signature-based dispatch relies on this).
+    return keyword in sig.parameters
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,228 @@
+import numpy as np
+import pytest
+
+from multiview_stitcher_tpu import (
+    fusion,
+    msi_utils,
+    mv_graph,
+    param_utils,
+    registration,
+    sample_data,
+    si_utils,
+)
+
+
+def _shifted_tile_pair(shift=(2.5, -1.5), shape=(60, 80), overlap=30, seed=0):
+    """Two overlapping tiles where tile2's metadata is offset by `shift`."""
+    rng = np.random.default_rng(seed)
+    from scipy.ndimage import gaussian_filter
+
+    full = gaussian_filter(
+        rng.random((shape[0] + 20, 2 * shape[1])), 1.2
+    ) * 100
+    tile0 = full[: shape[0], : shape[1]]
+    x1 = shape[1] - overlap
+    tile1 = full[: shape[0], x1 : x1 + shape[1]]
+    sim0 = si_utils.get_sim_from_array(
+        tile0.astype(np.float32), translation={"y": 0.0, "x": 0.0}
+    )
+    # tile1's true position is (0, x1); simulate stage metadata error `shift`
+    sim1 = si_utils.get_sim_from_array(
+        tile1.astype(np.float32),
+        translation={"y": float(shift[0]), "x": float(x1 + shift[1])},
+    )
+    return sim0, sim1
+
+
+def test_pairwise_registration_recovers_known_shift():
+    shift = (3.0, -2.0)
+    sim0, sim1 = _shifted_tile_pair(shift)
+    result = registration.register_pair_of_msims(
+        msi_utils.get_msim_from_sim(sim0, scale_factors=[]),
+        msi_utils.get_msim_from_sim(sim1, scale_factors=[]),
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+    )
+    affine = np.asarray(result["transform"].squeeze())
+    # transform maps fixed world -> moving world; recovered translation should
+    # cancel the metadata error
+    np.testing.assert_allclose(affine[:2, 2], shift, atol=0.3)
+    assert result["quality"] > 0.9
+    assert result["bbox"].shape == (2, 2)
+
+
+def test_pairwise_registration_subpixel():
+    shift = (0.0, 1.4)
+    sim0, sim1 = _shifted_tile_pair(shift, seed=2)
+    result = registration.register_pair_of_msims(
+        msi_utils.get_msim_from_sim(sim0, scale_factors=[]),
+        msi_utils.get_msim_from_sim(sim1, scale_factors=[]),
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+    )
+    affine = np.asarray(result["transform"].squeeze())
+    np.testing.assert_allclose(affine[:2, 2], shift, atol=0.35)
+
+
+def test_constant_overlap_returns_identity():
+    sim0 = si_utils.get_sim_from_array(
+        np.zeros((40, 40), dtype=np.float32)
+    )
+    sim1 = si_utils.get_sim_from_array(
+        np.zeros((40, 40), dtype=np.float32),
+        translation={"y": 0.0, "x": 20.0},
+    )
+    with pytest.warns(UserWarning, match="constant"):
+        result = registration.register_pair_of_msims(
+            msi_utils.get_msim_from_sim(sim0, scale_factors=[]),
+            msi_utils.get_msim_from_sim(sim1, scale_factors=[]),
+            transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        )
+    np.testing.assert_allclose(
+        np.asarray(result["transform"].squeeze()), np.eye(3)
+    )
+    assert np.isnan(result["quality"])
+
+
+def test_optimal_registration_binning():
+    sim1 = si_utils.get_sim_from_array(
+        np.zeros((1000, 1000), dtype=np.float32)
+    )
+    binning = registration.get_optimal_registration_binning(
+        sim1, sim1, max_total_pixels_per_stack=500**2
+    )
+    assert binning["x"] == binning["y"] > 1
+    assert (1000 / binning["y"]) * (1000 / binning["x"]) < 500**2
+
+
+def test_register_2x2_grid_recovers_shifts():
+    """End-to-end: artificial GT grid, register, check alignment quality."""
+    sims = sample_data.generate_tiled_dataset(
+        ndim=2, N_c=1, N_t=1, tile_size=60, tiles_x=2, tiles_y=2,
+        overlap=12, zoom=4, shift_scale=3.0, drift_scale=0.0,
+    )
+    msims = [msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims]
+    params = registration.register(
+        msims,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        new_transform_key="registered",
+        reg_channel_index=0,
+        pre_registration_pruning_method=None,
+    )
+    assert len(params) == 4
+    # after registration, pairwise NCC in overlap regions should be high
+    graph_result = registration.register(
+        msims,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        reg_channel_index=0,
+        pre_registration_pruning_method=None,
+        return_dict=True,
+    )
+    qualities = graph_result["pairwise_registration"]["metrics"]["qualities"]
+    assert all(
+        float(np.nanmean(np.asarray(q))) > 0.5 for q in qualities.values()
+    )
+    # residuals after resolution should be subpixel (spacing 0.5)
+    res = graph_result["groupwise_resolution"]["metrics"]["edge_residuals"]
+    for eres in res.values():
+        for v in eres.values():
+            assert v < 1.0
+
+
+@pytest.mark.parametrize(
+    "method", ["global_optimization", "shortest_paths", "linear_two_pass"]
+)
+def test_groupwise_resolution_methods(method):
+    sims = sample_data.generate_tiled_dataset(
+        ndim=2, N_c=1, N_t=1, tile_size=50, tiles_x=3, tiles_y=1,
+        overlap=12, zoom=4, shift_scale=2.0, drift_scale=0.0,
+    )
+    msims = [msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims]
+    params = registration.register(
+        msims,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        reg_channel_index=0,
+        groupwise_resolution_method=method,
+        groupwise_resolution_kwargs=(
+            {"transform": "translation"}
+            if method in ("global_optimization", "linear_two_pass")
+            else {}
+        ),
+        pre_registration_pruning_method=None,
+    )
+    assert len(params) == 3
+    for p in params:
+        m = np.asarray(p.squeeze())
+        assert m.shape == (3, 3)
+        assert np.all(np.isfinite(m))
+
+
+def test_register_with_time_dimension():
+    sims = sample_data.generate_tiled_dataset(
+        ndim=2, N_c=1, N_t=2, tile_size=50, tiles_x=2, tiles_y=1,
+        overlap=12, zoom=4, shift_scale=1.0, drift_scale=1.0,
+    )
+    msims = [msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims]
+    params = registration.register(
+        msims,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        reg_channel_index=0,
+        pre_registration_pruning_method=None,
+    )
+    assert params[0].has_t
+    assert len(params[0].t_coords) == 2
+
+
+def test_register_then_fuse_end_to_end():
+    """The full minimum slice: register + fuse improves overlap agreement."""
+    shift = (2.0, -3.0)
+    sim0, sim1 = _shifted_tile_pair(shift, seed=5)
+    msims = [
+        msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in [sim0, sim1]
+    ]
+    registration.register(
+        msims,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        new_transform_key="registered",
+        pre_registration_pruning_method=None,
+    )
+    fused = fusion.fuse(
+        [msi_utils.get_sim_from_msim(m) for m in msims],
+        transform_key="registered",
+    )
+    assert fused.to_numpy().sum() > 0
+
+    # verify the registered transform key exists on the msims
+    for m in msims:
+        assert "registered" in m.transforms
+
+
+def test_3d_singleton_z_reduction():
+    """3D input with singleton z registers via the 2D path."""
+    rng = np.random.default_rng(0)
+    from scipy.ndimage import gaussian_filter
+
+    full = gaussian_filter(rng.random((60, 120)), 1.0) * 100
+    t0 = full[:, :70][None].astype(np.float32)
+    t1 = full[:, 50:][None].astype(np.float32)
+    sims = [
+        si_utils.get_sim_from_array(
+            t0, dims=("z", "y", "x"),
+            translation={"z": 0.0, "y": 0.0, "x": 0.0},
+        ),
+        si_utils.get_sim_from_array(
+            t1, dims=("z", "y", "x"),
+            translation={"z": 0.0, "y": 1.0, "x": 49.0},
+        ),
+    ]
+    msims = [msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims]
+    params = registration.register(
+        msims,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        pre_registration_pruning_method=None,
+    )
+    m = np.asarray(params[1].squeeze())
+    assert m.shape == (4, 4)
+    # z stays untransformed
+    np.testing.assert_allclose(m[0], [1, 0, 0, 0])
+    # resolved param maps view coords -> corrected world coords, i.e. it
+    # cancels the metadata error of (+1, -1): expect (-1, +1)
+    np.testing.assert_allclose(m[1:3, 3], [-1.0, 1.0], atol=0.3)
