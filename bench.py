@@ -1,0 +1,219 @@
+"""Benchmark: fused voxel throughput vs single-process CPU baseline.
+
+Mirrors the reference's fusion micro-benchmark configuration
+(/root/reference/src/multiview_stitcher/_benchmarks/test_core.py:119-147):
+a 3×3 grid of 100³-voxel 3D tiles with 20 px overlap, weighted-average fusion
+with linear blending. The baseline is the reference's hot loop re-created
+with scipy.ndimage (affine resample per view + EDT-proxy blending weights +
+normalized weighted sum), timed on a subset of chunks and extrapolated —
+i.e. the single-threaded dask-CPU per-task cost.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def make_grid_sims(n=3, tile=100, overlap=20, ndim=3, dtype=np.uint16):
+    from multiview_stitcher_tpu import si_utils
+
+    rng = np.random.default_rng(0)
+    sims = []
+    sdims = ["z", "y", "x"][-ndim:]
+    grid = (1,) * (ndim - 2) + (n, n) if ndim == 3 else (n, n)
+    grid = (n,) * ndim if ndim == 2 else (n, n, n)
+    # reference bench: 3x3 grid in y/x, full z extent (single z position)
+    grid = (1, n, n) if ndim == 3 else (n, n)
+    step = tile - overlap
+    for idx in np.ndindex(grid):
+        data = rng.integers(0, 1000, (tile,) * ndim).astype(dtype)
+        translation = {
+            d: float(idx[i] * step) for i, d in enumerate(sdims)
+        }
+        sims.append(
+            si_utils.get_sim_from_array(
+                data,
+                dims=sdims,
+                scale={d: 1.0 for d in sdims},
+                translation=translation,
+            )
+        )
+    return sims
+
+
+def cpu_baseline_voxel_rate(sims, transform_key, n_sample_chunks=2,
+                            chunksize=128):
+    """Single-threaded scipy re-creation of the reference chunk task."""
+    from scipy.ndimage import affine_transform
+
+    from multiview_stitcher_tpu import mv_graph, si_utils, weights
+    from multiview_stitcher_tpu.fusion import _core
+    from multiview_stitcher_tpu.ops import resample as resample_ops
+
+    sdims = si_utils.get_spatial_dims_from_sim(sims[0])
+    ndim = len(sdims)
+    params = [
+        np.asarray(
+            si_utils.get_affine_from_sim(s, transform_key).squeeze()
+        )
+        for s in sims
+    ]
+    osp = _core.process_output_stack_properties(
+        sims, transform_key=transform_key
+    )
+    osp = {
+        "shape": {d: int(osp["shape"][d]) for d in sdims},
+        "spacing": {d: float(osp["spacing"][d]) for d in sdims},
+        "origin": {d: float(osp["origin"][d]) for d in sdims},
+    }
+    ocs = {d: chunksize for d in sdims}
+    chunk_bbs, block_indices = mv_graph.get_chunk_bbs(osp, ocs)
+    views_bb = [si_utils.get_stack_properties_from_sim(s) for s in sims]
+    plan = _core._build_spatial_fusion_plan(
+        sparams=params,
+        views_bb=views_bb,
+        output_stack_properties=osp,
+        output_chunksize=ocs,
+        output_chunk_bbs=chunk_bbs,
+        output_chunk_bbs_with_overlap=chunk_bbs,
+        block_indices=block_indices,
+        overlap_in_pixels={d: 0 for d in sdims},
+        interpolation_order=1,
+        sdims=sdims,
+    )
+    entries = [e for e in plan["per_chunk_entries"] if e["views"]]
+    # sample the densest chunks (most views) for a representative cost
+    entries = sorted(entries, key=lambda e: -len(e["views"]))[:n_sample_chunks]
+
+    voxels = 0
+    t0 = time.perf_counter()
+    for entry in entries:
+        bb = entry["output_bb"]
+        out_shape = tuple(int(bb["shape"][d]) for d in sdims)
+        tvs, bws = [], []
+        for iview, window in entry["views"]:
+            sim = sims[iview]
+            slab, slab_origin = _core._slab_from_sim(sim, window)
+            m, o = resample_ops.physical_to_pixel_params(
+                np.linalg.inv(params[iview]),
+                input_spacing=np.array(
+                    [views_bb[iview]["spacing"][d] for d in sdims]
+                ),
+                input_origin=np.array([slab_origin[d] for d in sdims]),
+                output_spacing=np.array([bb["spacing"][d] for d in sdims]),
+                output_origin=np.array([bb["origin"][d] for d in sdims]),
+            )
+            tv = affine_transform(
+                slab.astype(np.float32), m, offset=o,
+                output_shape=out_shape, order=1, mode="constant",
+                cval=np.nan,
+            )
+            grid, gm, go = weights.blending_weights_pixel_params(
+                bb, views_bb[iview], params[iview]
+            )
+            bw = affine_transform(
+                grid, gm, offset=go, output_shape=out_shape, order=1,
+                mode="constant", cval=0.0,
+            )
+            bw = np.asarray(weights.cosine_weights(bw))
+            tvs.append(tv)
+            bws.append(bw)
+        tvs = np.stack(tvs)
+        bws = np.stack(bws)
+        bws = bws * ~np.isnan(tvs)
+        wsum = np.nansum(bws, axis=0)
+        wsum[wsum == 0] = 1
+        bws = bws / wsum
+        fused = np.nansum(tvs * bws, axis=0)
+        fused = np.nan_to_num(fused).astype(sims[0].dtype)
+        voxels += fused.size
+    dt = time.perf_counter() - t0
+    return voxels / dt
+
+
+def tpu_fuse_rate(sims, transform_key, chunksize=128, repeats=3):
+    import jax
+
+    from multiview_stitcher_tpu import fusion
+
+    # warm-up (compile)
+    fused = fusion.fuse(
+        sims, transform_key=transform_key, output_chunksize=chunksize
+    )
+    out_voxels = int(np.prod(fused.shape))
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fused = fusion.fuse(
+            sims, transform_key=transform_key, output_chunksize=chunksize
+        )
+        times.append(time.perf_counter() - t0)
+    return out_voxels / min(times)
+
+
+def pairwise_reg_rate(n_pairs=32, crop=(128, 128), repeats=3):
+    import jax
+    import jax.numpy as jnp
+
+    from multiview_stitcher_tpu.ops import phase_correlation as pc_ops
+
+    rng = np.random.default_rng(3)
+    fixed = rng.random((n_pairs,) + crop).astype(np.float32)
+    moving = rng.random((n_pairs,) + crop).astype(np.float32)
+    f = jnp.asarray(fixed)
+    m = jnp.asarray(moving)
+    out = pc_ops.phase_cross_correlation_batch(f, m, upsample_factor=10)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = pc_ops.phase_cross_correlation_batch(f, m, upsample_factor=10)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return n_pairs / min(times)
+
+
+def main():
+    from multiview_stitcher_tpu import si_utils
+
+    transform_key = si_utils.DEFAULT_TRANSFORM_KEY
+    log("generating 3x3 grid of 100^3 tiles (20 px overlap)...")
+    sims = make_grid_sims(n=3, tile=100, overlap=20, ndim=3)
+
+    log("timing CPU (scipy single-thread) baseline on sample chunks...")
+    cpu_rate = cpu_baseline_voxel_rate(sims, transform_key)
+    log(f"cpu baseline: {cpu_rate / 1e6:.2f} Mvox/s")
+
+    log("timing TPU fuse()...")
+    tpu_rate = tpu_fuse_rate(sims, transform_key)
+    log(f"tpu fuse: {tpu_rate / 1e6:.2f} Mvox/s")
+
+    try:
+        reg_rate = pairwise_reg_rate()
+        log(f"pairwise registrations/sec (128^2 crops, x10 upsample): {reg_rate:.1f}")
+    except Exception as e:  # noqa: BLE001
+        log(f"pairwise bench failed: {e}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "fused_voxel_throughput",
+                "value": round(tpu_rate / 1e6, 3),
+                "unit": "Mvox/s/chip",
+                "vs_baseline": round(tpu_rate / cpu_rate, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -250,6 +250,66 @@ def process_output_stack_properties(
 # ---------------------------------------------------------------------------
 
 
+def _reduce_views(data_t, bw, out_shape, mode: str, use_bw: bool):
+    """NaN-aware reduction over the leading view axis."""
+    if use_bw:
+        bw = weights.cosine_weights(bw)
+        bw = bw * (~jnp.isnan(data_t))
+        bw = weights.normalize_weights(bw)
+    if mode == "weighted_average":
+        fused = jnp.nansum(data_t * bw, axis=0)
+    elif mode == "max":
+        fused = jnp.nanmax(data_t, axis=0)
+    elif mode == "simple_average":
+        n_valid = jnp.sum(~jnp.isnan(data_t), axis=0).astype(jnp.float32)
+        n_valid = jnp.where(n_valid == 0, jnp.nan, n_valid)
+        fused = jnp.nansum(data_t, axis=0) / n_valid
+    else:
+        raise ValueError(mode)
+    return fused, bw
+
+
+@partial(jax.jit, static_argnames=("out_shape", "mode", "use_bw"))
+def _fuse_chunk_tiles_kernel(
+    tiles,       # (V, *T) float32, NaN-free (zero-filled)
+    view_idx,    # (K,) int32 — which tile each slot resamples
+    diags,       # (K, ndim) diagonal of chunk-pixel -> tile-pixel map
+    offs,        # (K, ndim)
+    wgrids,      # (K, 5..5) blending proxy grids
+    wdiags,      # (K, ndim)
+    woffs,       # (K, ndim)
+    view_valid,  # (K,) bool
+    out_shape: tuple,
+    mode: str = "weighted_average",
+    use_bw: bool = True,
+):
+    """Axis-aligned fused chunk kernel reading directly from full on-device
+    tiles via separable banded-matmul resampling (MXU path; no slabs, no
+    gathers). This is the hot kernel for translation-grid stitching."""
+    ndim = len(out_shape)
+
+    def per_view(vi, dg, off, wg, wdg, woff, vv):
+        tile = tiles[vi]
+        data = resample_ops.separable_axis_aligned_resample(
+            tile, dg, off, out_shape, cval=jnp.nan
+        )
+        data = jnp.where(vv, data, jnp.nan)
+        if use_bw:
+            bw = resample_ops.separable_axis_aligned_resample(
+                wg, wdg, woff, out_shape, cval=0.0
+            )
+            bw = jnp.where(vv, bw, 0.0)
+        else:
+            bw = jnp.zeros(out_shape, dtype=jnp.float32)
+        return data, bw
+
+    data_t, bw = jax.vmap(per_view)(
+        view_idx, diags, offs, wgrids, wdiags, woffs, view_valid
+    )
+    fused, _ = _reduce_views(data_t, bw, out_shape, mode, use_bw)
+    return jnp.nan_to_num(fused)
+
+
 @partial(
     jax.jit,
     static_argnames=("out_shape", "mode", "use_bw"),
@@ -282,21 +342,9 @@ def _fuse_chunk_kernel(
             g, m, o, out_shape, order=1, cval=0.0
         )
         bw = jax.vmap(wresample)(wgrids, wmats, woffs)
-        bw = weights.cosine_weights(bw)
-        bw = bw * (~jnp.isnan(data_t))
         bw = bw * view_valid.reshape((-1,) + (1,) * len(out_shape))
-        bw = weights.normalize_weights(bw)
 
-    if mode == "weighted_average":
-        fused = jnp.nansum(data_t * bw, axis=0)
-    elif mode == "max":
-        fused = jnp.nanmax(data_t, axis=0)
-    elif mode == "simple_average":
-        n_valid = jnp.sum(~jnp.isnan(data_t), axis=0).astype(jnp.float32)
-        n_valid = jnp.where(n_valid == 0, jnp.nan, n_valid)
-        fused = jnp.nansum(data_t, axis=0) / n_valid
-    else:
-        raise ValueError(mode)
+    fused, bw = _reduce_views(data_t, bw, out_shape, mode, use_bw)
     return fused, data_t, bw
 
 
@@ -849,6 +897,155 @@ def _fuse_chunk_batch_kernel(
     return jax.vmap(one)(slabs, mats, offs, wgrids, wmats, woffs, view_valid)
 
 
+def _plan_is_axis_aligned(sparams, ndim) -> bool:
+    for p in sparams:
+        lin = np.asarray(p)[:ndim, :ndim]
+        if not np.allclose(lin, np.diag(np.diag(lin)), atol=1e-12):
+            return False
+        if np.any(np.diag(lin) <= 0):
+            return False
+    return True
+
+
+def _execute_fusion_plan_tiles(
+    plan,
+    field_sims,
+    output_stack_properties,
+    sdims,
+    *,
+    mode,
+    use_bw,
+    blending_widths,
+    shrink_distance,
+    out_dtype,
+):
+    """Axis-aligned fast path: full tiles live on device once; each chunk is
+    fused by the separable banded-matmul kernel reading tiles directly (no
+    slab extraction, no per-chunk host->device image traffic)."""
+    ndim = len(sdims)
+    out_shape_full = tuple(output_stack_properties["shape"][d] for d in sdims)
+    out = np.zeros(out_shape_full, dtype=out_dtype)
+    views_bb = [si_utils.get_stack_properties_from_sim(s) for s in field_sims]
+
+    entries = [e for e in plan["per_chunk_entries"] if e["views"]]
+    if not entries:
+        return out
+
+    tiles = np.stack(
+        [np.nan_to_num(np.asarray(s.data, dtype=np.float32)) for s in field_sims]
+    )
+    tiles_dev = jnp.asarray(tiles)
+
+    K_max = max(len(e["views"]) for e in entries)
+    O_max = tuple(
+        max(int(e["output_bb_overlap"]["shape"][d]) for e in entries)
+        for d in sdims
+    )
+
+    osp_spacing = np.array(
+        [output_stack_properties["spacing"][d] for d in sdims]
+    )
+
+    results = []
+    for entry in entries:
+        chunk_bb_ov = entry["output_bb_overlap"]
+        kernel_bb = {
+            "origin": dict(chunk_bb_ov["origin"]),
+            "spacing": dict(chunk_bb_ov["spacing"]),
+            "shape": {d: O_max[i] for i, d in enumerate(sdims)},
+        }
+        view_idx = np.zeros((K_max,), dtype=np.int32)
+        diags = np.ones((K_max, ndim), dtype=np.float32)
+        offs = np.zeros((K_max, ndim), dtype=np.float32)
+        wgrids = np.zeros((K_max,) + (5,) * ndim, dtype=np.float32)
+        wdiags = np.ones((K_max, ndim), dtype=np.float32)
+        woffs = np.zeros((K_max, ndim), dtype=np.float32)
+        valid = np.zeros((K_max,), dtype=bool)
+
+        for vi, (iview, _window) in enumerate(entry["views"]):
+            pm = plan["sparams"][iview]
+            m, o = resample_ops.physical_to_pixel_params(
+                np.linalg.inv(pm),
+                input_spacing=np.array(
+                    [views_bb[iview]["spacing"][d] for d in sdims]
+                ),
+                input_origin=np.array(
+                    [views_bb[iview]["origin"][d] for d in sdims]
+                ),
+                output_spacing=osp_spacing,
+                output_origin=np.array(
+                    [kernel_bb["origin"][d] for d in sdims]
+                ),
+            )
+            view_idx[vi] = iview
+            diags[vi] = np.diag(m)
+            offs[vi] = o
+            valid[vi] = True
+            if use_bw:
+                g, wm, wo = weights.blending_weights_pixel_params(
+                    kernel_bb,
+                    views_bb[iview],
+                    pm,
+                    blending_widths=blending_widths,
+                    shrink_distance=shrink_distance,
+                )
+                wgrids[vi] = g
+                wdiags[vi] = np.diag(wm)
+                woffs[vi] = wo
+
+        fused = _fuse_chunk_tiles_kernel(
+            tiles_dev,
+            jnp.asarray(view_idx),
+            jnp.asarray(diags),
+            jnp.asarray(offs),
+            jnp.asarray(wgrids),
+            jnp.asarray(wdiags),
+            jnp.asarray(woffs),
+            jnp.asarray(valid),
+            O_max,
+            mode,
+            use_bw,
+        )
+        results.append(fused)
+
+    results = jax.device_get(results)
+
+    for entry, fused in zip(entries, results):
+        chunk_bb = entry["output_bb"]
+        chunk_bb_ov = entry["output_bb_overlap"]
+        core_off = [
+            int(
+                round(
+                    (chunk_bb["origin"][d] - chunk_bb_ov["origin"][d])
+                    / chunk_bb_ov["spacing"][d]
+                )
+            )
+            for d in sdims
+        ]
+        core = tuple(
+            slice(off, off + int(chunk_bb["shape"][d]))
+            for off, d in zip(core_off, sdims)
+        )
+        starts = [
+            int(
+                round(
+                    (
+                        chunk_bb["origin"][d]
+                        - output_stack_properties["origin"][d]
+                    )
+                    / output_stack_properties["spacing"][d]
+                )
+            )
+            for d in sdims
+        ]
+        out_slices = tuple(
+            slice(s, s + int(chunk_bb["shape"][d]))
+            for s, d in zip(starts, sdims)
+        )
+        out[out_slices] = np.asarray(fused)[core].astype(out_dtype)
+    return out
+
+
 def _execute_fusion_plan_batched(
     plan,
     field_sims,
@@ -1023,6 +1220,26 @@ def _execute_fusion_plan(
 ):
     """Run the per-chunk fused kernel over the plan, assembling the output."""
     builtin_mode = _BUILTIN_FUSION_MODES.get(fusion_func)
+    ndim = len(sdims)
+    tile_shapes = {tuple(s.data.shape) for s in field_sims}
+    if (
+        builtin_mode is not None
+        and weights_func is None
+        and not (fusion_func_kwargs or {})
+        and len(tile_shapes) == 1
+        and _plan_is_axis_aligned(plan["sparams"], ndim)
+    ):
+        return _execute_fusion_plan_tiles(
+            plan,
+            field_sims,
+            output_stack_properties,
+            sdims,
+            mode=builtin_mode,
+            use_bw=misc_utils.has_keyword(fusion_func, "blending_weights"),
+            blending_widths=blending_widths,
+            shrink_distance=shrink_distance,
+            out_dtype=out_dtype,
+        )
     if (
         builtin_mode is not None
         and weights_func is None

@@ -146,6 +146,68 @@ def translate_resample_batch(data, shifts, order: int = 1, cval=jnp.nan):
     return jax.vmap(fn)(data, shifts)
 
 
+def separable_axis_aligned_resample(
+    data,
+    diag,
+    offset,
+    out_shape: tuple,
+    cval=jnp.nan,
+    valid_extent=None,
+):
+    """Axis-aligned (diagonal) affine resample as per-axis banded matmuls.
+
+    For maps ``in_coord_d = diag[d] * out_idx_d + offset[d]`` the multi-linear
+    interpolation is separable: each axis contracts with a 2-banded
+    (out_d, in_d) lerp matrix. These contractions run on the MXU instead of
+    the TPU-hostile gather path — this is the hot kernel for translation-grid
+    stitching (the dominant case). Out-of-domain samples (coord outside
+    [0, valid_extent-1]) become ``cval``.
+
+    data must not contain NaNs (zero-fill padding; validity is tracked
+    analytically).
+    """
+    ndim = len(out_shape)
+    data = jnp.asarray(data)
+    compute_dtype = (
+        data.dtype if jnp.issubdtype(data.dtype, jnp.floating) else jnp.float32
+    )
+    vals = data.astype(compute_dtype)
+    if valid_extent is None:
+        valid_extent = jnp.asarray(data.shape, dtype=jnp.float32)
+    else:
+        valid_extent = jnp.asarray(valid_extent, dtype=jnp.float32)
+
+    valid_axis = []
+    for d in range(ndim):
+        out_d = out_shape[d]
+        in_d = data.shape[d]
+        i = jnp.arange(out_d, dtype=jnp.float32)
+        c = diag[d] * i + offset[d]
+        f = jnp.floor(c)
+        w1 = (c - f).astype(compute_dtype)
+        fi = f.astype(jnp.int32)
+        j = jnp.arange(in_d, dtype=jnp.int32)
+        # banded lerp matrix; zero-weight second band contributes exactly 0
+        M = jnp.where(
+            j[None, :] == fi[:, None], (1.0 - w1)[:, None], 0.0
+        ) + jnp.where(
+            (j[None, :] == fi[:, None] + 1) & (w1[:, None] > 0),
+            w1[:, None],
+            0.0,
+        )
+        vals = jnp.moveaxis(
+            jnp.tensordot(M.astype(compute_dtype), vals, axes=(1, d)), 0, d
+        )
+        valid_axis.append((c >= 0) & (c <= valid_extent[d] - 1))
+
+    valid = valid_axis[0].reshape((-1,) + (1,) * (ndim - 1))
+    for d in range(1, ndim):
+        shape = [1] * ndim
+        shape[d] = -1
+        valid = valid & valid_axis[d].reshape(shape)
+    return jnp.where(valid, vals, jnp.asarray(cval, dtype=compute_dtype))
+
+
 def transform_pts(pts, affine):
     """Apply a homogeneous affine to an (M, N) point array (JAX)."""
     pts = jnp.asarray(pts, dtype=jnp.float32)

@@ -1,0 +1,96 @@
+"""Sharded register+fuse pipelines.
+
+Multi-chip execution of the two hot batches (SURVEY.md §2.4 P1/P2):
+
+- pairwise registration: overlap crops stacked into a fixed-shape
+  ``(N_pairs, *crop)`` batch, sharded over the mesh's data axis; the batched
+  FFT phase-correlation kernel partitions with no cross-device traffic (each
+  pair is independent; results are all-gathered host-side for the global
+  solve, which is tiny).
+- fusion: the chunk batch of the fused resample+blend kernel sharded the same
+  way; each device owns a disjoint set of output chunks (mirroring the
+  reference's embarrassingly-parallel streaming fusion, fusion/_core.py:2044).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multiview_stitcher_tpu.fusion._core import _fuse_chunk_batch_kernel
+from multiview_stitcher_tpu.ops import phase_correlation as pc_ops
+from multiview_stitcher_tpu.parallel import mesh as mesh_utils
+
+
+def sharded_pairwise_shifts(
+    fixed_batch,
+    moving_batch,
+    mesh,
+    upsample_factor: int = 10,
+    normalization: str = "phase",
+):
+    """Batched subpixel shifts with the pair axis sharded across the mesh.
+
+    Inputs: (N, *crop) float arrays (pad N to a multiple of mesh size with
+    :func:`..parallel.mesh.pad_to_multiple`). Returns (shifts (N, ndim),
+    peaks (N,)).
+    """
+    sharding = mesh_utils.batch_sharding(mesh)
+
+    fn = jax.jit(
+        lambda f, m: pc_ops.phase_cross_correlation_batch(
+            f, m, upsample_factor=upsample_factor, normalization=normalization
+        ),
+        in_shardings=(sharding, sharding),
+    )
+    return fn(
+        jax.device_put(fixed_batch, sharding),
+        jax.device_put(moving_batch, sharding),
+    )
+
+
+def sharded_fuse_chunks(
+    slabs, mats, offs, wgrids, wmats, woffs, valid,
+    out_shape: tuple,
+    mesh,
+    mode: str = "weighted_average",
+    use_bw: bool = True,
+):
+    """Fused chunk kernel with the chunk axis sharded across the mesh."""
+    sharding = mesh_utils.batch_sharding(mesh)
+    args = [
+        jax.device_put(np.asarray(a), sharding)
+        for a in (slabs, mats, offs, wgrids, wmats, woffs, valid)
+    ]
+    fn = jax.jit(
+        lambda *a: _fuse_chunk_batch_kernel(*a, out_shape, mode, use_bw),
+        in_shardings=(sharding,) * 7,
+    )
+    return fn(*args)
+
+
+def register_and_fuse_step(
+    fixed_batch,
+    moving_batch,
+    slabs, mats, offs, wgrids, wmats, woffs, valid,
+    out_shape: tuple,
+    upsample_factor: int = 2,
+):
+    """One combined step: batched pairwise shifts + batched chunk fusion.
+
+    This is the full compute step of the stitching pipeline expressed as a
+    single jittable function over sharded batches — used by the multi-chip
+    dry run and as the template for production sharded execution.
+    """
+    shifts, peaks = pc_ops.phase_cross_correlation_batch(
+        fixed_batch, moving_batch, upsample_factor=upsample_factor
+    )
+    fused = _fuse_chunk_batch_kernel(
+        slabs, mats, offs, wgrids, wmats, woffs, valid,
+        out_shape, "weighted_average", True,
+    )
+    return shifts, peaks, fused

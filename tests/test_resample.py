@@ -133,3 +133,41 @@ class TestTransformSim:
             mode="constant", cval=0.0,
         )
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_separable_matches_gather_resample():
+    """Axis-aligned banded-matmul resample == general gather resample."""
+    rng = np.random.default_rng(7)
+    data = rng.random((20, 24)).astype(np.float32)
+    diag = np.array([0.8, 1.3], dtype=np.float32)
+    offset = np.array([-2.3, 4.75], dtype=np.float32)
+    out_shape = (25, 18)
+    sep = np.asarray(
+        resample_ops.separable_axis_aligned_resample(
+            data, diag, offset, out_shape, cval=np.nan
+        )
+    )
+    gat = np.asarray(
+        resample_ops.affine_resample(
+            data, np.diag(diag), offset, out_shape, order=1, cval=np.nan
+        )
+    )
+    np.testing.assert_array_equal(np.isnan(sep), np.isnan(gat))
+    m = ~np.isnan(sep)
+    np.testing.assert_allclose(sep[m], gat[m], rtol=1e-5, atol=1e-5)
+
+
+def test_separable_valid_extent():
+    data = np.zeros((10, 10), dtype=np.float32)
+    out = np.asarray(
+        resample_ops.separable_axis_aligned_resample(
+            data,
+            np.ones(2, dtype=np.float32),
+            np.zeros(2, dtype=np.float32),
+            (10, 10),
+            cval=np.nan,
+            valid_extent=np.array([6.0, 10.0]),
+        )
+    )
+    assert np.isnan(out[6:]).all()
+    assert not np.isnan(out[:6]).any()
