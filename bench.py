@@ -49,7 +49,7 @@ def make_grid_sims(n=3, tile=100, overlap=20, ndim=3, dtype=np.uint16):
     return sims
 
 
-def cpu_baseline_voxel_rate(sims, transform_key, n_sample_chunks=2,
+def cpu_baseline_voxel_rate(sims, transform_key, n_sample_chunks=None,
                             chunksize=128):
     """Single-threaded scipy re-creation of the reference chunk task."""
     from scipy.ndimage import affine_transform
@@ -90,8 +90,11 @@ def cpu_baseline_voxel_rate(sims, transform_key, n_sample_chunks=2,
         sdims=sdims,
     )
     entries = [e for e in plan["per_chunk_entries"] if e["views"]]
-    # sample the densest chunks (most views) for a representative cost
-    entries = sorted(entries, key=lambda e: -len(e["views"]))[:n_sample_chunks]
+    if n_sample_chunks is not None:
+        # optionally sample the densest chunks for a faster (conservative) run
+        entries = sorted(entries, key=lambda e: -len(e["views"]))[
+            :n_sample_chunks
+        ]
 
     voxels = 0
     t0 = time.perf_counter()

@@ -312,6 +312,42 @@ def _fuse_chunk_tiles_kernel(
 
 @partial(
     jax.jit,
+    static_argnames=("out_shape", "mode", "use_bw", "out_dtype"),
+)
+def _fuse_chunks_tiles_map_kernel(
+    tiles,       # (V, *T) original dtype
+    view_idx,    # (C, K) int32
+    diags,       # (C, K, ndim)
+    offs,        # (C, K, ndim)
+    wgrids,      # (C, K, 5..5)
+    wdiags,      # (C, K, ndim)
+    woffs,       # (C, K, ndim)
+    view_valid,  # (C, K) bool
+    out_shape: tuple,
+    mode: str = "weighted_average",
+    use_bw: bool = True,
+    out_dtype=jnp.float32,
+):
+    """All chunks of a fusion plan in ONE dispatch: lax.map over the chunk
+    axis of the tiles-resident fused kernel, casting to the output dtype on
+    device. Minimizes host<->device round trips (critical for tunneled or
+    remote accelerators) and compiles once per plan."""
+    tiles_f = tiles.astype(jnp.float32)
+
+    def one_chunk(args):
+        vi, dg, off, wg, wdg, woff, vv = args
+        return _fuse_chunk_tiles_kernel(
+            tiles_f, vi, dg, off, wg, wdg, woff, vv, out_shape, mode, use_bw
+        ).astype(out_dtype)
+
+    return jax.lax.map(
+        one_chunk,
+        (view_idx, diags, offs, wgrids, wdiags, woffs, view_valid),
+    )
+
+
+@partial(
+    jax.jit,
     static_argnames=("out_shape", "mode", "use_bw"),
 )
 def _fuse_chunk_kernel(
@@ -774,7 +810,38 @@ def fuse(
         len(ns_coord_lists[nd]) for nd in nsdims
     ) + tuple(output_stack_properties["shape"][d] for d in sdims)
     out_dtype = np.dtype(sims_in[0].dtype)
-    output_array = np.zeros(out_full_shape, dtype=out_dtype)
+
+    zarr_options = dict(zarr_options or {})
+    streaming = output_zarr_url is not None
+    if streaming:
+        # stream fused chunks straight into the zarr store — per-chunk region
+        # writes, nothing assembled in memory (reference fusion/_core.py:2044)
+        from multiview_stitcher_tpu.io import zarr_backend
+
+        ome_zarr = zarr_options.get("ome_zarr", True)
+        level0_url = (
+            f"{output_zarr_url}/0" if ome_zarr else str(output_zarr_url)
+        )
+        zarr_chunks = tuple(1 for _ in nsdims) + tuple(
+            min(output_chunksize[d], output_stack_properties["shape"][d])
+            for d in sdims
+        )
+        if zarr_options.get("create_output", True):
+            output_array = zarr_backend.create_zarr_array(
+                level0_url,
+                shape=out_full_shape,
+                chunks=zarr_chunks,
+                dtype=out_dtype,
+                zarr_format=2
+                if zarr_options.get("ngff_version", "0.4") == "0.4"
+                else 3,
+                overwrite=zarr_options.get("overwrite", True),
+                **(zarr_options.get("zarr_array_creation_kwargs") or {}),
+            )
+        else:
+            output_array = zarr_backend.attach_zarr_array(level0_url)
+    else:
+        output_array = np.zeros(out_full_shape, dtype=out_dtype)
 
     plan_cache = {}
     for combo in ns_combos:
@@ -817,7 +884,11 @@ def fuse(
             )
         plan = plan_cache[plan_key]
 
-        field_out = _execute_fusion_plan(
+        ns_idx = tuple(
+            int(np.where(ns_coord_lists[nd] == c)[0][0])
+            for nd, c in zip(nsdims, combo)
+        )
+        _execute_fusion_plan(
             plan,
             field_sims,
             output_stack_properties,
@@ -832,22 +903,40 @@ def fuse(
             blending_widths=blending_widths,
             shrink_distance=shrink_distance,
             out_dtype=out_dtype,
+            out_sink=_PrefixedSink(output_array, ns_idx),
         )
 
-        ns_idx = tuple(
-            int(np.where(ns_coord_lists[nd] == c)[0][0])
-            for nd, c in zip(nsdims, combo)
-        )
-        output_array[ns_idx] = field_out
+    if streaming:
+        from multiview_stitcher_tpu.io import ngff_utils, zarr_backend
 
-    out_sim = si_utils.to_spatial_image(
-        output_array,
-        dims=tuple(nsdims) + tuple(sdims),
-        scale=output_stack_properties["spacing"],
-        translation=output_stack_properties["origin"],
-        t_coords=ns_coord_lists.get("t"),
-        c_coords=ns_coord_lists.get("c"),
-    )
+        if zarr_options.get("ome_zarr", True):
+            ngff_utils.finalize_ome_zarr_levels(
+                output_zarr_url,
+                dims=tuple(nsdims) + tuple(sdims),
+                stack_properties=output_stack_properties,
+                ngff_version=zarr_options.get("ngff_version", "0.4"),
+                c_coords=ns_coord_lists.get("c"),
+            )
+            out_sim = ngff_utils.read_sim_from_ome_zarr(output_zarr_url)
+        else:
+            arr = zarr_backend.open_zarr_array(str(output_zarr_url))
+            out_sim = si_utils.to_spatial_image(
+                arr,
+                dims=tuple(nsdims) + tuple(sdims),
+                scale=output_stack_properties["spacing"],
+                translation=output_stack_properties["origin"],
+                t_coords=ns_coord_lists.get("t"),
+                c_coords=ns_coord_lists.get("c"),
+            )
+    else:
+        out_sim = si_utils.to_spatial_image(
+            output_array,
+            dims=tuple(nsdims) + tuple(sdims),
+            scale=output_stack_properties["spacing"],
+            translation=output_stack_properties["origin"],
+            t_coords=ns_coord_lists.get("t"),
+            c_coords=ns_coord_lists.get("c"),
+        )
     si_utils.set_sim_affine(
         out_sim,
         param_utils.identity_transform(
@@ -855,17 +944,21 @@ def fuse(
         ),
         transform_key=transform_key,
     )
-
-    if output_zarr_url is not None:
-        from multiview_stitcher_tpu.io import ngff_utils
-
-        zarr_options = zarr_options or {}
-        if zarr_options.get("ome_zarr", True):
-            out_sim = ngff_utils.write_sim_to_ome_zarr(
-                out_sim, output_zarr_url,
-                overwrite=zarr_options.get("overwrite", True),
-            )
     return out_sim
+
+
+class _PrefixedSink:
+    """Maps spatial-slice writes onto a larger (t/c-prefixed) output array
+    (numpy or a region-writable zarr handle)."""
+
+    def __init__(self, array, prefix_idx):
+        self.array = array
+        self.prefix = tuple(prefix_idx)
+
+    def __setitem__(self, slices, value):
+        if not isinstance(slices, tuple):
+            slices = (slices,)
+        self.array[self.prefix + slices] = value
 
 
 def _extend_bb(bb: BoundingBox, overlap_in_pixels: Dict[str, int]) -> BoundingBox:
@@ -918,22 +1011,24 @@ def _execute_fusion_plan_tiles(
     blending_widths,
     shrink_distance,
     out_dtype,
+    out_sink=None,
 ):
     """Axis-aligned fast path: full tiles live on device once; each chunk is
     fused by the separable banded-matmul kernel reading tiles directly (no
     slab extraction, no per-chunk host->device image traffic)."""
     ndim = len(sdims)
     out_shape_full = tuple(output_stack_properties["shape"][d] for d in sdims)
-    out = np.zeros(out_shape_full, dtype=out_dtype)
+    out = out_sink if out_sink is not None else np.zeros(out_shape_full, dtype=out_dtype)
     views_bb = [si_utils.get_stack_properties_from_sim(s) for s in field_sims]
 
     entries = [e for e in plan["per_chunk_entries"] if e["views"]]
     if not entries:
         return out
 
-    tiles = np.stack(
-        [np.nan_to_num(np.asarray(s.data, dtype=np.float32)) for s in field_sims]
-    )
+    # upload tiles once, in their native dtype (cast to f32 on device)
+    tiles = np.stack([np.asarray(s.data) for s in field_sims])
+    if np.issubdtype(tiles.dtype, np.floating):
+        tiles = np.nan_to_num(tiles)
     tiles_dev = jnp.asarray(tiles)
 
     K_max = max(len(e["views"]) for e in entries)
@@ -946,22 +1041,25 @@ def _execute_fusion_plan_tiles(
         [output_stack_properties["spacing"][d] for d in sdims]
     )
 
-    results = []
-    for entry in entries:
+    C = len(entries)
+    view_idx = np.zeros((C, K_max), dtype=np.int32)
+    diags = np.ones((C, K_max, ndim), dtype=np.float32)
+    offs = np.zeros((C, K_max, ndim), dtype=np.float32)
+    wgrids = np.zeros((C, K_max) + (5,) * ndim, dtype=np.float32)
+    wdiags = np.ones((C, K_max, ndim), dtype=np.float32)
+    woffs = np.zeros((C, K_max, ndim), dtype=np.float32)
+    valid = np.zeros((C, K_max), dtype=bool)
+
+    # per-view weight grids are chunk-independent; the grid->chunk pixel map
+    # is chunk-dependent only through the chunk origin (pure offset shift)
+    wparams_by_view = {}
+    for ci, entry in enumerate(entries):
         chunk_bb_ov = entry["output_bb_overlap"]
         kernel_bb = {
             "origin": dict(chunk_bb_ov["origin"]),
             "spacing": dict(chunk_bb_ov["spacing"]),
             "shape": {d: O_max[i] for i, d in enumerate(sdims)},
         }
-        view_idx = np.zeros((K_max,), dtype=np.int32)
-        diags = np.ones((K_max, ndim), dtype=np.float32)
-        offs = np.zeros((K_max, ndim), dtype=np.float32)
-        wgrids = np.zeros((K_max,) + (5,) * ndim, dtype=np.float32)
-        wdiags = np.ones((K_max, ndim), dtype=np.float32)
-        woffs = np.zeros((K_max, ndim), dtype=np.float32)
-        valid = np.zeros((K_max,), dtype=bool)
-
         for vi, (iview, _window) in enumerate(entry["views"]):
             pm = plan["sparams"][iview]
             m, o = resample_ops.physical_to_pixel_params(
@@ -977,10 +1075,10 @@ def _execute_fusion_plan_tiles(
                     [kernel_bb["origin"][d] for d in sdims]
                 ),
             )
-            view_idx[vi] = iview
-            diags[vi] = np.diag(m)
-            offs[vi] = o
-            valid[vi] = True
+            view_idx[ci, vi] = iview
+            diags[ci, vi] = np.diag(m)
+            offs[ci, vi] = o
+            valid[ci, vi] = True
             if use_bw:
                 g, wm, wo = weights.blending_weights_pixel_params(
                     kernel_bb,
@@ -989,26 +1087,25 @@ def _execute_fusion_plan_tiles(
                     blending_widths=blending_widths,
                     shrink_distance=shrink_distance,
                 )
-                wgrids[vi] = g
-                wdiags[vi] = np.diag(wm)
-                woffs[vi] = wo
+                wgrids[ci, vi] = g
+                wdiags[ci, vi] = np.diag(wm)
+                woffs[ci, vi] = wo
 
-        fused = _fuse_chunk_tiles_kernel(
-            tiles_dev,
-            jnp.asarray(view_idx),
-            jnp.asarray(diags),
-            jnp.asarray(offs),
-            jnp.asarray(wgrids),
-            jnp.asarray(wdiags),
-            jnp.asarray(woffs),
-            jnp.asarray(valid),
-            O_max,
-            mode,
-            use_bw,
-        )
-        results.append(fused)
-
-    results = jax.device_get(results)
+    fused_all = _fuse_chunks_tiles_map_kernel(
+        tiles_dev,
+        jnp.asarray(view_idx),
+        jnp.asarray(diags),
+        jnp.asarray(offs),
+        jnp.asarray(wgrids),
+        jnp.asarray(wdiags),
+        jnp.asarray(woffs),
+        jnp.asarray(valid),
+        O_max,
+        mode,
+        use_bw,
+        np.dtype(out_dtype),
+    )
+    results = np.asarray(jax.device_get(fused_all))
 
     for entry, fused in zip(entries, results):
         chunk_bb = entry["output_bb"]
@@ -1059,6 +1156,7 @@ def _execute_fusion_plan_batched(
     blending_widths,
     shrink_distance,
     out_dtype,
+    out_sink=None,
     max_batch_elements=2**27,
 ):
     """Uniform-shape batched execution for builtin fusion funcs.
@@ -1069,7 +1167,7 @@ def _execute_fusion_plan_batched(
     """
     ndim = len(sdims)
     out_shape_full = tuple(output_stack_properties["shape"][d] for d in sdims)
-    out = np.zeros(out_shape_full, dtype=out_dtype)
+    out = out_sink if out_sink is not None else np.zeros(out_shape_full, dtype=out_dtype)
     views_bb = [si_utils.get_stack_properties_from_sim(s) for s in field_sims]
 
     entries = [e for e in plan["per_chunk_entries"] if e["views"]]
@@ -1217,16 +1315,21 @@ def _execute_fusion_plan(
     blending_widths,
     shrink_distance,
     out_dtype,
+    out_sink=None,
 ):
     """Run the per-chunk fused kernel over the plan, assembling the output."""
     builtin_mode = _BUILTIN_FUSION_MODES.get(fusion_func)
     ndim = len(sdims)
     tile_shapes = {tuple(s.data.shape) for s in field_sims}
+    tiles_in_memory = all(
+        isinstance(s.data, (np.ndarray, jnp.ndarray)) for s in field_sims
+    )
     if (
         builtin_mode is not None
         and weights_func is None
         and not (fusion_func_kwargs or {})
         and len(tile_shapes) == 1
+        and tiles_in_memory
         and _plan_is_axis_aligned(plan["sparams"], ndim)
     ):
         return _execute_fusion_plan_tiles(
@@ -1239,6 +1342,7 @@ def _execute_fusion_plan(
             blending_widths=blending_widths,
             shrink_distance=shrink_distance,
             out_dtype=out_dtype,
+            out_sink=out_sink,
         )
     if (
         builtin_mode is not None
@@ -1257,11 +1361,12 @@ def _execute_fusion_plan(
             blending_widths=blending_widths,
             shrink_distance=shrink_distance,
             out_dtype=out_dtype,
+            out_sink=out_sink,
         )
 
     ndim = len(sdims)
     out_shape_full = tuple(output_stack_properties["shape"][d] for d in sdims)
-    out = np.zeros(out_shape_full, dtype=out_dtype)
+    out = out_sink if out_sink is not None else np.zeros(out_shape_full, dtype=out_dtype)
 
     views_bb = [
         si_utils.get_stack_properties_from_sim(s) for s in field_sims

@@ -1,0 +1,209 @@
+"""Zarr array backend via tensorstore.
+
+Replaces the reference's zarr-python data plane (zarr_utils.py,
+_zarr_compat.py — see SURVEY.md §2.1). tensorstore provides the compiled
+codec/IO path (C++ blosc, async chunk IO, local/HTTP/GCS kvstores), which is
+the TPU build's native data-loader: reads overlap compute via its internal
+thread pool, enabling double-buffered zarr->HBM streaming without a dask
+graph.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence, Tuple, Union
+
+import numpy as np
+import tensorstore as ts
+
+
+def _kvstore_for(url: str):
+    if url.startswith(("http://", "https://")):
+        return {"driver": "http", "base_url": url}
+    if url.startswith("gs://"):
+        bucket, _, path = url[5:].partition("/")
+        return {"driver": "gcs", "bucket": bucket, "path": path}
+    if url.startswith("memory://"):
+        return {"driver": "memory", "path": url[len("memory://"):]}
+    return {"driver": "file", "path": str(url)}
+
+
+class LazyTSArray:
+    """Lazy array view over a tensorstore handle.
+
+    Quacks like the array protocol the data model expects: ``shape``,
+    ``dtype``, ``__getitem__`` (returns numpy), ``__setitem__`` for writable
+    stores. Slicing returns another lazy view so chunk windows are only read
+    when materialized.
+    """
+
+    def __init__(self, store):
+        self._store = store
+
+    @property
+    def shape(self) -> tuple:
+        return tuple(self._store.shape)
+
+    @property
+    def dtype(self):
+        return np.dtype(self._store.dtype.numpy_dtype)
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def size(self) -> int:
+        return int(np.prod(self.shape))
+
+    def __getitem__(self, idx):
+        view = self._store[idx]
+        if len(view.shape) == 0:
+            return np.asarray(view.read().result())[()]
+        return LazyTSArray(view)
+
+    def __setitem__(self, idx, value):
+        self._store[idx] = np.asarray(value)
+
+    def __array__(self, dtype=None):
+        out = np.asarray(self._store.read().result())
+        return out.astype(dtype) if dtype is not None else out
+
+    def read(self) -> np.ndarray:
+        return np.asarray(self._store.read().result())
+
+    def read_async(self):
+        """Start an async read; returns a future with .result()."""
+        return self._store.read()
+
+
+def open_zarr_array(url: str, zarr_format: Optional[int] = None) -> LazyTSArray:
+    """Open an existing zarr v2/v3 array (auto-detected)."""
+    kv = _kvstore_for(url)
+    errors = []
+    drivers = (
+        ["zarr", "zarr3"]
+        if zarr_format is None
+        else (["zarr"] if zarr_format == 2 else ["zarr3"])
+    )
+    for driver in drivers:
+        try:
+            store = ts.open({"driver": driver, "kvstore": kv}).result()
+            return LazyTSArray(store)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+    raise FileNotFoundError(f"Could not open zarr array at {url}: {errors}")
+
+
+def create_zarr_array(
+    url: str,
+    shape: Sequence[int],
+    chunks: Sequence[int],
+    dtype,
+    fill_value=0,
+    zarr_format: int = 2,
+    overwrite: bool = True,
+    compressor: Optional[dict] = None,
+) -> LazyTSArray:
+    """Create (or open existing) a zarr array for region writes."""
+    kv = _kvstore_for(url)
+    dtype = np.dtype(dtype)
+    if zarr_format == 2:
+        metadata = {
+            "shape": list(map(int, shape)),
+            "chunks": list(map(int, chunks)),
+            "dtype": dtype.str,
+            "fill_value": fill_value,
+        }
+        if compressor is not None:
+            metadata["compressor"] = compressor
+        spec = {
+            "driver": "zarr",
+            "kvstore": kv,
+            "metadata": metadata,
+        }
+    else:
+        spec = {
+            "driver": "zarr3",
+            "kvstore": kv,
+            "metadata": {
+                "shape": list(map(int, shape)),
+                "chunk_grid": {
+                    "name": "regular",
+                    "configuration": {"chunk_shape": list(map(int, chunks))},
+                },
+                "data_type": dtype.name,
+                "fill_value": fill_value,
+            },
+        }
+    spec["create"] = True
+    spec["delete_existing"] = bool(overwrite)
+    spec["open"] = not overwrite
+    store = ts.open(spec).result()
+    return LazyTSArray(store)
+
+
+def attach_zarr_array(url: str, zarr_format: Optional[int] = None) -> LazyTSArray:
+    """Open an existing array for writing (multiple writers may attach;
+    disjoint region writes are safe — one file per chunk).
+
+    This is the checkpoint/resume + multi-host partitioning seam: any process
+    can attach to the output store and write its disjoint block subset
+    (reference fusion/_core.py:2173-2185).
+    """
+    kv = _kvstore_for(url)
+    drivers = (
+        ["zarr", "zarr3"]
+        if zarr_format is None
+        else (["zarr"] if zarr_format == 2 else ["zarr3"])
+    )
+    errors = []
+    for driver in drivers:
+        try:
+            store = ts.open(
+                {"driver": driver, "kvstore": kv, "open": True}
+            ).result()
+            return LazyTSArray(store)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+    raise FileNotFoundError(f"Could not attach to zarr array at {url}: {errors}")
+
+
+# ---------------------------------------------------------------------------
+# group metadata helpers (plain JSON files; tensorstore handles arrays only)
+# ---------------------------------------------------------------------------
+
+
+def write_group_metadata(path: str, attrs: dict, zarr_format: int = 2):
+    os.makedirs(path, exist_ok=True)
+    if zarr_format == 2:
+        with open(os.path.join(path, ".zgroup"), "w") as f:
+            json.dump({"zarr_format": 2}, f)
+        with open(os.path.join(path, ".zattrs"), "w") as f:
+            json.dump(attrs, f, indent=2)
+    else:
+        with open(os.path.join(path, "zarr.json"), "w") as f:
+            json.dump(
+                {
+                    "zarr_format": 3,
+                    "node_type": "group",
+                    "attributes": attrs,
+                },
+                f,
+                indent=2,
+            )
+
+
+def read_group_metadata(path: str) -> Tuple[dict, int]:
+    """Returns (attrs, zarr_format)."""
+    zattrs = os.path.join(path, ".zattrs")
+    zjson = os.path.join(path, "zarr.json")
+    if os.path.exists(zattrs):
+        with open(zattrs) as f:
+            return json.load(f), 2
+    if os.path.exists(zjson):
+        with open(zjson) as f:
+            meta = json.load(f)
+        return meta.get("attributes", {}), 3
+    raise FileNotFoundError(f"No zarr group metadata at {path}")

@@ -1,0 +1,125 @@
+import numpy as np
+import pytest
+
+from multiview_stitcher_tpu import fusion, msi_utils, si_utils
+from multiview_stitcher_tpu.io import ngff_utils, zarr_backend
+
+
+def test_zarr_roundtrip(tmp_path):
+    url = str(tmp_path / "a.zarr")
+    data = np.random.randint(0, 100, (20, 30), dtype=np.uint16)
+    arr = zarr_backend.create_zarr_array(url, data.shape, (8, 8), data.dtype)
+    arr[...] = data
+    arr2 = zarr_backend.open_zarr_array(url)
+    np.testing.assert_array_equal(np.asarray(arr2), data)
+    # lazy windowed read
+    win = arr2[5:10, 3:9]
+    assert win.shape == (5, 6)
+    np.testing.assert_array_equal(np.asarray(win), data[5:10, 3:9])
+
+
+def test_zarr_region_write_and_attach(tmp_path):
+    url = str(tmp_path / "b.zarr")
+    arr = zarr_backend.create_zarr_array(url, (16, 16), (8, 8), np.float32)
+    arr[0:8, 0:8] = np.ones((8, 8), np.float32)
+    # second writer attaches and writes a disjoint region
+    arr2 = zarr_backend.attach_zarr_array(url)
+    arr2[8:16, 8:16] = np.full((8, 8), 2, np.float32)
+    out = np.asarray(zarr_backend.open_zarr_array(url))
+    assert out[0, 0] == 1 and out[15, 15] == 2 and out[0, 15] == 0
+
+
+@pytest.mark.parametrize("ngff_version", ["0.4", "0.5"])
+def test_ome_zarr_roundtrip(tmp_path, ngff_version):
+    url = str(tmp_path / "img.ome.zarr")
+    data = np.random.randint(0, 500, (2, 256, 300), dtype=np.uint16)
+    sim = si_utils.get_sim_from_array(
+        data,
+        dims=("c", "y", "x"),
+        scale={"y": 0.5, "x": 0.5},
+        translation={"y": 10.0, "x": -4.0},
+        c_coords=["DAPI", "GFP"],
+    )
+    out = ngff_utils.write_sim_to_ome_zarr(
+        sim, url, overwrite=True, ngff_version=ngff_version
+    )
+    # returned sim is zarr-backed and lazy
+    assert not isinstance(out.data, np.ndarray)
+    assert out.dims == ("c", "y", "x")
+    np.testing.assert_allclose(out.spacing["y"], 0.5)
+    np.testing.assert_allclose(out.origin["x"], -4.0)
+    np.testing.assert_array_equal(out.to_numpy(), data)
+    assert list(np.asarray(out.coords["c"])) == ["DAPI", "GFP"]
+
+    # multiscale read
+    msim = ngff_utils.read_msim_from_ome_zarr(url)
+    assert len(msim.sims) >= 2
+    s1 = msim.get_scale("scale1")
+    assert s1.sizes["y"] == 128
+    np.testing.assert_allclose(s1.spacing["y"], 1.0)
+    np.testing.assert_allclose(s1.origin["y"], 10.25)
+
+
+def test_ome_zarr_level_content_matches_coarsen(tmp_path):
+    url = str(tmp_path / "img2.ome.zarr")
+    data = (np.random.random((256, 256)) * 100).astype(np.float32)
+    sim = si_utils.get_sim_from_array(data)
+    ngff_utils.write_sim_to_ome_zarr(sim, url, overwrite=True)
+    msim = ngff_utils.read_msim_from_ome_zarr(url)
+    s1 = msim.get_scale("scale1").to_numpy()
+    expected = msi_utils._coarsen_mean(data, [2, 2])
+    np.testing.assert_allclose(s1, expected, rtol=1e-6)
+
+
+def test_streaming_fusion_to_zarr(tmp_path):
+    """fuse(output_zarr_url=...) streams chunks into the store and matches
+    the in-memory result."""
+    rng = np.random.default_rng(0)
+    full = (rng.random((60, 100)) * 100).astype(np.uint16)
+    t0, t1 = full[:, :60], full[:, 40:]
+    sims = [
+        si_utils.get_sim_from_array(t0, translation={"y": 0.0, "x": 0.0}),
+        si_utils.get_sim_from_array(t1, translation={"y": 0.0, "x": 40.0}),
+    ]
+    in_mem = fusion.fuse(
+        sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_chunksize=32,
+    )
+    url = str(tmp_path / "fused.ome.zarr")
+    streamed = fusion.fuse(
+        sims,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_chunksize=32,
+        output_zarr_url=url,
+    )
+    np.testing.assert_array_equal(streamed.to_numpy(), in_mem.to_numpy())
+    # the store carries a pyramid
+    msim = ngff_utils.read_msim_from_ome_zarr(url)
+    assert len(msim.sims) >= 1
+
+
+def test_streaming_fusion_zarr_backed_inputs(tmp_path):
+    """Out-of-core end to end: zarr inputs -> streamed zarr output."""
+    rng = np.random.default_rng(1)
+    full = (rng.random((64, 96)) * 100).astype(np.uint16)
+    t0, t1 = full[:, :56], full[:, 40:]
+    urls = [str(tmp_path / f"tile{i}.ome.zarr") for i in range(2)]
+    sims = []
+    for i, (t, x0) in enumerate([(t0, 0.0), (t1, 40.0)]):
+        s = si_utils.get_sim_from_array(t, translation={"y": 0.0, "x": x0})
+        lazy = ngff_utils.write_sim_to_ome_zarr(s, urls[i], overwrite=True)
+        lazy.origin = dict(s.origin)
+        sims.append(lazy)
+    out_url = str(tmp_path / "fused2.zarr")
+    fused = fusion.fuse(
+        sims,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_chunksize=32,
+        output_zarr_url=out_url,
+        zarr_options={"ome_zarr": False},
+    )
+    # slab (gather) vs tiles (matmul) float paths may differ by 1 ulp at
+    # blend seams, flipping uint16 rounding by +-1
+    np.testing.assert_allclose(
+        fused.to_numpy().astype(int), full.astype(int), atol=1
+    )
