@@ -238,6 +238,19 @@ def multiscale_sel_coords(msim: Msim, sel_dict) -> Msim:
     return out
 
 
+def set_point_set(msim: Msim, points, points_key: str = "beads"):
+    msim.attrs.setdefault("point_sets", {})[points_key] = np.asarray(
+        points, dtype=float
+    )
+    for sim in msim.sims:
+        si_utils.set_point_set(sim, points, points_key=points_key)
+    return msim
+
+
+def get_point_set(msim: Msim, points_key: str = "beads"):
+    return msim.attrs["point_sets"][points_key]
+
+
 def get_res_level_from_spacing(msim: Msim, output_spacing: Dict[str, float]) -> str:
     """Coarsest scale whose spacing is still <= output_spacing per dim.
 

@@ -41,6 +41,7 @@ from multiview_stitcher_tpu import (
     si_utils,
     transformation,
 )
+from multiview_stitcher_tpu import transforms
 from multiview_stitcher_tpu.msi_utils import Msim
 from multiview_stitcher_tpu.ops import image_metrics as im_metrics
 from multiview_stitcher_tpu.ops import phase_correlation as pc_ops
@@ -1065,6 +1066,308 @@ def _assign_pairwise_registrations(g_reg_computed, edges, params):
         g_reg_computed.edges[pair]["quality"] = params[i]["quality"]
         g_reg_computed.edges[pair]["bbox"] = params[i]["bbox"]
     return g_reg_computed
+
+
+# ---------------------------------------------------------------------------
+# marker-based registration (RGLDM, BigStitcher-style; reference :568-1379)
+# ---------------------------------------------------------------------------
+
+
+def _marker_min_matches(transform_type: str, ndim: int) -> int:
+    transform_type = transform_type.lower()
+    if transform_type == "translation":
+        return 1
+    if transform_type == "rigid":
+        return ndim
+    if transform_type == "affine":
+        return ndim + 1
+    raise ValueError(f"Unsupported marker transform_type {transform_type!r}")
+
+
+def _marker_descriptors(points, num_neighbors, redundancy):
+    """Sorted pairwise-distance descriptors over kNN subsets (RGLDM)."""
+    import itertools as it
+
+    from scipy.spatial import cKDTree
+
+    points = np.asarray(points, dtype=float)
+    required = num_neighbors + redundancy
+    if len(points) < required + 1:
+        raise ValueError(
+            f"Not enough points for marker descriptors: need "
+            f"{required + 1}, got {len(points)}."
+        )
+    tree = cKDTree(points)
+    k = min(len(points), required + 2)
+    _, neigh = tree.query(points, k=k)
+
+    vectors, point_indices = [], []
+    for i, row in enumerate(np.atleast_2d(neigh)):
+        nb = [int(j) for j in np.atleast_1d(row) if int(j) != i][:required]
+        if len(nb) < required:
+            continue
+        for subset in it.combinations(nb, num_neighbors):
+            group = points[[i] + list(subset)]
+            dists = [
+                np.linalg.norm(group[a] - group[b])
+                for a, b in it.combinations(range(len(group)), 2)
+            ]
+            vectors.append(np.sort(np.asarray(dists)))
+            point_indices.append(i)
+    if not vectors:
+        raise ValueError("No marker descriptors could be built.")
+    return np.asarray(vectors), np.asarray(point_indices)
+
+
+def _marker_auto_threshold(fixed_points, moving_points, num_neighbors, scale):
+    import math as _math
+
+    from scipy.spatial import cKDTree
+
+    nearest = []
+    for pts in (fixed_points, moving_points):
+        pts = np.asarray(pts, dtype=float)
+        if len(pts) < 2:
+            continue
+        d, _ = cKDTree(pts).query(pts, k=2)
+        nearest.extend(d[:, 1])
+    nearest = np.asarray(nearest)
+    nearest = nearest[np.isfinite(nearest)]
+    if nearest.size == 0:
+        return 0.0
+    vec_len = _math.comb(num_neighbors + 1, 2)
+    return float(np.median(nearest) * np.sqrt(vec_len) * scale)
+
+
+def _match_descriptors(
+    fixed_vectors, fixed_idx, moving_vectors, moving_idx,
+    descriptor_ratio, distance_threshold,
+):
+    """Nearest-descriptor matching with ratio test against the best
+    descriptor of a *different* moving point."""
+    from scipy.spatial import cKDTree
+
+    if not len(fixed_vectors) or not len(moving_vectors):
+        return np.empty((0, 2), dtype=int)
+    _, counts = np.unique(moving_idx, return_counts=True)
+    k = min(len(moving_vectors), int(np.max(counts)) + 1)
+    tree = cKDTree(moving_vectors)
+    dists, inds = tree.query(fixed_vectors, k=k)
+    dists = np.atleast_2d(dists)
+    inds = np.atleast_2d(inds)
+
+    candidates = {}
+    for fi, row_d, row_i in zip(fixed_idx, dists, inds):
+        best = float(row_d[0])
+        best_mi = moving_idx[row_i[0]]
+        if best >= distance_threshold:
+            continue
+        other = moving_idx[row_i] != best_mi
+        second = float(row_d[np.flatnonzero(other)[0]]) if other.any() else np.inf
+        if best * descriptor_ratio < second:
+            pair = (int(fi), int(best_mi))
+            if pair not in candidates or best < candidates[pair]:
+                candidates[pair] = best
+    return np.asarray(list(candidates.keys()), dtype=int).reshape(-1, 2)
+
+
+def _fit_marker_transform(fixed_points, moving_points, transform_type):
+    transform_type = transform_type.lower()
+    if transform_type == "translation":
+        return transforms.estimate_translation(fixed_points, moving_points)
+    if transform_type == "rigid":
+        M = transforms.estimate_rigid(fixed_points, moving_points)
+    elif transform_type == "affine":
+        M = transforms.estimate_affine(fixed_points, moving_points)
+    else:
+        raise ValueError(f"Unsupported marker transform_type {transform_type!r}")
+    if not np.all(np.isfinite(M)):
+        raise ValueError("Marker registration points are degenerate.")
+    return M
+
+
+def _run_marker_ransac(
+    fixed_points, moving_points, candidate_pairs, transform_type,
+    ransac_max_error, ransac_min_inlier_ratio, ransac_min_inlier_factor,
+    ransac_num_iterations, random_state,
+):
+    import itertools as it
+    import math as _math
+
+    ndim = fixed_points.shape[1]
+    min_matches = _marker_min_matches(transform_type, ndim)
+    min_inliers = max(
+        min_matches, int(np.round(min_matches * ransac_min_inlier_factor))
+    )
+    if len(candidate_pairs) < min_inliers:
+        raise ValueError(
+            f"Not enough marker correspondences for RANSAC: need "
+            f"{min_inliers}, got {len(candidate_pairs)}."
+        )
+    fixed_c = fixed_points[candidate_pairs[:, 0]]
+    moving_c = moving_points[candidate_pairs[:, 1]]
+    rng = np.random.default_rng(random_state)
+    n = len(candidate_pairs)
+    n_comb = _math.comb(n, min_matches)
+    samples = (
+        it.combinations(range(n), min_matches)
+        if n_comb <= ransac_num_iterations
+        else (
+            rng.choice(n, size=min_matches, replace=False)
+            for _ in range(ransac_num_iterations)
+        )
+    )
+
+    best = None
+    for sample in samples:
+        sample = np.asarray(sample, dtype=int)
+        try:
+            M = _fit_marker_transform(
+                fixed_c[sample], moving_c[sample], transform_type
+            )
+        except ValueError:
+            continue
+        res = np.linalg.norm(
+            param_utils.transform_pts(fixed_c, M) - moving_c, axis=1
+        )
+        inliers = res <= ransac_max_error
+        ni = int(inliers.sum())
+        if ni == 0:
+            key = (0.0, 0, -np.inf)
+        else:
+            mean_res = float(res[inliers].mean())
+            quality = (ni / n) * max(0.0, 1.0 - mean_res / ransac_max_error)
+            key = (quality, ni, -mean_res)
+        if best is None or key > best[0]:
+            best = (key, inliers)
+    if best is None:
+        raise ValueError("No marker transform model could be estimated.")
+
+    inliers = best[1]
+    ni = int(inliers.sum())
+    if ni < min_inliers or ni / n < ransac_min_inlier_ratio:
+        raise ValueError(
+            f"Marker RANSAC did not find enough inliers ({ni}/{n})."
+        )
+    M = _fit_marker_transform(fixed_c[inliers], moving_c[inliers], transform_type)
+    res = np.linalg.norm(
+        param_utils.transform_pts(fixed_c, M) - moving_c, axis=1
+    )
+    inliers = res <= ransac_max_error
+    ni = int(inliers.sum())
+    if ni < min_inliers:
+        raise ValueError(
+            f"Refit marker transform lost inliers ({ni}/{n})."
+        )
+    mean_res = float(res[inliers].mean())
+    quality = (ni / n) * max(0.0, 1.0 - mean_res / ransac_max_error)
+    return M, quality
+
+
+def _run_marker_icp(
+    fixed_points, moving_points, initial_affine, initial_quality,
+    transform_type, icp_max_error, icp_num_iterations, icp_tolerance,
+):
+    from scipy.spatial import cKDTree
+
+    affine = np.asarray(initial_affine, dtype=float)
+    quality = float(initial_quality)
+    ndim = fixed_points.shape[1]
+    min_matches = _marker_min_matches(transform_type, ndim)
+    tree = cKDTree(moving_points)
+    for _ in range(icp_num_iterations):
+        tf = param_utils.transform_pts(fixed_points, affine)
+        d, idx = tree.query(tf, k=1)
+        inliers = d <= icp_max_error
+        if int(inliers.sum()) < min_matches:
+            break
+        try:
+            next_affine = _fit_marker_transform(
+                fixed_points[inliers], moving_points[idx[inliers]],
+                transform_type,
+            )
+        except ValueError:
+            break
+        mean_res = float(np.mean(d[inliers]))
+        quality = (int(inliers.sum()) / len(fixed_points)) * max(
+            0.0, 1.0 - mean_res / icp_max_error
+        )
+        delta = float(np.linalg.norm(next_affine - affine))
+        affine = next_affine
+        if delta <= icp_tolerance:
+            break
+    return affine, quality
+
+
+def registration_marker_based(
+    fixed_points,
+    moving_points,
+    transform_type: str = "rigid",
+    num_neighbors: int = 3,
+    redundancy: int = 1,
+    descriptor_ratio: float = 3.0,
+    descriptor_distance_threshold: Optional[float] = None,
+    descriptor_threshold_scale: float = 1.0,
+    ransac_max_error: float = 5.0,
+    ransac_min_inlier_ratio: float = 0.1,
+    ransac_min_inlier_factor: float = 3.0,
+    ransac_num_iterations: int = 1000,
+    icp: bool = False,
+    icp_max_error: Optional[float] = None,
+    icp_num_iterations: int = 50,
+    icp_tolerance: float = 1e-6,
+    random_state: int = 0,
+    fail_on_error: bool = True,
+):
+    """Marker-based registration (BigStitcher RGLDM bead matching).
+
+    Matches local sorted-distance descriptors between the point sets, removes
+    inconsistent matches with RANSAC, optionally refines with ICP, and returns
+    {'affine_matrix' (fixed -> moving world), 'quality'}.
+    Reference: registration.py:1165-1379.
+    """
+    fixed_points = np.asarray(fixed_points, dtype=float)
+    moving_points = np.asarray(moving_points, dtype=float)
+    ndim = fixed_points.shape[1] if fixed_points.ndim == 2 else 2
+
+    def fail(message):
+        if fail_on_error:
+            raise ValueError(message)
+        warnings.warn(message, UserWarning, stacklevel=2)
+        return {"affine_matrix": np.eye(ndim + 1), "quality": np.nan}
+
+    try:
+        if fixed_points.ndim != 2 or moving_points.ndim != 2:
+            raise ValueError("Marker point arrays must be two-dimensional.")
+        if fixed_points.shape[1] != moving_points.shape[1]:
+            raise ValueError("Point sets must share dimensionality.")
+        if not len(fixed_points) or not len(moving_points):
+            raise ValueError("Marker point arrays must not be empty.")
+
+        fv, fi = _marker_descriptors(fixed_points, num_neighbors, redundancy)
+        mv, mi = _marker_descriptors(moving_points, num_neighbors, redundancy)
+        if descriptor_distance_threshold is None:
+            descriptor_distance_threshold = _marker_auto_threshold(
+                fixed_points, moving_points, num_neighbors,
+                descriptor_threshold_scale,
+            )
+        pairs = _match_descriptors(
+            fv, fi, mv, mi, descriptor_ratio, descriptor_distance_threshold
+        )
+        affine, quality = _run_marker_ransac(
+            fixed_points, moving_points, pairs, transform_type,
+            ransac_max_error, ransac_min_inlier_ratio,
+            ransac_min_inlier_factor, ransac_num_iterations, random_state,
+        )
+        if icp:
+            affine, quality = _run_marker_icp(
+                fixed_points, moving_points, affine, quality, transform_type,
+                ransac_max_error if icp_max_error is None else icp_max_error,
+                icp_num_iterations, icp_tolerance,
+            )
+        return {"affine_matrix": affine, "quality": quality}
+    except ValueError as e:
+        return fail(str(e))
 
 
 def get_pairs_from_sample_masks(

@@ -449,6 +449,21 @@ def ensure_dim(sim: Sim, dim: str) -> Sim:
     return sim.expand_dims(dim)
 
 
+def set_point_set(sim: Sim, points, points_key: str = "beads"):
+    """Attach a named point set (N, ndim intrinsic physical coords).
+
+    Reference: spatial_image_utils.py:1083.
+    """
+    sim.attrs.setdefault("point_sets", {})[points_key] = np.asarray(
+        points, dtype=float
+    )
+    return sim
+
+
+def get_point_set(sim: Sim, points_key: str = "beads") -> np.ndarray:
+    return sim.attrs["point_sets"][points_key]
+
+
 def get_default_spatial_chunksizes(ndim: int):
     assert ndim in (2, 3)
     return (

@@ -1,0 +1,156 @@
+import numpy as np
+import pytest
+
+from multiview_stitcher_tpu import detection, msi_utils, registration, si_utils
+
+
+def _bead_image(shape=(120, 140), positions=None, sigma=1.5, seed=0):
+    rng = np.random.default_rng(seed)
+    if positions is None:
+        positions = rng.uniform(10, np.array(shape) - 10, (15, 2))
+    img = np.zeros(shape, dtype=np.float32)
+    yy, xx = np.mgrid[: shape[0], : shape[1]]
+    for p in positions:
+        img += 100 * np.exp(
+            -((yy - p[0]) ** 2 + (xx - p[1]) ** 2) / (2 * sigma**2)
+        )
+    img += rng.normal(0, 0.5, shape).astype(np.float32)
+    return img, np.asarray(positions)
+
+
+def test_log_detect_finds_beads():
+    img, positions = _bead_image()
+    labels = detection.log_detect(
+        img, spacing=(1.0, 1.0), target_size_physical=4.0
+    )
+    assert labels.max() >= len(positions) * 0.8
+    # each detection should be near a true bead
+    from scipy import ndimage
+
+    ids = np.unique(labels)
+    ids = ids[ids > 0]
+    centroids = np.asarray(
+        ndimage.center_of_mass(labels, labels=labels, index=ids)
+    )
+    from scipy.spatial import cKDTree
+
+    d, _ = cKDTree(positions).query(centroids)
+    assert np.median(d) < 1.5
+
+
+def test_detect_beads_physical_coords_and_chunking():
+    img, positions = _bead_image(shape=(100, 100), seed=1)
+    sim = si_utils.get_sim_from_array(
+        img, scale={"y": 0.5, "x": 0.5}, translation={"y": 5.0, "x": -2.0}
+    )
+    msim = msi_utils.get_msim_from_sim(sim, scale_factors=[])
+    # absolute threshold so per-chunk thresholds match the whole-image run
+    kwargs = {"target_size_physical": 2.0, "threshold_abs": 5.0}
+    pts_whole = detection.detect_beads(
+        msim, detection_func_kwargs=kwargs
+    )
+    pts_chunked = detection.detect_beads(
+        msim, detection_func_kwargs=kwargs, chunksize=40
+    )
+    assert len(pts_whole) > 5
+    # chunked detection with halo dedup finds the same beads
+    from scipy.spatial import cKDTree
+
+    assert abs(len(pts_whole) - len(pts_chunked)) <= 1
+    d, _ = cKDTree(pts_whole).query(pts_chunked)
+    assert np.median(d) < 0.5
+    # physical coords: convert back to pixel indices and compare to truth
+    pix = (pts_whole - np.array([5.0, -2.0])) / 0.5
+    d2, _ = cKDTree(positions).query(pix)
+    assert np.median(d2) < 1.5
+
+
+class TestMarkerRegistration:
+    def _point_pair(self, shift=(4.0, -6.0), n=40, seed=0):
+        rng = np.random.default_rng(seed)
+        fixed = rng.uniform(0, 100, (n, 2))
+        moving = fixed + np.asarray(shift)
+        return fixed, moving
+
+    def test_translation_recovery(self):
+        fixed, moving = self._point_pair()
+        result = registration.registration_marker_based(
+            fixed, moving, transform_type="translation"
+        )
+        np.testing.assert_allclose(
+            result["affine_matrix"][:2, 2], [4.0, -6.0], atol=1e-6
+        )
+        assert result["quality"] > 0.5
+
+    def test_rigid_recovery(self):
+        rng = np.random.default_rng(1)
+        fixed = rng.uniform(0, 100, (50, 2))
+        theta = 0.1
+        R = np.array(
+            [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
+        )
+        moving = fixed @ R.T + np.array([3.0, 1.0])
+        result = registration.registration_marker_based(
+            fixed, moving, transform_type="rigid"
+        )
+        M = result["affine_matrix"]
+        np.testing.assert_allclose(M[:2, :2], R, atol=1e-6)
+        np.testing.assert_allclose(M[:2, 2], [3.0, 1.0], atol=1e-6)
+
+    def test_with_outliers_and_partial_overlap(self):
+        rng = np.random.default_rng(2)
+        fixed = rng.uniform(0, 100, (60, 2))
+        # all fixed points present (shifted) + clutter detections in moving
+        moving = np.concatenate(
+            [fixed + np.array([2.0, 5.0]), rng.uniform(0, 100, (10, 2))]
+        )
+        result = registration.registration_marker_based(
+            fixed, moving, transform_type="translation",
+            ransac_min_inlier_ratio=0.05,
+        )
+        np.testing.assert_allclose(
+            result["affine_matrix"][:2, 2], [2.0, 5.0], atol=0.15
+        )
+
+    def test_failure_returns_identity_when_not_failing(self):
+        rng = np.random.default_rng(3)
+        fixed = rng.uniform(0, 100, (10, 2))
+        moving = rng.uniform(0, 100, (10, 2))
+        with pytest.warns(UserWarning):
+            result = registration.registration_marker_based(
+                fixed, moving, transform_type="rigid", fail_on_error=False
+            )
+        if np.isnan(result["quality"]):
+            np.testing.assert_allclose(result["affine_matrix"], np.eye(3))
+
+    def test_marker_registration_through_register(self):
+        """End-to-end: bead point sets drive register() via signature dispatch."""
+        rng = np.random.default_rng(4)
+        shift = np.array([1.5, -2.5])
+        beads0 = rng.uniform(5, 95, (40, 2))
+        img = np.zeros((100, 100), dtype=np.float32)
+        sims = []
+        for i, offset in enumerate([np.zeros(2), shift]):
+            sim = si_utils.get_sim_from_array(
+                img.copy(), translation={"y": 0.0, "x": 0.0}
+            )
+            # view 1's metadata is off by `shift`: its beads appear displaced
+            si_utils.set_point_set(sim, beads0 + offset, points_key="beads")
+            sims.append(sim)
+        msims = [
+            msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims
+        ]
+        for m, s in zip(msims, sims):
+            msi_utils.set_point_set(
+                m, s.attrs["point_sets"]["beads"], points_key="beads"
+            )
+        params = registration.register(
+            msims,
+            transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+            pairwise_reg_func=registration.registration_marker_based,
+            pairwise_reg_func_kwargs={"transform_type": "translation"},
+            pre_registration_pruning_method=None,
+        )
+        # resolved param for view 1 cancels the bead displacement
+        m = np.asarray(params[1].squeeze())
+        np.testing.assert_allclose(m[:2, 2], -shift, atol=0.05)
