@@ -1,0 +1,373 @@
+"""Registration quality metrics.
+
+TPU-native rebuild of the reference's ``metrics``
+(/root/reference/src/multiview_stitcher/metrics.py, 808 LoC): evaluate image
+metrics (NaN-aware NCC by default; any ``func(im1, im2) -> float``) over the
+overlap regions of adjacent view pairs, sampling the fixed image in its
+intrinsic space and the moving image through ``inv(T_moving_q) @ T_fixed_q``
+for each candidate transform key — so metric differences across keys reflect
+the transforms alone. Resampling runs through the JAX kernel; metric
+reductions use the on-device NaN-aware NCC.
+
+Two modes (reference :387-446): pairs from spatial overlap under
+``base_transform_key`` with one or more ``query_transform_keys``, or pairs +
+transforms from a precomputed registration graph (``pairs_graph``).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Dict, Optional
+
+import networkx as nx
+import numpy as np
+
+from multiview_stitcher_tpu import (
+    msi_utils,
+    mv_graph,
+    registration,
+    si_utils,
+    transformation,
+)
+from multiview_stitcher_tpu.msi_utils import Msim
+from multiview_stitcher_tpu.ops import image_metrics as im_metrics
+
+logger = logging.getLogger(__name__)
+
+
+def normalized_cross_correlation(im1, im2) -> float:
+    """NaN-aware NCC in [-1, 1] (reference metrics.py:42)."""
+    val = float(im_metrics.nan_aware_ncc(np.asarray(im1), np.asarray(im2)))
+    return val
+
+
+def _compute_metrics_from_arrays(
+    fixed_sim, moving_sim, metric_funcs, intersection_halfspace=None
+):
+    fixed_np = np.array(np.asarray(fixed_sim.data, dtype=np.float32))
+    moving_np = np.asarray(moving_sim.data, dtype=np.float32)
+    if intersection_halfspace is not None:
+        mask = mv_graph.get_mask_from_halfspace(
+            fixed_sim, intersection_halfspace
+        )
+        fixed_np[~mask] = np.nan
+    return {k: float(f(fixed_np, moving_np)) for k, f in metric_funcs.items()}
+
+
+def _sims_t0(sims, metric_channel):
+    out = []
+    for sim in sims:
+        sel = {}
+        if "t" in sim.dims:
+            sel["t"] = np.asarray(sim.coords["t"])[0]
+        if "c" in sim.dims:
+            sel["c"] = (
+                np.asarray(sim.coords["c"])[0]
+                if metric_channel is None
+                else metric_channel
+            )
+        if sel:
+            sim = si_utils.sim_sel_coords(sim, sel)
+        out.append(sim)
+    return out
+
+
+def _tolerance(max_tolerance, sdims):
+    if max_tolerance is None:
+        return None
+    if isinstance(max_tolerance, (int, float)):
+        return -float(max_tolerance)
+    return {d: -float(max_tolerance.get(d, 0.0)) for d in sdims}
+
+
+def _edge_geometry(sim_fixed, sim_moving, base_transform_key, tol):
+    overlap_dict = registration._get_overlap_bboxes(
+        sim_fixed,
+        sim_moving,
+        input_transform_key=base_transform_key,
+        output_transform_key=None,
+        overlap_tolerance=tol,
+    )
+    lower = np.asarray(overlap_dict["lowers"][0], dtype=float)
+    upper = np.asarray(overlap_dict["uppers"][0], dtype=float)
+    comparison_bbox = (
+        None if np.any(lower >= upper) else {"lower": lower, "upper": upper}
+    )
+    return comparison_bbox, overlap_dict["intersection"], overlap_dict["vol"]
+
+
+def _affine_of(sim, key):
+    m = np.asarray(si_utils.get_affine_from_sim(sim, key).squeeze())
+    return m[0] if m.ndim == 3 else m
+
+
+def _build_metrics_graph(
+    msims, sims_t0, base_transform_key, query_transform_keys, max_tolerance,
+    bidirectional=False,
+):
+    sdims = si_utils.get_spatial_dims_from_sim(sims_t0[0])
+    tol = _tolerance(max_tolerance, sdims)
+    g_adj = mv_graph.build_view_adjacency_graph_from_msims(
+        msims, transform_key=base_transform_key, overlap_tolerance=tol
+    )
+    g_metrics = nx.DiGraph()
+    g_metrics.add_nodes_from(g_adj.nodes())
+
+    for i, j in g_adj.edges():
+        directions = (
+            [(i, j), (j, i)] if bidirectional else [(min(i, j), max(i, j))]
+        )
+        for fixed_idx, moving_idx in directions:
+            comparison_bbox, intersection, vol = _edge_geometry(
+                sims_t0[fixed_idx], sims_t0[moving_idx],
+                base_transform_key, tol,
+            )
+            transforms = {}
+            for q in query_transform_keys:
+                T_f = _affine_of(sims_t0[fixed_idx], q)
+                T_m = _affine_of(sims_t0[moving_idx], q)
+                transforms[q] = np.linalg.inv(T_m) @ T_f
+            g_metrics.add_edge(
+                fixed_idx, moving_idx,
+                comparison_bbox=comparison_bbox,
+                transforms=transforms,
+                intersection_halfspace=intersection,
+                vol=vol,
+            )
+    return g_metrics
+
+
+def _build_metrics_graph_from_pairs_graph(
+    msims, sims_t0, base_transform_key, pairs_graph, max_tolerance,
+    bidirectional=False,
+):
+    sdims = si_utils.get_spatial_dims_from_sim(sims_t0[0])
+    tol = _tolerance(max_tolerance, sdims)
+    g_metrics = nx.DiGraph()
+    g_metrics.add_nodes_from(pairs_graph.nodes())
+
+    for i, j in pairs_graph.edges():
+        fixed_base, moving_base = min(i, j), max(i, j)
+        T_edge_raw = pairs_graph.edges[fixed_base, moving_base]["transform"]
+        from multiview_stitcher_tpu.param_utils import XAffine
+
+        if isinstance(T_edge_raw, XAffine):
+            T_edge = T_edge_raw.matrix(
+                T_edge_raw.t_coords[0] if T_edge_raw.has_t else None
+            )
+        else:
+            T_edge = np.asarray(T_edge_raw).squeeze()
+            if T_edge.ndim == 3:
+                T_edge = T_edge[0]
+
+        directions = [(fixed_base, moving_base)]
+        if bidirectional:
+            directions.append((moving_base, fixed_base))
+
+        for fixed_idx, moving_idx in directions:
+            comparison_bbox, intersection, vol = _edge_geometry(
+                sims_t0[fixed_idx], sims_t0[moving_idx],
+                base_transform_key, tol,
+            )
+            T_f = _affine_of(sims_t0[fixed_idx], base_transform_key)
+            T_m = _affine_of(sims_t0[moving_idx], base_transform_key)
+            if fixed_idx < moving_idx:
+                p_moving = np.linalg.inv(T_m) @ T_edge @ T_f
+            else:
+                p_moving = np.linalg.inv(T_f) @ np.linalg.inv(T_edge) @ T_m
+            g_metrics.add_edge(
+                fixed_idx, moving_idx,
+                comparison_bbox=comparison_bbox,
+                transforms={"transform": p_moving},
+                intersection_halfspace=intersection,
+                vol=vol,
+            )
+    return g_metrics
+
+
+def tile_pair_image_metrics(
+    msims,
+    base_transform_key: str,
+    query_transform_keys=None,
+    metric_funcs: Optional[Dict[str, Callable]] = None,
+    max_tolerance=None,
+    spacing: Optional[Dict[str, float]] = None,
+    bidirectional: bool = False,
+    metric_channel=None,
+    n_parallel_pairs: Optional[int] = None,
+    input_res_level: Optional[int] = None,
+    *,
+    pairs_graph=None,
+):
+    """Evaluate overlap metrics per adjacent pair under candidate transforms.
+
+    Returns {"pairs": {(fi,mi): {key: {metric: val}}}, "bboxes", "summary"}
+    where summary is the overlap-volume-weighted mean per key and metric.
+    Reference: metrics.py:387-808.
+    """
+    if (query_transform_keys is None) == (pairs_graph is None):
+        raise ValueError(
+            "Exactly one of 'query_transform_keys' or 'pairs_graph' must be "
+            "provided."
+        )
+    if metric_funcs is None:
+        metric_funcs = {"ncc": normalized_cross_correlation}
+
+    if query_transform_keys is not None:
+        if isinstance(query_transform_keys, str):
+            query_transform_keys = [query_transform_keys]
+        candidate_keys = query_transform_keys
+    else:
+        candidate_keys = ["transform"]
+
+    msims = [
+        m if isinstance(m, Msim) else msi_utils.get_msim_from_sim(m, scale_factors=[])
+        for m in msims
+    ]
+
+    per_pair_res_level = False
+    if input_res_level is None:
+        if spacing is None:
+            input_res_level = 0
+        else:
+            per_pair_res_level = True
+
+    graph_scale_key = (
+        "scale0" if per_pair_res_level else f"scale{input_res_level}"
+    )
+    sims = [m.get_scale(graph_scale_key) for m in msims]
+    spatial_dims = si_utils.get_spatial_dims_from_sim(sims[0])
+    ndim = len(spatial_dims)
+    sims_t0 = _sims_t0(sims, metric_channel)
+
+    if query_transform_keys is not None:
+        g_metrics = _build_metrics_graph(
+            msims, sims_t0, base_transform_key, query_transform_keys,
+            max_tolerance, bidirectional=bidirectional,
+        )
+    else:
+        g_metrics = _build_metrics_graph_from_pairs_graph(
+            msims, sims_t0, base_transform_key, pairs_graph,
+            max_tolerance, bidirectional=bidirectional,
+        )
+
+    computed = {}
+    for fixed_idx, moving_idx in list(g_metrics.edges()):
+        edge = g_metrics.edges[(fixed_idx, moving_idx)]
+        comparison_bbox = edge["comparison_bbox"]
+        if comparison_bbox is None:
+            logger.warning(
+                "Empty comparison bbox for pair (%s -> %s)",
+                fixed_idx, moving_idx,
+            )
+            computed[(fixed_idx, moving_idx)] = {
+                q: {k: np.nan for k in metric_funcs} for q in candidate_keys
+            }
+            continue
+
+        intersection = edge["intersection_halfspace"]
+        fixed_spacing = si_utils.get_spacing_from_sim(
+            sims_t0[fixed_idx], asarray=True
+        )
+        htol = 1e-3 * float(np.min(fixed_spacing))
+        intersection = mv_graph.expand_halfspace(intersection, distance=htol)
+
+        if per_pair_res_level:
+            pair_scale_key = msi_utils.get_res_level_from_spacing(
+                msims[fixed_idx], spacing
+            )
+            sim_fixed = _sims_t0(
+                [msims[fixed_idx].get_scale(pair_scale_key)], metric_channel
+            )[0]
+            sim_moving = _sims_t0(
+                [msims[moving_idx].get_scale(pair_scale_key)], metric_channel
+            )[0]
+        else:
+            sim_fixed = sims_t0[fixed_idx]
+            sim_moving = sims_t0[moving_idx]
+
+        lower = comparison_bbox["lower"]
+        upper = comparison_bbox["upper"]
+        spacing_d = (
+            spacing
+            if spacing is not None
+            else si_utils.get_spacing_from_sim(sim_fixed)
+        )
+        output_sp = {
+            "origin": {d: float(lower[i]) for i, d in enumerate(spatial_dims)},
+            "spacing": {d: float(spacing_d[d]) for d in spatial_dims},
+            "shape": {
+                d: max(
+                    1,
+                    int(
+                        np.floor(
+                            (upper[i] - lower[i]) / spacing_d[d] + 1
+                        )
+                    ),
+                )
+                for i, d in enumerate(spatial_dims)
+            },
+        }
+
+        sim_fixed_t = transformation.transform_sim(
+            sim_fixed.astype(np.float32),
+            p=np.eye(ndim + 1),
+            output_stack_properties=output_sp,
+            cval=np.nan,
+        )
+
+        computed[(fixed_idx, moving_idx)] = {}
+        for q in candidate_keys:
+            p_moving = edge["transforms"][q]
+            sim_moving_t = transformation.transform_sim(
+                sim_moving.astype(np.float32),
+                p=p_moving,
+                output_stack_properties=output_sp,
+                cval=np.nan,
+            )
+            computed[(fixed_idx, moving_idx)][q] = (
+                _compute_metrics_from_arrays(
+                    sim_fixed_t,
+                    sim_moving_t,
+                    metric_funcs,
+                    intersection.halfspaces,
+                )
+            )
+
+    for e in g_metrics.edges():
+        g_metrics.edges[e]["metrics"] = computed[e]
+
+    # overlap-volume-weighted summary
+    summary = {}
+    for q in candidate_keys:
+        summary[q] = {}
+        for metric_key in metric_funcs:
+            pairs_vals = [
+                (
+                    float(computed[e][q].get(metric_key, np.nan)),
+                    float(g_metrics.edges[e]["vol"]),
+                )
+                for e in g_metrics.edges()
+            ]
+            valid = [(v, w) for v, w in pairs_vals if not np.isnan(v)]
+            if valid:
+                total_w = sum(w for _, w in valid)
+                summary[q][metric_key] = (
+                    float(sum(v * w for v, w in valid) / total_w)
+                    if total_w > 0
+                    else np.nan
+                )
+            else:
+                summary[q][metric_key] = np.nan
+
+    return {
+        "pairs": {
+            e: {q: computed[e][q] for q in candidate_keys}
+            for e in g_metrics.edges()
+        },
+        "bboxes": {
+            e: g_metrics.edges[e]["comparison_bbox"]
+            for e in g_metrics.edges()
+        },
+        "summary": summary,
+    }

@@ -1,0 +1,149 @@
+import numpy as np
+import pytest
+
+from multiview_stitcher_tpu import (
+    fusion,
+    metrics,
+    msi_utils,
+    param_utils,
+    registration,
+    si_utils,
+)
+from multiview_stitcher_tpu.fusion import mv_deconv
+
+
+def _pair_with_error(shift=(3.0, -2.0), seed=0):
+    rng = np.random.default_rng(seed)
+    from scipy.ndimage import gaussian_filter
+
+    full = gaussian_filter(rng.random((60, 140)), 1.2) * 100
+    t0 = full[:, :80].astype(np.float32)
+    t1 = full[:, 60:].astype(np.float32)
+    sim0 = si_utils.get_sim_from_array(t0, translation={"y": 0.0, "x": 0.0})
+    sim1 = si_utils.get_sim_from_array(
+        t1, translation={"y": shift[0], "x": 60.0 + shift[1]}
+    )
+    return sim0, sim1
+
+
+class TestMetrics:
+    def test_ncc(self):
+        a = np.random.random((20, 20))
+        b = 2 * a + 3
+        assert metrics.normalized_cross_correlation(a, b) == pytest.approx(1.0, abs=1e-6)
+        a2 = a.copy()
+        a2[:5] = np.nan
+        assert metrics.normalized_cross_correlation(a2, b) == pytest.approx(1.0, abs=1e-6)
+
+    def test_registered_beats_metadata(self):
+        """After registration, overlap NCC under the registered key is higher."""
+        sim0, sim1 = _pair_with_error()
+        msims = [
+            msi_utils.get_msim_from_sim(s, scale_factors=[])
+            for s in [sim0, sim1]
+        ]
+        registration.register(
+            msims,
+            transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+            new_transform_key="registered",
+            pre_registration_pruning_method=None,
+        )
+        result = metrics.tile_pair_image_metrics(
+            msims,
+            base_transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+            query_transform_keys=[si_utils.DEFAULT_TRANSFORM_KEY, "registered"],
+        )
+        summary = result["summary"]
+        assert (
+            summary["registered"]["ncc"]
+            > summary[si_utils.DEFAULT_TRANSFORM_KEY]["ncc"]
+        )
+        assert summary["registered"]["ncc"] > 0.9
+
+    def test_pairs_graph_mode(self):
+        sim0, sim1 = _pair_with_error()
+        msims = [
+            msi_utils.get_msim_from_sim(s, scale_factors=[])
+            for s in [sim0, sim1]
+        ]
+        import networkx as nx
+
+        g = nx.Graph()
+        g.add_nodes_from([0, 1])
+        g.add_edge(
+            0, 1,
+            transform=param_utils.affine_to_xaffine(
+                param_utils.affine_from_translation([3.0, -2.0])
+            ),
+        )
+        result = metrics.tile_pair_image_metrics(
+            msims,
+            base_transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+            pairs_graph=g,
+        )
+        assert (0, 1) in result["pairs"]
+        assert result["summary"]["transform"]["ncc"] > 0.9
+
+
+class TestMvDeconv:
+    def test_gaussian_psf(self):
+        psf = mv_deconv.make_gaussian_psf(1.5, ndim=2)
+        assert psf.sum() == pytest.approx(1.0, abs=1e-5)
+        assert psf.shape == (9, 9)
+        # symmetric with max at center
+        assert psf[4, 4] == psf.max()
+
+    def test_estimate_psf_anisotropic(self):
+        psf = mv_deconv.estimate_psf({"z": 2.0, "y": 0.5, "x": 0.5}, na=0.8)
+        assert psf.ndim == 3
+        assert psf.sum() == pytest.approx(1.0, abs=1e-5)
+
+    @pytest.mark.parametrize(
+        "psf_type",
+        [
+            mv_deconv.PSFType.EFFICIENT_BAYESIAN,
+            mv_deconv.PSFType.OPTIMIZATION_I,
+            mv_deconv.PSFType.OPTIMIZATION_II,
+            mv_deconv.PSFType.INDEPENDENT,
+        ],
+    )
+    def test_deconvolution_sharpens(self, psf_type):
+        """RL deconvolution of a blurred bead increases peak intensity."""
+        rng = np.random.default_rng(0)
+        img = np.zeros((48, 48), dtype=np.float32)
+        img[24, 24] = 100.0
+        img[10, 35] = 80.0
+        from scipy.ndimage import gaussian_filter
+
+        psf_sigma = 1.5
+        blurred = gaussian_filter(img, psf_sigma)
+        views = np.stack([blurred, blurred])
+        weights = np.full((2, 48, 48), 0.5, dtype=np.float32)
+        psf = mv_deconv.make_gaussian_psf(psf_sigma, ndim=2)
+        out = mv_deconv.multi_view_deconvolution(
+            views, weights, psfs=[psf, psf], psf_type=psf_type,
+            n_iterations=10,
+        )
+        assert out[24, 24] > blurred[24, 24] * 2
+        assert np.argmax(out) == np.argmax(img)
+
+    def test_deconv_through_fuse(self):
+        """multi_view_deconvolution plugs in as fusion_func with halo."""
+        rng = np.random.default_rng(1)
+        from scipy.ndimage import gaussian_filter
+
+        full = gaussian_filter(rng.random((40, 70)).astype(np.float32), 1.0) * 50
+        t0, t1 = full[:, :40], full[:, 30:]
+        sims = [
+            si_utils.get_sim_from_array(t0, translation={"y": 0.0, "x": 0.0}),
+            si_utils.get_sim_from_array(t1, translation={"y": 0.0, "x": 30.0}),
+        ]
+        fused = fusion.fuse(
+            sims,
+            transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+            fusion_func=mv_deconv.multi_view_deconvolution,
+            fusion_func_kwargs={"n_iterations": 3},
+        )
+        out = fused.to_numpy()
+        assert out.shape == full.shape
+        assert out.max() > 0
