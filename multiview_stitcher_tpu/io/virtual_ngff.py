@@ -1,0 +1,221 @@
+"""Virtual OME-Zarr serving.
+
+TPU-native rebuild of the reference's virtual-store stack
+(/root/reference/src/multiview_stitcher/ngff_utils.py:192-1001, SURVEY.md
+Appendix B): a read-only zarr-v2 / NGFF-0.4 hierarchy synthesized on the fly
+from any sim/msim — no store is written; chunks are materialized on request
+from the in-memory (or lazily backed) image — plus a threaded HTTP server so
+viewers (neuroglancer) can browse huge virtual datasets with their transforms.
+
+Chunks are served uncompressed (zarr ``compressor: null``), so a chunk
+response is simply the C-order bytes of the (edge-padded) window.
+"""
+
+from __future__ import annotations
+
+import http.server
+import json
+import logging
+import socketserver
+import threading
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+from multiview_stitcher_tpu import msi_utils, si_utils
+from multiview_stitcher_tpu.io import ngff_utils
+from multiview_stitcher_tpu.msi_utils import Msim
+from multiview_stitcher_tpu.si_utils import Sim
+
+logger = logging.getLogger(__name__)
+
+
+class VirtualOMEZarr:
+    """Read-only virtual NGFF-0.4 (zarr v2) image over an msim/sim.
+
+    ``get(key)`` returns the bytes for a zarr store key, or None.
+    """
+
+    def __init__(self, image: Union[Sim, Msim], chunks: Optional[dict] = None):
+        self.msim = (
+            image
+            if isinstance(image, Msim)
+            else msi_utils.get_msim_from_sim(image, scale_factors=[])
+        )
+        sim0 = self.msim.get_scale("scale0")
+        self.dims = list(sim0.dims)
+        self.sdims = si_utils.get_spatial_dims_from_sim(sim0)
+        self.nsdims = [d for d in self.dims if d not in self.sdims]
+        ndim = len(self.sdims)
+        spatial_cs = si_utils.get_default_spatial_chunksizes(ndim)
+        if chunks is None:
+            chunks = {
+                d: 1 if d in self.nsdims else spatial_cs[d] for d in self.dims
+            }
+        self.chunks = chunks
+
+        # NGFF multiscales metadata from per-level stack properties
+        abs_factors = []
+        base_spacing = si_utils.get_spacing_from_sim(sim0)
+        for sk in self.msim.scale_keys:
+            s = self.msim.get_scale(sk)
+            sp = si_utils.get_spacing_from_sim(s)
+            abs_factors.append(
+                {d: sp[d] / base_spacing[d] for d in self.sdims}
+            )
+        coordtfs, axes = ngff_utils.calc_ngff_coordinate_transformations_and_axes(
+            {
+                "spacing": base_spacing,
+                "origin": si_utils.get_origin_from_sim(sim0),
+                "shape": si_utils.get_shape_from_sim(sim0),
+            },
+            abs_factors,
+            nsdims=self.nsdims,
+        )
+        self.attrs = {
+            "multiscales": [
+                {
+                    "axes": axes,
+                    "datasets": [
+                        {
+                            "path": str(level),
+                            "coordinateTransformations": coordtfs[level],
+                        }
+                        for level in range(len(self.msim.sims))
+                    ],
+                    "version": "0.4",
+                }
+            ]
+        }
+        if "c" in self.dims:
+            self.attrs["omero"] = {
+                "channels": [
+                    {
+                        "color": "ffffff",
+                        "label": str(c),
+                        "active": True,
+                        "window": {
+                            "end": 65535, "max": 65535, "min": 0, "start": 0
+                        },
+                    }
+                    for c in np.asarray(sim0.coords.get("c", []))
+                ]
+            }
+
+    # ------------------------------------------------------------------
+    def _zarray(self, level: int) -> dict:
+        sim = self.msim.get_scale(f"scale{level}")
+        shape = list(sim.shape)
+        chunks = [
+            min(self.chunks[d], s) for d, s in zip(self.dims, shape)
+        ]
+        return {
+            "zarr_format": 2,
+            "shape": shape,
+            "chunks": chunks,
+            "dtype": np.dtype(sim.dtype).str,
+            "compressor": None,
+            "fill_value": 0,
+            "order": "C",
+            "filters": None,
+            "dimension_separator": ".",
+        }
+
+    def _chunk_bytes(self, level: int, chunk_idx: List[int]) -> bytes:
+        sim = self.msim.get_scale(f"scale{level}")
+        meta = self._zarray(level)
+        shape = meta["shape"]
+        chunks = meta["chunks"]
+        slices = tuple(
+            slice(ci * cs, min((ci + 1) * cs, s))
+            for ci, cs, s in zip(chunk_idx, chunks, shape)
+        )
+        block = np.asarray(
+            sim.data[slices] if hasattr(sim.data, "__getitem__") else sim.to_numpy()[slices]
+        )
+        # zarr edge chunks are padded to the full chunk shape
+        if tuple(block.shape) != tuple(chunks):
+            padded = np.zeros(chunks, dtype=block.dtype)
+            padded[tuple(slice(0, s) for s in block.shape)] = block
+            block = padded
+        return np.ascontiguousarray(block, dtype=np.dtype(meta["dtype"])).tobytes()
+
+    def get(self, key: str) -> Optional[bytes]:
+        key = key.strip("/")
+        if key == ".zattrs":
+            return json.dumps(self.attrs).encode()
+        if key == ".zgroup":
+            return json.dumps({"zarr_format": 2}).encode()
+        parts = key.split("/")
+        if len(parts) == 2:
+            level_str, sub = parts
+            if not level_str.isdigit():
+                return None
+            level = int(level_str)
+            if level >= len(self.msim.sims):
+                return None
+            if sub == ".zarray":
+                return json.dumps(self._zarray(level)).encode()
+            if sub == ".zattrs":
+                return json.dumps({}).encode()
+            # chunk key: "0.1.2"-style
+            try:
+                chunk_idx = [int(p) for p in sub.split(".")]
+            except ValueError:
+                return None
+            if len(chunk_idx) != len(self.dims):
+                return None
+            return self._chunk_bytes(level, chunk_idx)
+        return None
+
+
+class _VirtualHandler(http.server.BaseHTTPRequestHandler):
+    stores: Dict[str, VirtualOMEZarr] = {}
+
+    def do_GET(self):  # noqa: N802
+        path = self.path.split("?")[0].strip("/")
+        parts = path.split("/", 1)
+        store = self.stores.get(parts[0])
+        data = (
+            store.get(parts[1] if len(parts) > 1 else ".zattrs")
+            if store is not None
+            else None
+        )
+        if data is None:
+            self.send_response(404)
+            self.end_headers()
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "application/octet-stream")
+        self.send_header("Content-Length", str(len(data)))
+        self.send_header("Access-Control-Allow-Origin", "*")
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, *args):
+        pass
+
+
+def serve_virtual_ome_zarrs(
+    images,
+    port: int = 8000,
+    transform_key: Optional[str] = None,
+    names: Optional[List[str]] = None,
+):
+    """Serve images as virtual OME-Zarrs at ``/{i}.ome.zarr`` (reference :955).
+
+    Returns the server; call ``server.shutdown()`` when done.
+    """
+    if names is None:
+        names = [f"{i}.ome.zarr" for i in range(len(images))]
+
+    handler_cls = type(
+        "Handler",
+        (_VirtualHandler,),
+        {"stores": {name: VirtualOMEZarr(im) for name, im in zip(names, images)}},
+    )
+    server = socketserver.ThreadingTCPServer(("127.0.0.1", port), handler_cls)
+    server.daemon_threads = True
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server

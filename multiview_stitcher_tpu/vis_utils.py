@@ -1,0 +1,447 @@
+"""Visualization utilities.
+
+TPU-native rebuild of the reference's ``vis_utils``
+(/root/reference/src/multiview_stitcher/vis_utils.py, 1945 LoC): tile-layout
+plots with edge coloring (used by registration summaries), image display,
+metric plots, static file serving, and the neuroglancer viewer entry points.
+All host-side (matplotlib / http.server); no kernels involved.
+"""
+
+from __future__ import annotations
+
+import http.server
+import logging
+import os
+import socketserver
+import threading
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from multiview_stitcher_tpu import msi_utils, mv_graph, param_utils, si_utils
+from multiview_stitcher_tpu.msi_utils import Msim
+from multiview_stitcher_tpu.si_utils import Sim
+
+logger = logging.getLogger(__name__)
+
+
+def _to_sims(images):
+    return [
+        msi_utils.get_sim_from_msim(im) if isinstance(im, Msim) else im
+        for im in images
+    ]
+
+
+def plot_positions(
+    sims,
+    transform_key: str,
+    edges=None,
+    edge_color_vals=None,
+    edge_linestyles=None,
+    edge_linestyle_labels=None,
+    edge_cmap=None,
+    edge_clims=None,
+    edge_label: str = "edge weight",
+    use_positional_colors: bool = True,
+    n_colors: int = 2,
+    nscoord: Optional[dict] = None,
+    display_view_indices: bool = True,
+    view_labels: Optional[List[str]] = None,
+    view_labels_size: int = 10,
+    show_plot: bool = True,
+    plot_title: Optional[str] = None,
+    spacing: Optional[dict] = None,
+    output_filename: Optional[str] = None,
+    points_key: Optional[str] = None,
+):
+    """Plot tile/view positions (2D or 3D) with optional colored edges.
+
+    Reference: vis_utils.py:54. Returns (fig, ax).
+    """
+    import matplotlib
+    import matplotlib.pyplot as plt
+    from matplotlib import cm
+    from matplotlib.lines import Line2D
+
+    sims = _to_sims(sims)
+    nscoord = nscoord or {}
+    sims = [
+        si_utils.sim_sel_coords(
+            sim,
+            {
+                nd: nscoord.get(nd, np.asarray(sim.coords[nd])[0])
+                for nd in si_utils.get_nonspatial_dims_from_sim(sim)
+            },
+        )
+        if si_utils.get_nonspatial_dims_from_sim(sim)
+        else sim
+        for sim in sims
+    ]
+    ndim = si_utils.get_ndim_from_sim(sims[0])
+    sdims = si_utils.get_spatial_dims_from_sim(sims[0])
+
+    if spacing is not None:
+        for sim in sims:
+            sim.spacing = {d: float(spacing[d]) for d in sdims}
+
+    if use_positional_colors:
+        try:
+            colors_idx = mv_graph.get_greedy_colors(
+                sims, n_colors=n_colors, transform_key=transform_key
+            )
+            palette = ["tab:blue", "tab:orange", "tab:green", "tab:red"]
+            view_colors = [
+                palette[colors_idx[i] % len(palette)] for i in range(len(sims))
+            ]
+        except Exception:  # noqa: BLE001
+            view_colors = ["tab:blue"] * len(sims)
+    else:
+        view_colors = ["gray"] * len(sims)
+
+    fig = plt.figure()
+    if ndim == 3:
+        ax = fig.add_subplot(projection="3d")
+    else:
+        ax = fig.add_subplot()
+
+    centers = []
+    for isim, sim in enumerate(sims):
+        props = si_utils.get_stack_properties_from_sim(
+            sim, transform_key=transform_key
+        )
+        verts = mv_graph.get_vertices_from_stack_props(props)
+        center = verts.mean(axis=0)
+        centers.append(center)
+        # draw box edges between vertices differing in exactly one bit
+        nv = len(verts)
+        bits = np.array(list(np.ndindex((2,) * ndim)))
+        for i in range(nv):
+            for j in range(i + 1, nv):
+                if np.sum(bits[i] != bits[j]) == 1:
+                    seg = np.stack([verts[i], verts[j]])
+                    if ndim == 3:
+                        ax.plot(
+                            seg[:, 2], seg[:, 1], seg[:, 0],
+                            color=view_colors[isim], linewidth=1,
+                        )
+                    else:
+                        ax.plot(
+                            seg[:, 1], seg[:, 0],
+                            color=view_colors[isim], linewidth=1,
+                        )
+        if display_view_indices or view_labels is not None:
+            label = (
+                view_labels[isim] if view_labels is not None else str(isim)
+            )
+            if ndim == 3:
+                ax.text(
+                    center[2], center[1], center[0], label,
+                    size=view_labels_size,
+                )
+            else:
+                ax.text(center[1], center[0], label, size=view_labels_size)
+
+        if points_key is not None and points_key in sim.attrs.get(
+            "point_sets", {}
+        ):
+            pts = np.asarray(sim.attrs["point_sets"][points_key])
+            aff = si_utils.get_affine_from_sim(sim, transform_key)
+            mat = np.asarray(aff.squeeze())
+            if mat.ndim == 3:
+                mat = mat[0]
+            pts_w = param_utils.transform_pts(pts, mat)
+            if ndim == 3:
+                ax.scatter(pts_w[:, 2], pts_w[:, 1], pts_w[:, 0], s=2)
+            else:
+                ax.scatter(pts_w[:, 1], pts_w[:, 0], s=2)
+
+    centers = np.asarray(centers)
+
+    if edges is not None and len(edges):
+        if edge_cmap is None:
+            edge_cmap = "viridis"
+        cmap = matplotlib.colormaps[edge_cmap]
+        vals = (
+            np.asarray(edge_color_vals, dtype=float)
+            if edge_color_vals is not None
+            else np.zeros(len(edges))
+        )
+        finite = vals[np.isfinite(vals)]
+        if edge_clims is None:
+            edge_clims = (
+                [float(finite.min()), float(finite.max())]
+                if finite.size and finite.min() != finite.max()
+                else [0, 1]
+            )
+        if isinstance(edge_linestyles, str) or edge_linestyles is None:
+            edge_linestyles = [edge_linestyles or "--"] * len(edges)
+        for (i, j), val, ls in zip(edges, vals, edge_linestyles):
+            norm_val = (
+                (val - edge_clims[0]) / (edge_clims[1] - edge_clims[0])
+                if edge_clims[1] > edge_clims[0]
+                else 0.5
+            )
+            color = cmap(np.clip(norm_val, 0, 1)) if np.isfinite(val) else "gray"
+            seg = np.stack([centers[i], centers[j]])
+            if ndim == 3:
+                ax.plot(
+                    seg[:, 2], seg[:, 1], seg[:, 0],
+                    color=color, linestyle=ls, linewidth=2,
+                )
+            else:
+                ax.plot(
+                    seg[:, 1], seg[:, 0], color=color, linestyle=ls,
+                    linewidth=2,
+                )
+        sm = cm.ScalarMappable(
+            cmap=cmap,
+            norm=matplotlib.colors.Normalize(*edge_clims),
+        )
+        fig.colorbar(sm, ax=ax, label=edge_label)
+        if edge_linestyle_labels:
+            items = (
+                edge_linestyle_labels.items()
+                if isinstance(edge_linestyle_labels, dict)
+                else edge_linestyle_labels
+            )
+            handles = [
+                Line2D([0], [0], color="black", linestyle=ls, label=lbl)
+                for ls, lbl in items
+            ]
+            ax.legend(handles=handles)
+
+    ax.set_xlabel(sdims[-1])
+    ax.set_ylabel(sdims[-2])
+    if ndim == 2:
+        ax.invert_yaxis()
+        ax.set_aspect("equal")
+    if plot_title:
+        ax.set_title(plot_title)
+    if output_filename:
+        fig.savefig(output_filename, dpi=150, bbox_inches="tight")
+    if show_plot:
+        plt.show(block=False)
+    return fig, ax
+
+
+def imshow(
+    image,
+    transform_key: Optional[str] = None,
+    nscoord: Optional[dict] = None,
+    resolution_level: int = 0,
+    ax=None,
+    **imshow_kwargs,
+):
+    """Display a (projected) sim with physical extent (reference :420)."""
+    import matplotlib.pyplot as plt
+
+    sim = (
+        image.get_scale(f"scale{resolution_level}")
+        if isinstance(image, Msim)
+        else image
+    )
+    nscoord = nscoord or {}
+    nsdims = si_utils.get_nonspatial_dims_from_sim(sim)
+    if nsdims:
+        sim = si_utils.sim_sel_coords(
+            sim,
+            {nd: nscoord.get(nd, np.asarray(sim.coords[nd])[0]) for nd in nsdims},
+        )
+    sdims = si_utils.get_spatial_dims_from_sim(sim)
+    if len(sdims) == 3:
+        sim = si_utils.max_project_sim(sim, dim="z")
+        sdims = sim.spatial_dims
+
+    data = sim.to_numpy()
+    y0, x0 = sim.origin[sdims[0]], sim.origin[sdims[1]]
+    sy, sx = sim.spacing[sdims[0]], sim.spacing[sdims[1]]
+    extent = [
+        x0 - sx / 2,
+        x0 + (data.shape[1] - 0.5) * sx,
+        y0 + (data.shape[0] - 0.5) * sy,
+        y0 - sy / 2,
+    ]
+    if ax is None:
+        _, ax = plt.subplots()
+    ax.imshow(data, extent=extent, **imshow_kwargs)
+    ax.set_xlabel(sdims[1])
+    ax.set_ylabel(sdims[0])
+    return ax
+
+
+def plot_tile_pair_image_metrics(metrics_result, metric_key: str = "ncc", ax=None):
+    """Bar plot of per-pair metrics per candidate key (reference :740)."""
+    import matplotlib.pyplot as plt
+
+    pairs = metrics_result["pairs"]
+    candidate_keys = (
+        list(next(iter(pairs.values())).keys()) if pairs else []
+    )
+    if ax is None:
+        _, ax = plt.subplots()
+    width = 0.8 / max(1, len(candidate_keys))
+    pair_labels = [f"{a}-{b}" for a, b in pairs]
+    x = np.arange(len(pairs))
+    for qi, q in enumerate(candidate_keys):
+        vals = [pairs[p][q].get(metric_key, np.nan) for p in pairs]
+        ax.bar(x + qi * width, vals, width=width, label=str(q))
+    ax.set_xticks(x + 0.4 - width / 2)
+    ax.set_xticklabels(pair_labels, rotation=45)
+    ax.set_ylabel(metric_key)
+    ax.legend()
+    return ax
+
+
+def plot_registration_summaries(
+    msims,
+    transform_key,
+    new_transform_key,
+    g_reg_computed,
+    groupwise_resolution_info_dict,
+    show_plot=True,
+):
+    """Pairwise-quality + residual summary plots (reference registration.py:2096)."""
+    edges = list(g_reg_computed.edges())
+    fig_pair, ax_pair = plot_positions(
+        msims,
+        transform_key=transform_key,
+        edges=edges,
+        edge_color_vals=np.array(
+            [
+                float(np.nanmean(np.asarray(g_reg_computed.get_edge_data(*e)["quality"], dtype=float)))
+                for e in edges
+            ]
+        ),
+        edge_label="Pairwise view correlation",
+        display_view_indices=True,
+        use_positional_colors=False,
+        plot_title="Pairwise registration summary",
+        show_plot=show_plot,
+    )
+
+    fig_res, ax_res = None, None
+    if groupwise_resolution_info_dict is not None and new_transform_key:
+        edge_residuals = groupwise_resolution_info_dict.get(
+            "edge_residuals", {}
+        )
+        if isinstance(edge_residuals, dict):
+            edge_residuals = edge_residuals.get(0, {})
+        used = groupwise_resolution_info_dict.get("used_edges", {})
+        if isinstance(used, dict):
+            used = used.get(0, [])
+        used_set = {tuple(sorted(e)) for e in used} if used else set()
+        vals = np.array(
+            [edge_residuals.get(tuple(sorted(e)), np.nan) for e in edges]
+        )
+        styles = ["-" if tuple(sorted(e)) in used_set else ":" for e in edges]
+        fig_res, ax_res = plot_positions(
+            msims,
+            transform_key=new_transform_key,
+            edges=edges,
+            edge_color_vals=vals,
+            edge_linestyles=styles,
+            edge_linestyle_labels={"-": "Used edges", ":": "Unused edges"},
+            edge_cmap="Spectral_r",
+            edge_label="Remaining edge residuals [distance units]",
+            display_view_indices=True,
+            use_positional_colors=False,
+            plot_title="Global parameter resolution summary",
+            show_plot=show_plot,
+        )
+    return {
+        "fig_pair_reg": fig_pair,
+        "ax_pair_reg": ax_pair,
+        "fig_group_res": fig_res,
+        "ax_group_res": ax_res,
+    }
+
+
+# ---------------------------------------------------------------------------
+# static file serving (reference :1076-1186)
+# ---------------------------------------------------------------------------
+
+
+class _CORSHandler(http.server.SimpleHTTPRequestHandler):
+    def end_headers(self):
+        self.send_header("Access-Control-Allow-Origin", "*")
+        super().end_headers()
+
+    def log_message(self, *args):
+        pass
+
+
+def serve_dir(dir_path: str, port: int = 8000):
+    """Serve a directory over HTTP with CORS (for viewer access).
+
+    Returns (server, thread); call ``server.shutdown()`` to stop.
+    """
+    handler = lambda *args, **kw: _CORSHandler(
+        *args, directory=str(dir_path), **kw
+    )
+    server = socketserver.ThreadingTCPServer(("127.0.0.1", port), handler)
+    server.daemon_threads = True
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, thread
+
+
+# ---------------------------------------------------------------------------
+# viewer entry points
+# ---------------------------------------------------------------------------
+
+
+def view_neuroglancer(
+    images=None,
+    ome_zarr_paths: Optional[List[str]] = None,
+    transform_key: Optional[str] = None,
+    port: int = 8000,
+    neuroglancer_url: Optional[str] = None,
+    open_browser: bool = False,
+    **ng_kwargs,
+):
+    """Serve images as (virtual) OME-Zarr and build a neuroglancer URL.
+
+    Reference: vis_utils.py:1500. Returns (url, server) — the server keeps
+    the chunks available; shut it down when done.
+    """
+    from multiview_stitcher_tpu import neuroglancer as ng
+    from multiview_stitcher_tpu.io import virtual_ngff
+
+    server = None
+    if ome_zarr_paths is not None:
+        sims = None
+        server, _ = serve_dir(os.path.commonpath(ome_zarr_paths), port=port)
+        urls = [
+            f"http://127.0.0.1:{port}/"
+            + os.path.relpath(p, os.path.commonpath(ome_zarr_paths))
+            for p in ome_zarr_paths
+        ]
+    else:
+        sims = _to_sims(images)
+        server = virtual_ngff.serve_virtual_ome_zarrs(
+            sims, port=port, transform_key=transform_key
+        )
+        urls = [
+            f"http://127.0.0.1:{port}/{i}.ome.zarr" for i in range(len(sims))
+        ]
+
+    ng_json = ng.generate_neuroglancer_json(
+        ome_zarr_paths=ome_zarr_paths,
+        ome_zarr_urls=urls,
+        sims=sims,
+        transform_key=transform_key,
+        **ng_kwargs,
+    )
+    url = ng.get_neuroglancer_url(ng_json, neuroglancer_url=neuroglancer_url)
+    if open_browser:
+        import webbrowser
+
+        webbrowser.open(url)
+    return url, server
+
+
+def view_ome_zarr(image_path: str, port: int = 8000, **kwargs):
+    """Serve an on-disk OME-Zarr and open it in neuroglancer (reference :1879)."""
+    return view_neuroglancer(
+        ome_zarr_paths=[str(image_path)], port=port, **kwargs
+    )

@@ -1,0 +1,173 @@
+import json
+import urllib.request
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+from multiview_stitcher_tpu import (
+    msi_utils,
+    neuroglancer,
+    registration,
+    sample_data,
+    si_utils,
+    vis_utils,
+)
+from multiview_stitcher_tpu.io import virtual_ngff
+
+
+def _grid_msims():
+    sims = sample_data.generate_tiled_dataset(
+        ndim=2, N_c=1, N_t=1, tile_size=40, tiles_x=2, tiles_y=2,
+        overlap=8, zoom=4, shift_scale=1.0, drift_scale=0.0,
+    )
+    return [msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims]
+
+
+def test_plot_positions_2d(tmp_path):
+    msims = _grid_msims()
+    fig, ax = vis_utils.plot_positions(
+        msims,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        show_plot=False,
+        output_filename=str(tmp_path / "positions.png"),
+    )
+    assert (tmp_path / "positions.png").exists()
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
+def test_plot_positions_with_edges():
+    msims = _grid_msims()
+    fig, ax = vis_utils.plot_positions(
+        msims,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        edges=[(0, 1), (2, 3)],
+        edge_color_vals=[0.5, 0.9],
+        use_positional_colors=False,
+        show_plot=False,
+    )
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
+def test_register_plot_summary():
+    msims = _grid_msims()
+    result = registration.register(
+        msims,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        new_transform_key="registered",
+        reg_channel_index=0,
+        pre_registration_pruning_method=None,
+        plot_summary=True,
+        return_dict=True,
+    )
+    assert result["pairwise_registration"]["summary_plot"][0] is not None
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
+
+
+def test_imshow():
+    sim = si_utils.get_sim_from_array(
+        np.random.random((3, 20, 30)).astype(np.float32),
+        dims=("z", "y", "x"),
+    )
+    ax = vis_utils.imshow(sim)
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
+
+
+def test_neuroglancer_json_and_url():
+    sims = [
+        si_utils.get_sim_from_array(
+            np.zeros((2, 32, 32), dtype=np.uint16),
+            dims=("c", "y", "x"),
+        )
+        for _ in range(2)
+    ]
+    si_utils.set_sim_affine(
+        sims[1],
+        np.array([[1, 0, 5.0], [0, 1, -3.0], [0, 0, 1]]),
+        transform_key="registered",
+    )
+    si_utils.set_sim_affine(sims[0], np.eye(3), transform_key="registered")
+    state = neuroglancer.generate_neuroglancer_json(
+        ome_zarr_paths=None,
+        ome_zarr_urls=["http://localhost/0", "http://localhost/1"],
+        sims=sims,
+        transform_key="registered",
+    )
+    assert len(state["layers"]) == 2
+    assert state["layout"] == "xy"
+    m = np.asarray(state["layers"][1]["source"]["transform"]["matrix"])
+    # translation row entries reflect the registered shift (spacing 1)
+    assert m.shape[0] == 3
+    url = neuroglancer.get_neuroglancer_url(state)
+    assert url.startswith("https://") and "#!" in url
+
+
+class TestVirtualServing:
+    def test_virtual_store_keys(self):
+        sim = si_utils.get_sim_from_array(
+            np.arange(64, dtype=np.uint16).reshape(8, 8)
+        )
+        v = virtual_ngff.VirtualOMEZarr(sim)
+        attrs = json.loads(v.get(".zattrs"))
+        assert "multiscales" in attrs
+        zarray = json.loads(v.get("0/.zarray"))
+        assert zarray["shape"] == [8, 8]
+        chunk = v.get("0/0.0")
+        arr = np.frombuffer(chunk, dtype=np.uint16).reshape(8, 8)
+        np.testing.assert_array_equal(arr, np.arange(64).reshape(8, 8))
+
+    def test_http_roundtrip_through_tensorstore(self):
+        data = np.random.randint(0, 1000, (2, 40, 50), dtype=np.uint16)
+        sim = si_utils.get_sim_from_array(
+            data, dims=("c", "y", "x"), c_coords=["a", "b"],
+            scale={"y": 0.5, "x": 0.5}, translation={"y": 0.0, "x": 0.0},
+        )
+        import socket
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        server = virtual_ngff.serve_virtual_ome_zarrs([sim], port=port)
+        try:
+            base = f"http://127.0.0.1:{port}/0.ome.zarr"
+            attrs = json.loads(
+                urllib.request.urlopen(base + "/.zattrs").read()
+            )
+            assert attrs["multiscales"][0]["axes"][0]["name"] == "c"
+            # read the array back through the zarr http backend
+            from multiview_stitcher_tpu.io import zarr_backend
+
+            arr = zarr_backend.open_zarr_array(base + "/0")
+            np.testing.assert_array_equal(np.asarray(arr), data)
+        finally:
+            server.shutdown()
+
+    def test_view_neuroglancer_with_virtual_store(self):
+        sim = si_utils.get_sim_from_array(
+            np.zeros((16, 16), dtype=np.uint16)
+        )
+        import socket
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        url, server = vis_utils.view_neuroglancer(
+            [sim],
+            transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+            port=port,
+        )
+        try:
+            assert "#!" in url
+        finally:
+            server.shutdown()
