@@ -1,0 +1,170 @@
+import os
+
+import numpy as np
+import pytest
+
+from multiview_stitcher_tpu import msi_utils, registration, si_utils, zarr_utils
+from multiview_stitcher_tpu.io import tif_utils
+
+CZI_TEST_FILE = (
+    "/root/reference/src/multiview_stitcher/test-datasets/mosaic_test.czi"
+)
+
+
+class TestTiff:
+    @pytest.mark.parametrize(
+        "dtype", [np.uint8, np.uint16, np.float32]
+    )
+    def test_roundtrip(self, tmp_path, dtype):
+        path = str(tmp_path / "test.tif")
+        data = (np.random.random((3, 20, 30)) * 100).astype(dtype)
+        tif_utils.write_tiff(path, data)
+        back = tif_utils.TiffFile(path).asarray()
+        np.testing.assert_array_equal(back, data)
+
+    def test_lazy_pages(self, tmp_path):
+        path = str(tmp_path / "lazy.tif")
+        data = np.random.randint(0, 1000, (5, 16, 16), dtype=np.uint16)
+        tif_utils.write_tiff(path, data)
+        lazy = tif_utils.LazyTiffPages(path)
+        assert lazy.shape == (5, 16, 16)
+        np.testing.assert_array_equal(lazy[2], data[2])
+        np.testing.assert_array_equal(lazy[1:3, 4:8, :], data[1:3, 4:8, :])
+
+    def test_sim_roundtrip(self, tmp_path):
+        path = str(tmp_path / "sim.tif")
+        data = np.random.randint(0, 1000, (4, 12, 14), dtype=np.uint16)
+        sim = si_utils.get_sim_from_array(
+            data, dims=("z", "y", "x"),
+            scale={"z": 2.0, "y": 0.5, "x": 0.5},
+        )
+        tif_utils.save_sim_as_tif(path, sim)
+        back = tif_utils.read_tiff_into_sim(
+            path, scale={"z": 2.0, "y": 0.5, "x": 0.5},
+        )
+        assert back.dims == ("z", "y", "x")
+        np.testing.assert_array_equal(back.to_numpy(), data)
+
+
+class TestImaris:
+    def _make_ims(self, path, data, spacing=(2.0, 0.5, 0.5)):
+        import h5py
+
+        nz, ny, nx = data.shape
+        with h5py.File(path, "w") as f:
+            g = f.create_group(
+                "DataSet/ResolutionLevel 0/TimePoint 0/Channel 0"
+            )
+            g.create_dataset("Data", data=data)
+            g.attrs["ImageSizeZ"] = np.bytes_(str(nz))
+            g.attrs["ImageSizeY"] = np.bytes_(str(ny))
+            g.attrs["ImageSizeX"] = np.bytes_(str(nx))
+            info = f.create_group("DataSetInfo/Image")
+            info.attrs["X"] = np.bytes_(str(nx))
+            info.attrs["Y"] = np.bytes_(str(ny))
+            info.attrs["Z"] = np.bytes_(str(nz))
+            for i, (dim, n) in enumerate(zip("xyz", (nx, ny, nz))):
+                sp = spacing[2 - i]
+                info.attrs[f"ExtMin{i}"] = np.bytes_("0")
+                info.attrs[f"ExtMax{i}"] = np.bytes_(str(n * sp))
+
+    def test_read_imaris(self, tmp_path):
+        from multiview_stitcher_tpu.io import imaris_utils
+
+        path = str(tmp_path / "test.ims")
+        data = np.random.randint(0, 1000, (4, 16, 20), dtype=np.uint16)
+        self._make_ims(path, data)
+        msim = imaris_utils.read_imaris_into_msim(path)
+        sim = msi_utils.get_sim_from_msim(msim)
+        assert sim.dims == ("z", "y", "x")
+        np.testing.assert_allclose(sim.spacing["z"], 2.0)
+        np.testing.assert_allclose(sim.spacing["x"], 0.5)
+        np.testing.assert_array_equal(sim.to_numpy(), data)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(CZI_TEST_FILE), reason="reference CZI not available"
+)
+class TestCzi:
+    def test_parse_mosaic(self):
+        from multiview_stitcher_tpu.io import czi_utils
+
+        czi = czi_utils.CziFile(CZI_TEST_FILE)
+        shape = czi_utils.get_czi_shape(czi)
+        assert shape["M"] == 2
+        spacing = czi_utils.get_czi_spacing(czi)
+        assert spacing["x"] == pytest.approx(1.0833, abs=1e-3)
+
+    def test_read_mosaic_into_sims(self):
+        from multiview_stitcher_tpu.io import czi_utils
+
+        sims = czi_utils.read_mosaic_into_sims_czifile(CZI_TEST_FILE)
+        assert len(sims) == 2
+        assert sims[0].spatial_dims == ["y", "x"]
+        # second tile starts at 832 px in x
+        assert sims[1].origin["x"] == pytest.approx(832 * 1.0833, abs=0.1)
+
+    def test_real_file_registration_ground_truth(self):
+        """Pairwise shift recovered within 1.5 px of the known [2.5, 7.5] px
+        ground truth (reference test_registration.py:96-111)."""
+        from multiview_stitcher_tpu.io import czi_utils
+
+        sims = czi_utils.read_mosaic_into_sims_czifile(CZI_TEST_FILE)
+        sims = [
+            si_utils.sim_sel_coords(s, {"c": np.asarray(s.coords["c"])[0]})
+            for s in sims
+        ]
+        msims = [
+            msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims
+        ]
+        result = registration.register_pair_of_msims(
+            msims[0], msims[1],
+            transform_key=czi_utils.METADATA_TRANSFORM_KEY,
+        )
+        m = np.asarray(result["transform"].squeeze())
+        shift_px = m[:2, 2] / 1.0833333333333333
+        np.testing.assert_allclose(
+            np.abs(shift_px), [2.5, 7.5], atol=1.5
+        )
+
+
+class TestZarrUtils:
+    def test_virtual_concat(self):
+        a = np.arange(12).reshape(3, 4)
+        b = np.arange(12, 20).reshape(2, 4)
+        v = zarr_utils.concatenate([a, b], axis=0)
+        assert v.shape == (5, 4)
+        np.testing.assert_array_equal(np.asarray(v), np.concatenate([a, b]))
+        np.testing.assert_array_equal(v[2:4, 1:3], np.concatenate([a, b])[2:4, 1:3])
+        np.testing.assert_array_equal(v[4], b[1])
+
+    def test_virtual_stack(self):
+        arrs = [np.random.random((4, 5)) for _ in range(3)]
+        v = zarr_utils.stack(arrs, axis=0)
+        assert v.shape == (3, 4, 5)
+        np.testing.assert_array_equal(np.asarray(v), np.stack(arrs))
+        np.testing.assert_array_equal(v[1], arrs[1])
+
+    def test_expand_dims(self):
+        a = np.random.random((4, 5))
+        v = zarr_utils.expand_dims(a, axis=0)
+        assert v.shape == (1, 4, 5)
+        np.testing.assert_array_equal(np.asarray(v)[0], a)
+
+    def test_virtual_concat_over_lazy_zarr(self, tmp_path):
+        from multiview_stitcher_tpu.io import zarr_backend
+
+        arrs = []
+        datas = []
+        for i in range(2):
+            data = np.random.randint(0, 100, (4, 6), dtype=np.uint16)
+            arr = zarr_backend.create_zarr_array(
+                str(tmp_path / f"{i}.zarr"), data.shape, (2, 3), data.dtype
+            )
+            arr[...] = data
+            arrs.append(zarr_backend.open_zarr_array(str(tmp_path / f"{i}.zarr")))
+            datas.append(data)
+        v = zarr_utils.concatenate(arrs, axis=0)
+        np.testing.assert_array_equal(
+            np.asarray(v), np.concatenate(datas, axis=0)
+        )
