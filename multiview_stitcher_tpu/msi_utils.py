@@ -238,6 +238,35 @@ def multiscale_sel_coords(msim: Msim, sel_dict) -> Msim:
     return out
 
 
+def correct_multiscale_origins(msim: Msim) -> Msim:
+    """Align pyramid-level origins to the pixel-center convention.
+
+    Readers that report identical origins for all levels (e.g. Imaris) get
+    each level's origin shifted by ``(factor - 1) * spacing0 / 2`` so level
+    pixel centers line up with the coarsened level-0 centers.
+    """
+    sim0 = msim.sims[0]
+    sdims = sim0.spatial_dims
+    spacing0 = si_utils.get_spacing_from_sim(sim0)
+    origin0 = si_utils.get_origin_from_sim(sim0)
+    for sim in msim.sims[1:]:
+        spacing = si_utils.get_spacing_from_sim(sim)
+        for d in sdims:
+            factor = spacing[d] / spacing0[d]
+            sim.origin[d] = origin0[d] + (factor - 1) * spacing0[d] / 2
+    return msim
+
+
+def concat(msims: Sequence[Msim], dim: str) -> Msim:
+    """Concatenate msims along a non-spatial dim, per scale."""
+    n_scales = min(len(m.sims) for m in msims)
+    out_sims = [
+        si_utils.concat([m.sims[i] for m in msims], dim)
+        for i in range(n_scales)
+    ]
+    return Msim(sims=out_sims)
+
+
 def set_point_set(msim: Msim, points, points_key: str = "beads"):
     msim.attrs.setdefault("point_sets", {})[points_key] = np.asarray(
         points, dtype=float

@@ -1068,6 +1068,48 @@ def _assign_pairwise_registrations(g_reg_computed, edges, params):
     return g_reg_computed
 
 
+def crop_sim_to_references(
+    sim_input_to_crop: Sim,
+    reference_sims: Sequence[Sim],
+    transform_key_input: str,
+    transform_keys_reference: Sequence[str],
+    input_time_index: int = 0,
+) -> Sim:
+    """Crop a sim to the minimal region covering the reference sims
+    (reference registration.py:2717)."""
+    ref_corners_world = []
+    for iref, ref_sim in enumerate(reference_sims):
+        props = si_utils.get_stack_properties_from_sim(
+            ref_sim, transform_key=transform_keys_reference[iref]
+        )
+        ref_corners_world += list(mv_graph.get_vertices_from_stack_props(props))
+    ref_corners_world = np.asarray(ref_corners_world)
+
+    input_affine = si_utils.get_affine_from_sim(
+        sim_input_to_crop, transform_key=transform_key_input
+    )
+    mat = np.asarray(input_affine.squeeze())
+    if mat.ndim == 3:
+        mat = mat[input_time_index]
+    corners_input = param_utils.transform_pts(
+        ref_corners_world, np.linalg.inv(mat)
+    )
+    lower = corners_input.min(axis=0)
+    upper = corners_input.max(axis=0)
+    sdims = si_utils.get_spatial_dims_from_sim(sim_input_to_crop)
+    return _sel_spatial_range(
+        sim_input_to_crop,
+        {d: (lower[i], upper[i]) for i, d in enumerate(sdims)},
+    )
+
+
+# external registration backend plugins (optional C++ toolkits)
+from multiview_stitcher_tpu.registration_plugins import (  # noqa: E402
+    registration_ANTsPy,
+    registration_ITKElastix,
+)
+
+
 # ---------------------------------------------------------------------------
 # marker-based registration (RGLDM, BigStitcher-style; reference :568-1379)
 # ---------------------------------------------------------------------------

@@ -449,6 +449,19 @@ def ensure_dim(sim: Sim, dim: str) -> Sim:
     return sim.expand_dims(dim)
 
 
+def get_sim_field(sim: Sim, ns_coords: Optional[Dict[str, Any]] = None) -> Sim:
+    """Drop non-spatial dims by selecting one coordinate per dim (first by
+    default). Reference: spatial_image_utils.get_sim_field."""
+    nsdims = get_nonspatial_dims_from_sim(sim)
+    if not nsdims:
+        return sim
+    ns_coords = ns_coords or {}
+    sel = {
+        nd: ns_coords.get(nd, np.asarray(sim.coords[nd])[0]) for nd in nsdims
+    }
+    return sim_sel_coords(sim, sel)
+
+
 def set_point_set(sim: Sim, points, points_key: str = "beads"):
     """Attach a named point set (N, ndim intrinsic physical coords).
 
