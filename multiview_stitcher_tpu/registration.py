@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import logging
 import warnings
+from functools import partial
 from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
@@ -226,6 +227,153 @@ def link_quality_metric_func(im0, im1t):
     )
 
 
+@partial(jax.jit, static_argnames=("upsample_factor", "region_mode"))
+def _pcc_register_core(im0_raw, im1_raw, upsample_factor: int,
+                       region_mode: Optional[str] = None):
+    """Full phase-correlation registration of one pair in ONE dispatch.
+
+    Device-side version of the reference pipeline (registration.py:353-565):
+    intensity rescale, three shift proposals (phase-normalized, plain, and
+    masked NCC), expansion into the 4^ndim sign/wrap candidates, batched
+    candidate scoring (SSIM over the union/intersection box + Spearman), and
+    argmax selection. vmap over a pair batch turns the whole pairwise
+    registration sweep into a single kernel launch per shape bucket.
+
+    Returns (t_best (ndim,), quality scalar).
+    """
+    ndim = im0_raw.ndim
+    im0 = pc_ops.rescale_intensity(jnp.asarray(im0_raw, dtype=jnp.float32))
+    im1 = pc_ops.rescale_intensity(jnp.asarray(im1_raw, dtype=jnp.float32))
+
+    im0nm = jnp.isnan(im0)
+    im1nm = jnp.isnan(im1)
+    has_nans = jnp.any(im0nm) | jnp.any(im1nm)
+    valid_pixels1 = jnp.sum(~im1nm)
+
+    im0nn = jnp.nan_to_num(im0)
+    im1nn = jnp.nan_to_num(im1)
+
+    shift_phase, _ = pc_ops.phase_cross_correlation(
+        im0nn, im1nn, upsample_factor=upsample_factor, normalization="phase"
+    )
+    shift_plain, _ = pc_ops.phase_cross_correlation(
+        im0nn, im1nn, upsample_factor=upsample_factor, normalization=None
+    )
+    shift_masked, _ = pc_ops.masked_phase_cross_correlation(
+        im0nn, im1nn, ~im0nm, ~im1nm
+    )
+    proposals = jnp.stack([shift_phase, shift_plain, shift_masked])
+    # the masked proposal only participates when NaNs are present
+    proposal_valid = jnp.array([True, True, False]) | has_nans
+
+    # candidate expansion: per dim 4 alternatives {c, -c, -(c-S), -c-S};
+    # when c == 0 only the first is admitted (reference :464)
+    shape_arr = jnp.array(im1.shape, dtype=jnp.float32)
+    n_props = proposals.shape[0]
+    n_alt = 4**ndim
+    alt_idx = np.array(list(np.ndindex((4,) * ndim)))  # (n_alt, ndim)
+
+    def expand(prop):
+        c = prop  # (ndim,)
+        alts = jnp.stack(
+            [c, -c, -(c - shape_arr), -c - shape_arr]
+        )  # (4, ndim)
+        cand = alts[alt_idx, np.arange(ndim)[None, :]]  # (n_alt, ndim)
+        ok = jnp.all(
+            (alt_idx == 0) | (c != 0.0)[None, :], axis=1
+        )
+        return cand, ok
+
+    cands, oks = jax.vmap(expand)(proposals)  # (P, n_alt, ndim), (P, n_alt)
+    t_candidates = cands.reshape(-1, ndim)
+    cand_valid = (oks & proposal_valid[:, None]).reshape(-1)
+
+    max_shift_per_dim = float(max(max(im0_raw.shape), max(im1_raw.shape)))
+    cand_valid = cand_valid & (
+        jnp.max(jnp.abs(t_candidates), axis=1) < max_shift_per_dim
+    )
+
+    data_range = jnp.nanmax(
+        jnp.stack([jnp.nanmax(im0), jnp.nanmax(im1)])
+    ) - jnp.nanmin(jnp.stack([jnp.nanmin(im0), jnp.nanmin(im1)]))
+    im1_min = jnp.nanmin(im1)
+
+    im0_valid = ~im0nm
+    lo0, hi0 = im_metrics._bbox_bounds_from_mask(im0_valid)
+    im0f = jnp.nan_to_num(im0)
+
+    if region_mode is None:
+        use_intersection = has_nans
+    else:
+        use_intersection = jnp.asarray(region_mode == "intersection")
+
+    def score_candidate(args):
+        t_cand, valid = args
+        im1t = resample_ops.translate_resample(
+            im1, t_cand, order=1, cval=jnp.nan
+        )
+        mask = (~jnp.isnan(im1t)) & (~im0nm)
+        mask_sum = jnp.sum(mask)
+        frac_ok = (mask_sum > 0) & (
+            mask_sum.astype(jnp.float32)
+            / jnp.maximum(valid_pixels1.astype(jnp.float32), 1.0)
+            >= 0.1
+        )
+
+        im1t_valid = ~jnp.isnan(im1t)
+        lo1, hi1 = im_metrics._bbox_bounds_from_mask(im1t_valid)
+        lo = jnp.where(use_intersection, jnp.maximum(lo0, lo1), jnp.minimum(lo0, lo1))
+        hi = jnp.where(use_intersection, jnp.minimum(hi0, hi1), jnp.maximum(hi0, hi1))
+
+        box = im_metrics._box_mask(im0.shape, lo, hi)
+        im1t_box_max = jnp.max(
+            jnp.where(box, jnp.nan_to_num(im1t, nan=-jnp.inf), -jnp.inf)
+        )
+
+        extents = hi - lo + 1
+        min_shape = jnp.min(extents)
+        win_eff = jnp.minimum(7, min_shape - ((min_shape - 1) % 2))
+
+        im1tf = jnp.nan_to_num(im1t)
+        ssims = jnp.stack(
+            [
+                im_metrics.ssim_mean_over_box(
+                    im0f, im1tf, lo, hi, win_size=w, data_range=data_range
+                )
+                for w in (3, 5, 7)
+            ]
+        )
+        ssim_val = jnp.where(
+            win_eff >= 7, ssims[2], jnp.where(win_eff >= 5, ssims[1], ssims[0])
+        )
+        ssim_val = jnp.where(
+            (win_eff < 3) | (im1t_box_max <= im1_min), -1.0, ssim_val
+        )
+        quality = im_metrics.masked_spearman(im0, im1t - 1, mask)
+        quality = jnp.where(im1t_box_max <= im1_min, -1.0, quality)
+        ssim_val = jnp.where(frac_ok & valid, ssim_val, -jnp.inf)
+        quality = jnp.where(frac_ok & valid, quality, -1.0)
+        return ssim_val, quality
+
+    ssim_vals, quality_vals = jax.lax.map(
+        score_candidate, (t_candidates, cand_valid)
+    )
+    best = jnp.argmax(ssim_vals)
+    # all-invalid fallback: zero shift, NaN quality
+    any_valid = jnp.any(jnp.isfinite(ssim_vals))
+    t_best = jnp.where(any_valid, t_candidates[best], jnp.zeros(ndim))
+    quality = jnp.where(any_valid, quality_vals[best], jnp.nan)
+    return t_best, quality
+
+
+@partial(jax.jit, static_argnames=("upsample_factor", "region_mode"))
+def _pcc_register_core_batch(im0s, im1s, upsample_factor: int,
+                             region_mode: Optional[str] = None):
+    """vmap of :func:`_pcc_register_core` over a leading pair axis."""
+    fn = lambda a, b: _pcc_register_core(a, b, upsample_factor, region_mode)
+    return jax.vmap(fn)(im0s, im1s)
+
+
 def _evaluate_candidates_kernel(
     im0, im1, t_candidates, im0nm, valid_pixels1, data_range, im1_min,
     region_mode: str,
@@ -308,6 +456,10 @@ def phase_correlation_registration(
     masked variant when NaNs are present), expands each result into the
     ≤4^ndim sign/wrap candidate shifts, scores candidates by SSIM over the
     union/intersection box and returns the Spearman quality of the winner.
+
+    The whole pipeline executes as one jitted device computation
+    (:func:`_pcc_register_core`); set ``use_fused_core=False`` in the kwargs
+    to run the step-by-step host-orchestrated path instead.
     """
     im0 = np.asarray(
         fixed_data.data if hasattr(fixed_data, "data") else fixed_data,
@@ -318,6 +470,24 @@ def phase_correlation_registration(
         dtype=np.float32,
     )
     ndim = im0.ndim
+
+    use_fused_core = phase_corr_kwargs.pop("use_fused_core", True)
+    if use_fused_core:
+        upsample_factor = phase_corr_kwargs.pop(
+            "upsample_factor", 10 if ndim == 2 else 2
+        )
+        t_best, quality = _pcc_register_core(
+            jnp.asarray(im0),
+            jnp.asarray(im1),
+            upsample_factor=upsample_factor,
+            region_mode=disambiguate_region_mode,
+        )
+        return {
+            "affine_matrix": param_utils.affine_from_translation(
+                np.asarray(t_best, dtype=float)
+            ),
+            "quality": float(quality),
+        }
 
     im0 = np.asarray(pc_ops.rescale_intensity(im0))
     im1 = np.asarray(pc_ops.rescale_intensity(im1))
@@ -522,32 +692,18 @@ def _sel_spatial_range(sim: Sim, ranges: Dict[str, Tuple[float, float]]) -> Sim:
     return sim.isel(indexers)
 
 
-def register_pair_of_msims(
-    msim1,
-    msim2,
+def _select_and_crop_pair(
+    msim1: Msim,
+    msim2: Msim,
     transform_key,
-    points_key: str = "beads",
-    prefilter_markers: bool = False,
     registration_binning=None,
     reg_res_level=None,
     overlap_tolerance=None,
-    pairwise_reg_func: Callable = phase_correlation_registration,
-    pairwise_reg_func_kwargs: Optional[dict] = None,
 ):
-    """Register two (purely spatial) views (reference :1547-2058).
-
-    Returns dict with 'transform' (fixed world -> moving world XAffine),
-    'quality' and 'bbox' (overlap box in world coords).
-    """
-    if pairwise_reg_func_kwargs is None:
-        pairwise_reg_func_kwargs = {}
-    pairwise_reg_func_kwargs = dict(pairwise_reg_func_kwargs)
-
-    msim1 = msim1 if isinstance(msim1, Msim) else msi_utils.get_msim_from_sim(msim1, scale_factors=[])
-    msim2 = msim2 if isinstance(msim2, Msim) else msi_utils.get_msim_from_sim(msim2, scale_factors=[])
-
+    """Level/binning selection + overlap crop shared by the per-pair and
+    batched pairwise paths. Returns (sim1, sim2, reg_sims_b, lowers, uppers,
+    overlap_tolerance)."""
     spatial_dims = msi_utils.get_spatial_dims(msim1)
-    ndim = len(spatial_dims)
 
     if overlap_tolerance is None:
         overlap_tolerance = {d: 0.0 for d in spatial_dims}
@@ -635,6 +791,46 @@ def register_pair_of_msims(
         )
         for isim, sim in enumerate(reg_sims_b)
     ]
+    return sim1, sim2, reg_sims_b, lowers, uppers, overlap_tolerance
+
+
+def register_pair_of_msims(
+    msim1,
+    msim2,
+    transform_key,
+    points_key: str = "beads",
+    prefilter_markers: bool = False,
+    registration_binning=None,
+    reg_res_level=None,
+    overlap_tolerance=None,
+    pairwise_reg_func: Callable = phase_correlation_registration,
+    pairwise_reg_func_kwargs: Optional[dict] = None,
+):
+    """Register two (purely spatial) views (reference :1547-2058).
+
+    Returns dict with 'transform' (fixed world -> moving world XAffine),
+    'quality' and 'bbox' (overlap box in world coords).
+    """
+    if pairwise_reg_func_kwargs is None:
+        pairwise_reg_func_kwargs = {}
+    pairwise_reg_func_kwargs = dict(pairwise_reg_func_kwargs)
+
+    msim1 = msim1 if isinstance(msim1, Msim) else msi_utils.get_msim_from_sim(msim1, scale_factors=[])
+    msim2 = msim2 if isinstance(msim2, Msim) else msi_utils.get_msim_from_sim(msim2, scale_factors=[])
+
+    spatial_dims = msi_utils.get_spatial_dims(msim1)
+    ndim = len(spatial_dims)
+
+    sim1, sim2, reg_sims_b, lowers, uppers, overlap_tolerance = (
+        _select_and_crop_pair(
+            msim1,
+            msim2,
+            transform_key,
+            registration_binning=registration_binning,
+            reg_res_level=reg_res_level,
+            overlap_tolerance=overlap_tolerance,
+        )
+    )
 
     # signature-based dispatch (reference :1800-1978)
     phys_keywords = [
@@ -1047,17 +1243,173 @@ def compute_pairwise_registrations(
             )
         return _assign_pairwise_registrations(g_reg_computed, edges, params)
 
-    params = [
-        register_pair_of_msims_over_time(
-            msims[pair[0]], msims[pair[1]], **register_kwargs
-        )
-        if "t" in msi_utils.get_dims(msims[pair[0]])
-        else register_pair_of_msims(
-            msims[pair[0]], msims[pair[1]], **register_kwargs
-        )
-        for pair in edges
-    ]
+    params = _try_batched_phase_correlation(msims, edges, register_kwargs)
+    if params is None:
+        params = [
+            register_pair_of_msims_over_time(
+                msims[pair[0]], msims[pair[1]], **register_kwargs
+            )
+            if "t" in msi_utils.get_dims(msims[pair[0]])
+            else register_pair_of_msims(
+                msims[pair[0]], msims[pair[1]], **register_kwargs
+            )
+            for pair in edges
+        ]
     return _assign_pairwise_registrations(g_reg_computed, edges, params)
+
+
+def _try_batched_phase_correlation(msims, edges, register_kwargs):
+    """Batched pairwise registration: one fused-core dispatch per crop-shape
+    bucket instead of one per pair (SURVEY.md P1).
+
+    Eligible when the default phase-correlation registration runs with plain
+    kwargs. Returns per-edge result dicts, or None if not eligible.
+    """
+    kwargs = dict(register_kwargs)
+    pairwise_reg_func = kwargs.pop(
+        "pairwise_reg_func", phase_correlation_registration
+    )
+    reg_func_kwargs = dict(kwargs.pop("pairwise_reg_func_kwargs", None) or {})
+    kwargs.pop("points_key", None)
+    kwargs.pop("prefilter_markers", None)
+    transform_key = kwargs.pop("transform_key")
+    registration_binning = kwargs.pop("registration_binning", None)
+    reg_res_level = kwargs.pop("reg_res_level", None)
+    overlap_tolerance = kwargs.pop("overlap_tolerance", None)
+
+    if pairwise_reg_func is not phase_correlation_registration:
+        return None
+    if not set(reg_func_kwargs) <= {"upsample_factor", "disambiguate_region_mode"}:
+        return None
+    if kwargs:
+        return None
+    if not edges:
+        return []
+
+    has_t = "t" in msi_utils.get_dims(msims[0])
+    t_coords = (
+        np.asarray(msi_utils.get_sim_from_msim(msims[0]).coords["t"])
+        if has_t
+        else [None]
+    )
+
+    # per (edge, t) work units: host planning + one device resample each
+    units = []  # (edge_idx, t_idx, im0, im1, sims_px, bbox) or precomputed
+    results_direct = {}
+    bboxes = {}
+    for ei, (i, j) in enumerate(edges):
+        for ti, t in enumerate(t_coords):
+            m1 = (
+                msi_utils.multiscale_sel_coords(msims[i], {"t": t})
+                if t is not None
+                else msims[i]
+            )
+            m2 = (
+                msi_utils.multiscale_sel_coords(msims[j], {"t": t})
+                if t is not None
+                else msims[j]
+            )
+            sim1, sim2, reg_sims_b, lowers, uppers, otol = (
+                _select_and_crop_pair(
+                    m1,
+                    m2,
+                    transform_key,
+                    registration_binning=registration_binning,
+                    reg_res_level=reg_res_level,
+                    overlap_tolerance=overlap_tolerance,
+                )
+            )
+            if ei not in bboxes:
+                overlap_phys = _get_overlap_bboxes(
+                    sim1,
+                    sim2,
+                    input_transform_key=transform_key,
+                    output_transform_key=transform_key,
+                    overlap_tolerance=otol,
+                )
+                bboxes[ei] = np.array(
+                    [overlap_phys["lowers"][0], overlap_phys["uppers"][0]]
+                )
+            ndim = len(sim1.spatial_dims)
+            f_arr = reg_sims_b[0].to_numpy()
+            m_arr = reg_sims_b[1].to_numpy()
+            if np.nanmin(f_arr) == np.nanmax(f_arr) or np.nanmin(
+                m_arr
+            ) == np.nanmax(m_arr):
+                warnings.warn(
+                    "An overlap region between tiles/views is all zero or "
+                    "constant. Assuming identity transform.",
+                    UserWarning,
+                    stacklevel=2,
+                )
+                results_direct[(ei, ti)] = (np.eye(ndim + 1), np.nan)
+                continue
+            sims_px = sims_to_intrinsic_coord_system(
+                reg_sims_b[0],
+                reg_sims_b[1],
+                transform_key=transform_key,
+                overlap_bboxes=(lowers, uppers),
+            )
+            units.append((ei, ti, sims_px))
+
+    upsample_factor = reg_func_kwargs.get("upsample_factor")
+    region_mode = reg_func_kwargs.get("disambiguate_region_mode")
+
+    # bucket by crop shape and run one fused dispatch per bucket
+    buckets = {}
+    for unit in units:
+        shape = tuple(np.asarray(unit[2][0].data).shape)
+        buckets.setdefault(shape, []).append(unit)
+
+    unit_results = {}
+    for shape, bucket in buckets.items():
+        ndim = len(shape)
+        uf = upsample_factor or (10 if ndim == 2 else 2)
+        im0s = np.stack(
+            [np.asarray(u[2][0].data, dtype=np.float32) for u in bucket]
+        )
+        im1s = np.stack(
+            [np.asarray(u[2][1].data, dtype=np.float32) for u in bucket]
+        )
+        shifts, qualities = _pcc_register_core_batch(
+            jnp.asarray(im0s), jnp.asarray(im1s),
+            upsample_factor=uf, region_mode=region_mode,
+        )
+        shifts = np.asarray(shifts)
+        qualities = np.asarray(qualities)
+        for u, t_vec, q in zip(bucket, shifts, qualities):
+            ei, ti, sims_px = u
+            affine_px = param_utils.affine_from_translation(
+                np.asarray(t_vec, dtype=float)
+            )
+            affine_phys = get_affine_from_intrinsic_affine(
+                data_affine=affine_px,
+                sim_fixed=sims_px[0],
+                sim_moving=sims_px[1],
+                transform_key_fixed=transform_key,
+                transform_key_moving=transform_key,
+            )
+            unit_results[(ei, ti)] = (affine_phys, float(q))
+
+    unit_results.update(results_direct)
+
+    # assemble per-edge results (stack over t when present)
+    params = []
+    for ei in range(len(edges)):
+        mats = [unit_results[(ei, ti)][0] for ti in range(len(t_coords))]
+        quals = [unit_results[(ei, ti)][1] for ti in range(len(t_coords))]
+        if has_t:
+            transform = XAffine(
+                np.stack(mats), t_coords=np.asarray(t_coords)
+            )
+            quality = np.asarray(quals)
+        else:
+            transform = param_utils.affine_to_xaffine(mats[0])
+            quality = quals[0]
+        params.append(
+            {"transform": transform, "quality": quality, "bbox": bboxes[ei]}
+        )
+    return params
 
 
 def _assign_pairwise_registrations(g_reg_computed, edges, params):

@@ -226,3 +226,27 @@ def test_3d_singleton_z_reduction():
     # resolved param maps view coords -> corrected world coords, i.e. it
     # cancels the metadata error of (+1, -1): expect (-1, +1)
     np.testing.assert_allclose(m[1:3, 3], [-1.0, 1.0], atol=0.3)
+
+
+def test_fused_core_matches_host_path():
+    """The one-dispatch fused registration core agrees with the
+    host-orchestrated path."""
+    shift = (2.0, -3.0)
+    sim0, sim1 = _shifted_tile_pair(shift, seed=7)
+    kwargs = dict(
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+    )
+    m0 = msi_utils.get_msim_from_sim(sim0, scale_factors=[])
+    m1 = msi_utils.get_msim_from_sim(sim1, scale_factors=[])
+    res_fused = registration.register_pair_of_msims(m0, m1, **kwargs)
+    res_host = registration.register_pair_of_msims(
+        m0, m1, pairwise_reg_func_kwargs={"use_fused_core": False}, **kwargs
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_fused["transform"].squeeze()),
+        np.asarray(res_host["transform"].squeeze()),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        res_fused["quality"], res_host["quality"], atol=1e-5
+    )
