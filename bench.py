@@ -163,6 +163,35 @@ def tpu_fuse_rate(sims, transform_key, chunksize=128, repeats=3):
     return out_voxels / min(times)
 
 
+def register_grid_rate(n=6, tile=200, overlap=40, repeats=2):
+    """End-to-end register() on an n x n 2D grid; returns edges/sec."""
+    import time as _time
+
+    from multiview_stitcher_tpu import msi_utils, registration, sample_data, si_utils
+
+    sims = sample_data.generate_tiled_dataset(
+        ndim=2, N_c=1, N_t=1, tile_size=tile, tiles_x=n, tiles_y=n,
+        overlap=overlap, zoom=4, shift_scale=2.0, drift_scale=0.0,
+    )
+    msims = [msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims]
+    # warm-up (compiles the fused core for this crop shape)
+    result = registration.register(
+        msims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        reg_channel_index=0, pre_registration_pruning_method=None,
+        return_dict=True,
+    )
+    n_edges = result["pairwise_registration"]["graph"].number_of_edges()
+    times = []
+    for _ in range(repeats):
+        t0 = _time.perf_counter()
+        registration.register(
+            msims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+            reg_channel_index=0, pre_registration_pruning_method=None,
+        )
+        times.append(_time.perf_counter() - t0)
+    return n_edges / min(times), n_edges
+
+
 def pairwise_reg_rate(n_pairs=32, crop=(128, 128), repeats=3):
     import jax
     import jax.numpy as jnp
@@ -205,6 +234,15 @@ def main():
         log(f"pairwise registrations/sec (128^2 crops, x10 upsample): {reg_rate:.1f}")
     except Exception as e:  # noqa: BLE001
         log(f"pairwise bench failed: {e}")
+
+    try:
+        e2e_rate, n_edges = register_grid_rate()
+        log(
+            f"end-to-end register() 6x6 grid ({n_edges} edges incl. full "
+            f"disambiguation + global solve): {e2e_rate:.1f} edges/sec"
+        )
+    except Exception as e:  # noqa: BLE001
+        log(f"register bench failed: {e}")
 
     print(
         json.dumps(

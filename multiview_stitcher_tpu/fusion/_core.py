@@ -36,6 +36,7 @@ from multiview_stitcher_tpu.mv_graph import normalize_chunks
 from multiview_stitcher_tpu.ops import resample as resample_ops
 from multiview_stitcher_tpu.si_utils import Sim
 from multiview_stitcher_tpu.utils import misc as misc_utils
+from multiview_stitcher_tpu.utils import profiling
 
 BoundingBox = Dict[str, Dict[str, Union[float, int]]]
 
@@ -861,27 +862,29 @@ def fuse(
 
         plan_key = tuple(np.asarray(m).tobytes() for m in param_mats)
         if plan_key not in plan_cache:
-            views_bb = [
-                si_utils.get_stack_properties_from_sim(s) for s in field_sims
-            ]
-            chunk_bbs, block_indices = mv_graph.get_chunk_bbs(
-                output_stack_properties, output_chunksize
-            )
-            chunk_bbs_ov = [
-                _extend_bb(bb, overlap_in_pixels) for bb in chunk_bbs
-            ]
-            plan_cache[plan_key] = _build_spatial_fusion_plan(
-                sparams=param_mats,
-                views_bb=views_bb,
-                output_stack_properties=output_stack_properties,
-                output_chunksize=output_chunksize,
-                output_chunk_bbs=chunk_bbs,
-                output_chunk_bbs_with_overlap=chunk_bbs_ov,
-                block_indices=block_indices,
-                overlap_in_pixels=overlap_in_pixels,
-                interpolation_order=interpolation_order,
-                sdims=sdims,
-            )
+            with profiling.stage("fuse.plan"):
+                views_bb = [
+                    si_utils.get_stack_properties_from_sim(s)
+                    for s in field_sims
+                ]
+                chunk_bbs, block_indices = mv_graph.get_chunk_bbs(
+                    output_stack_properties, output_chunksize
+                )
+                chunk_bbs_ov = [
+                    _extend_bb(bb, overlap_in_pixels) for bb in chunk_bbs
+                ]
+                plan_cache[plan_key] = _build_spatial_fusion_plan(
+                    sparams=param_mats,
+                    views_bb=views_bb,
+                    output_stack_properties=output_stack_properties,
+                    output_chunksize=output_chunksize,
+                    output_chunk_bbs=chunk_bbs,
+                    output_chunk_bbs_with_overlap=chunk_bbs_ov,
+                    block_indices=block_indices,
+                    overlap_in_pixels=overlap_in_pixels,
+                    interpolation_order=interpolation_order,
+                    sdims=sdims,
+                )
         plan = plan_cache[plan_key]
 
         ns_idx = tuple(

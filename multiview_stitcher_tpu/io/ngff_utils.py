@@ -141,6 +141,16 @@ def write_sim_to_ome_zarr(
             ]
             curr = msi_utils._coarsen_mean(curr, factors)
         level_url = f"{output_zarr_url}/{level}"
+        if not overwrite:
+            # the zarr store is the checkpoint: keep existing levels and only
+            # complete missing ones (reference ngff_utils.py:1579-1582)
+            try:
+                existing = zarr_backend.open_zarr_array(level_url)
+                if tuple(existing.shape) == tuple(curr.shape):
+                    curr = np.asarray(existing)
+                    continue
+            except FileNotFoundError:
+                pass
         level_chunks = [min(c, s) for c, s in zip(chunks, curr.shape)]
         arr = zarr_backend.create_zarr_array(
             level_url,

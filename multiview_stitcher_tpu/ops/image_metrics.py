@@ -98,6 +98,49 @@ def _box_mask(shape, los, his):
     return mask
 
 
+def ssim_fixed_maps(im0, win_size: int):
+    """Precompute the fixed-image filter maps (ux, uxx) reused across many
+    moving images (candidate translations)."""
+    im0 = jnp.asarray(im0, dtype=jnp.float32)
+    filt = lambda x: uniform_filter(x, win_size)
+    return filt(im0), filt(im0 * im0)
+
+
+def ssim_map_precomputed(im0, ux, uxx, im1, win_size: int, data_range: float):
+    """SSIM map against a moving image using precomputed fixed maps."""
+    im0 = jnp.asarray(im0, dtype=jnp.float32)
+    im1 = jnp.asarray(im1, dtype=jnp.float32)
+    ndim = im0.ndim
+    NP = win_size**ndim
+    cov_norm = NP / (NP - 1)
+    filt = lambda x: uniform_filter(x, win_size)
+    uy = filt(im1)
+    uyy = filt(im1 * im1)
+    uxy = filt(im0 * im1)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    K1, K2 = 0.01, 0.03
+    C1 = (K1 * data_range) ** 2
+    C2 = (K2 * data_range) ** 2
+    A1 = 2 * ux * uy + C1
+    A2 = 2 * vxy + C2
+    B1 = ux**2 + uy**2 + C1
+    B2 = vx + vy + C2
+    return (A1 * A2) / (B1 * B2)
+
+
+def ssim_mean_over_box_precomputed(
+    im0, ux, uxx, im1, los, his, win_size: int, data_range: float
+):
+    pad = (win_size - 1) // 2
+    smap = ssim_map_precomputed(im0, ux, uxx, im1, win_size, data_range)
+    interior = _box_mask(im0.shape, los + pad, his - pad)
+    n = jnp.sum(interior)
+    total = jnp.sum(jnp.where(interior, smap, 0.0))
+    return jnp.where(n > 0, total / jnp.maximum(n, 1), -1.0)
+
+
 def ssim_mean_over_box(im0, im1, los, his, win_size: int, data_range: float):
     """Mean SSIM over box [lo, hi], cropping pad from each side.
 

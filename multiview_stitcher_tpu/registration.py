@@ -49,6 +49,7 @@ from multiview_stitcher_tpu.ops import phase_correlation as pc_ops
 from multiview_stitcher_tpu.ops import resample as resample_ops
 from multiview_stitcher_tpu.param_utils import XAffine
 from multiview_stitcher_tpu.si_utils import Sim
+from multiview_stitcher_tpu.utils import profiling
 from multiview_stitcher_tpu.utils.misc import has_keyword
 
 logger = logging.getLogger(__name__)
@@ -301,17 +302,31 @@ def _pcc_register_core(im0_raw, im1_raw, upsample_factor: int,
     im0_valid = ~im0nm
     lo0, hi0 = im_metrics._bbox_bounds_from_mask(im0_valid)
     im0f = jnp.nan_to_num(im0)
+    # fixed-image SSIM filter maps are candidate-independent: compute once
+    im0_ssim_maps = {
+        w: im_metrics.ssim_fixed_maps(im0f, w) for w in (3, 5, 7)
+    }
 
     if region_mode is None:
         use_intersection = has_nans
     else:
         use_intersection = jnp.asarray(region_mode == "intersection")
 
+    # candidate translations are pure shifts: resample via the separable
+    # banded-matmul kernel (MXU) on the NaN-filled image + its validity mask
+    im1_mask = (~im1nm).astype(jnp.float32)
+    im1_filled = jnp.nan_to_num(im1)
+
     def score_candidate(args):
         t_cand, valid = args
-        im1t = resample_ops.translate_resample(
-            im1, t_cand, order=1, cval=jnp.nan
+        diag = jnp.ones(ndim, dtype=jnp.float32)
+        data_t = resample_ops.separable_axis_aligned_resample(
+            im1_filled, diag, t_cand, im1.shape, cval=jnp.nan
         )
+        mask_t = resample_ops.separable_axis_aligned_resample(
+            im1_mask, diag, t_cand, im1.shape, cval=0.0
+        )
+        im1t = jnp.where(mask_t >= 1.0 - 1e-4, data_t, jnp.nan)
         mask = (~jnp.isnan(im1t)) & (~im0nm)
         mask_sum = jnp.sum(mask)
         frac_ok = (mask_sum > 0) & (
@@ -335,16 +350,18 @@ def _pcc_register_core(im0_raw, im1_raw, upsample_factor: int,
         win_eff = jnp.minimum(7, min_shape - ((min_shape - 1) % 2))
 
         im1tf = jnp.nan_to_num(im1t)
-        ssims = jnp.stack(
-            [
-                im_metrics.ssim_mean_over_box(
-                    im0f, im1tf, lo, hi, win_size=w, data_range=data_range
-                )
-                for w in (3, 5, 7)
-            ]
-        )
-        ssim_val = jnp.where(
-            win_eff >= 7, ssims[2], jnp.where(win_eff >= 5, ssims[1], ssims[0])
+
+        def ssim_branch(w):
+            ux, uxx = im0_ssim_maps[w]
+            return lambda: im_metrics.ssim_mean_over_box_precomputed(
+                im0f, ux, uxx, im1tf, lo, hi, win_size=w,
+                data_range=data_range,
+            )
+
+        # only the admissible window size is evaluated (lax.switch)
+        win_idx = jnp.where(win_eff >= 7, 2, jnp.where(win_eff >= 5, 1, 0))
+        ssim_val = jax.lax.switch(
+            win_idx, [ssim_branch(w) for w in (3, 5, 7)]
         )
         ssim_val = jnp.where(
             (win_eff < 3) | (im1t_box_max <= im1_min), -1.0, ssim_val
@@ -1112,12 +1129,13 @@ def register(
             for param in [registration_binning, overlap_tolerance]
         ]
 
-    g = mv_graph.build_view_adjacency_graph_from_msims(
-        msims_reg,
-        transform_key=transform_key,
-        pairs=pairs,
-        overlap_tolerance=overlap_tolerance,
-    )
+    with profiling.stage("register.adjacency_graph"):
+        g = mv_graph.build_view_adjacency_graph_from_msims(
+            msims_reg,
+            transform_key=transform_key,
+            pairs=pairs,
+            overlap_tolerance=overlap_tolerance,
+        )
 
     if pre_registration_pruning_method is not None:
         g_reg = mv_graph.prune_view_adjacency_graph(
@@ -1128,20 +1146,21 @@ def register(
     else:
         g_reg = g
 
-    g_reg_computed = compute_pairwise_registrations(
-        msims_reg,
-        g_reg,
-        transform_key=transform_key,
-        points_key=points_key,
-        prefilter_markers=prefilter_markers,
-        registration_binning=registration_binning,
-        reg_res_level=reg_res_level,
-        overlap_tolerance=overlap_tolerance,
-        pairwise_reg_func=pairwise_reg_func,
-        pairwise_reg_func_kwargs=pairwise_reg_func_kwargs,
-        n_parallel_pairwise_regs=n_parallel_pairwise_regs,
-        pairwise_executor=pairwise_executor,
-    )
+    with profiling.stage("register.pairwise_registrations"):
+        g_reg_computed = compute_pairwise_registrations(
+            msims_reg,
+            g_reg,
+            transform_key=transform_key,
+            points_key=points_key,
+            prefilter_markers=prefilter_markers,
+            registration_binning=registration_binning,
+            reg_res_level=reg_res_level,
+            overlap_tolerance=overlap_tolerance,
+            pairwise_reg_func=pairwise_reg_func,
+            pairwise_reg_func_kwargs=pairwise_reg_func_kwargs,
+            n_parallel_pairwise_regs=n_parallel_pairwise_regs,
+            pairwise_executor=pairwise_executor,
+        )
 
     if post_registration_do_quality_filter:
         g_reg_computed = mv_graph.filter_edges(
@@ -1150,13 +1169,14 @@ def register(
             weight_key="quality",
         )
 
-    params_dict, groupwise_resolution_info_dict = (
-        param_resolution.groupwise_resolution(
-            g_reg_computed,
-            method=groupwise_resolution_method,
-            **groupwise_resolution_kwargs,
+    with profiling.stage("register.groupwise_resolution"):
+        params_dict, groupwise_resolution_info_dict = (
+            param_resolution.groupwise_resolution(
+                g_reg_computed,
+                method=groupwise_resolution_method,
+                **groupwise_resolution_kwargs,
+            )
         )
-    )
     params = [params_dict[iview] for iview in sorted(g_reg_computed.nodes())]
 
     if reduced_dim is not None:
@@ -1365,15 +1385,16 @@ def _try_batched_phase_correlation(msims, edges, register_kwargs):
     for shape, bucket in buckets.items():
         ndim = len(shape)
         uf = upsample_factor or (10 if ndim == 2 else 2)
-        im0s = np.stack(
-            [np.asarray(u[2][0].data, dtype=np.float32) for u in bucket]
+        # stack on device: crops from sims_to_intrinsic_coord_system are
+        # already device arrays — avoid a host round trip per pair
+        im0s = jnp.stack(
+            [jnp.asarray(u[2][0].data, dtype=jnp.float32) for u in bucket]
         )
-        im1s = np.stack(
-            [np.asarray(u[2][1].data, dtype=np.float32) for u in bucket]
+        im1s = jnp.stack(
+            [jnp.asarray(u[2][1].data, dtype=jnp.float32) for u in bucket]
         )
         shifts, qualities = _pcc_register_core_batch(
-            jnp.asarray(im0s), jnp.asarray(im1s),
-            upsample_factor=uf, region_mode=region_mode,
+            im0s, im1s, upsample_factor=uf, region_mode=region_mode,
         )
         shifts = np.asarray(shifts)
         qualities = np.asarray(qualities)
