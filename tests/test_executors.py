@@ -1,0 +1,90 @@
+import numpy as np
+import pytest
+
+from multiview_stitcher_tpu import msi_utils, registration, si_utils
+from multiview_stitcher_tpu.io import ngff_utils
+from multiview_stitcher_tpu.parallel import executors
+
+
+def _write_tiles(tmp_path, shift=(1.5, -2.0)):
+    rng = np.random.default_rng(0)
+    from scipy.ndimage import gaussian_filter
+
+    scene = (gaussian_filter(rng.random((80, 150)), 1.2) * 1000).astype(
+        np.uint16
+    )
+    t0, t1 = scene[:, :90], scene[:, 60:]
+    specs = []
+    for i, (tile, x0) in enumerate([(t0, 0.0), (t1, 60.0)]):
+        url = str(tmp_path / f"tile{i}.ome.zarr")
+        s = si_utils.get_sim_from_array(
+            tile, dims=("y", "x"), translation={"y": 0.0, "x": x0},
+            scale={"y": 1.0, "x": 1.0},
+        )
+        ngff_utils.write_sim_to_ome_zarr(s, url, overwrite=True)
+        origin = {"y": 0.0, "x": x0}
+        if i == 1:
+            origin = {"y": shift[0], "x": x0 + shift[1]}
+        specs.append(executors.SourceSpec(url=url, origin=origin))
+    return scene, specs
+
+
+def test_spec_roundtrip(tmp_path):
+    scene, specs = _write_tiles(tmp_path)
+    js = specs[0].to_json()
+    back = executors.SourceSpec.from_json(js)
+    msim = back.open_msim()
+    sim = msi_utils.get_sim_from_msim(msim)
+    assert sim.sizes["x"] == 90
+
+
+def test_spec_pairwise_executor(tmp_path):
+    """register() with work shipped through JSON specs matches local run."""
+    shift = (1.5, -2.0)
+    scene, specs = _write_tiles(tmp_path, shift)
+    msims = [spec.open_msim() for spec in specs]
+
+    executor = executors.make_spec_pairwise_executor(specs)
+    params = registration.register(
+        msims,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        pairwise_executor=executor,
+    )
+    m = np.asarray(params[1].squeeze())
+    # resolved param cancels the metadata error
+    np.testing.assert_allclose(m[:2, 2], [-shift[0], -shift[1]], atol=0.3)
+
+
+def test_partition_blocks():
+    parts = [executors.partition_blocks(10, 3, i) for i in range(3)]
+    all_blocks = sorted(b for p in parts for b in p)
+    assert all_blocks == list(range(10))
+    for a in range(3):
+        for b in range(a + 1, 3):
+            assert not set(parts[a]) & set(parts[b])
+
+
+def test_multiworker_streaming_fusion(tmp_path):
+    """Two 'workers' fuse disjoint block subsets into one shared store."""
+    scene, specs = _write_tiles(tmp_path, shift=(0.0, 0.0))
+    out_url = str(tmp_path / "fused.zarr")
+
+    n_done = 0
+    for worker_index in range(2):
+        n_done += executors.fuse_block_subset(
+            specs,
+            out_url,
+            transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+            worker_index=worker_index,
+            n_workers=2,
+            output_chunksize=64,
+            create_output=True,
+        )
+    assert n_done >= 2
+
+    from multiview_stitcher_tpu.io import zarr_backend
+
+    out = np.asarray(zarr_backend.open_zarr_array(out_url))
+    assert out.shape == scene.shape
+    err = np.abs(out.astype(float) - scene.astype(float))
+    assert np.median(err) < 5
