@@ -993,6 +993,124 @@ def _fuse_chunk_batch_kernel(
     return jax.vmap(one)(slabs, mats, offs, wgrids, wmats, woffs, view_valid)
 
 
+def _plan_is_translation(sparams, ndim) -> bool:
+    for p in sparams:
+        lin = np.asarray(p)[:ndim, :ndim]
+        if not np.allclose(lin, np.eye(ndim), atol=1e-12):
+            return False
+    return True
+
+
+def _execute_fusion_plan_pallas_2d(
+    plan,
+    field_sims,
+    output_stack_properties,
+    sdims,
+    *,
+    blending_widths,
+    shrink_distance,
+    out_dtype,
+    out_sink=None,
+    tile_shape=(256, 256),
+):
+    """2D translation layouts on TPU: the whole output in ONE Pallas kernel
+    call with per-tile view lists (see ops/pallas_fusion)."""
+    from multiview_stitcher_tpu.ops import pallas_fusion
+
+    out_shape_full = tuple(
+        int(output_stack_properties["shape"][d]) for d in sdims
+    )
+    V = len(field_sims)
+    views_bb = [si_utils.get_stack_properties_from_sim(s) for s in field_sims]
+    osp_origin = np.array(
+        [output_stack_properties["origin"][d] for d in sdims]
+    )
+    osp_spacing = np.array(
+        [output_stack_properties["spacing"][d] for d in sdims]
+    )
+
+    # per-view global params
+    offs = np.zeros((V, 2), dtype=np.float32)
+    extents = np.zeros((V, 2), dtype=np.float32)
+    wdiags = np.zeros((V, 2), dtype=np.float32)
+    woffs = np.zeros((V, 2), dtype=np.float32)
+    wgrids = np.zeros((V, 5, 5), dtype=np.float32)
+    for v in range(V):
+        pm = plan["sparams"][v]
+        m, o = resample_ops.physical_to_pixel_params(
+            np.linalg.inv(pm),
+            input_spacing=np.array([views_bb[v]["spacing"][d] for d in sdims]),
+            input_origin=np.array([views_bb[v]["origin"][d] for d in sdims]),
+            output_spacing=osp_spacing,
+            output_origin=osp_origin,
+        )
+        offs[v] = o
+        extents[v] = [views_bb[v]["shape"][d] for d in sdims]
+        g, wm, wo = weights.blending_weights_pixel_params(
+            output_stack_properties,
+            views_bb[v],
+            pm,
+            blending_widths=blending_widths,
+            shrink_distance=shrink_distance,
+        )
+        wgrids[v] = g
+        wdiags[v] = np.diag(wm)
+        woffs[v] = wo
+
+    # per-kernel-tile view lists via AABB index arithmetic
+    TY, TX = tile_shape
+    n_ty = -(-out_shape_full[0] // TY)
+    n_tx = -(-out_shape_full[1] // TX)
+    tile_lists = [[[] for _ in range(n_tx)] for _ in range(n_ty)]
+    for v in range(V):
+        # tile window in output pixels: out = tilepix - off
+        lo = -offs[v] - 1
+        hi = -offs[v] + extents[v] - 1 + 1
+        ty0 = max(0, int(np.floor(lo[0] / TY)))
+        ty1 = min(n_ty - 1, int(np.floor(hi[0] / TY)))
+        tx0 = max(0, int(np.floor(lo[1] / TX)))
+        tx1 = min(n_tx - 1, int(np.floor(hi[1] / TX)))
+        for a in range(ty0, ty1 + 1):
+            for b in range(tx0, tx1 + 1):
+                tile_lists[a][b].append(v)
+    K = max(
+        1, max(len(tile_lists[a][b]) for a in range(n_ty) for b in range(n_tx))
+    )
+    view_idx = np.full((n_ty, n_tx, K), -1, dtype=np.int32)
+    for a in range(n_ty):
+        for b in range(n_tx):
+            for s, v in enumerate(tile_lists[a][b]):
+                view_idx[a, b, s] = v
+
+    tiles = np.stack(
+        [np.asarray(s.data, dtype=np.float32) for s in field_sims]
+    )
+    if np.issubdtype(tiles.dtype, np.floating):
+        tiles = np.nan_to_num(tiles)
+    tiles_padded = pallas_fusion.pad_tiles_for_pallas(tiles, tile_shape)
+
+    interpret = jax.devices()[0].platform == "cpu"
+    fused = pallas_fusion.fuse_translation_2d(
+        jnp.asarray(tiles_padded),
+        view_idx,
+        offs,
+        extents,
+        wdiags,
+        woffs,
+        wgrids,
+        out_shape=out_shape_full,
+        tile_shape=tile_shape,
+        K=K,
+        interpret=interpret,
+    )
+    result = np.nan_to_num(np.asarray(fused)).astype(out_dtype)
+    out = out_sink if out_sink is not None else np.zeros(
+        out_shape_full, dtype=out_dtype
+    )
+    out[tuple(slice(0, s) for s in out_shape_full)] = result
+    return out
+
+
 def _plan_is_axis_aligned(sparams, ndim) -> bool:
     for p in sparams:
         lin = np.asarray(p)[:ndim, :ndim]
@@ -1327,6 +1445,28 @@ def _execute_fusion_plan(
     tiles_in_memory = all(
         isinstance(s.data, (np.ndarray, jnp.ndarray)) for s in field_sims
     )
+    import os as _os
+
+    if (
+        builtin_mode == "weighted_average"
+        and weights_func is None
+        and not (fusion_func_kwargs or {})
+        and ndim == 2
+        and len(tile_shapes) == 1
+        and tiles_in_memory
+        and _plan_is_translation(plan["sparams"], ndim)
+        and _os.environ.get("MVS_TPU_PALLAS", "1") != "0"
+    ):
+        return _execute_fusion_plan_pallas_2d(
+            plan,
+            field_sims,
+            output_stack_properties,
+            sdims,
+            blending_widths=blending_widths,
+            shrink_distance=shrink_distance,
+            out_dtype=out_dtype,
+            out_sink=out_sink,
+        )
     if (
         builtin_mode is not None
         and weights_func is None

@@ -1,0 +1,235 @@
+"""Pallas TPU kernel: fused multi-view translation resample + blend (2D).
+
+The fusion hot loop for translation tile layouts (the dominant stitching
+case), written as a single-pass Pallas kernel: for each output tile, every
+contributing view's window is DMA'd from HBM into VMEM, bilinearly sampled at
+the (per-view scalar) fractional offset on the VPU, weighted by the analytic
+cosine blending profile — evaluated in-register from the 5x5 EDT-proxy grid
+via hat-function expansion (25 fused multiply-adds; no gathers) — and
+accumulated. Unlike the XLA path (which materializes (K, *chunk) resampled
+views and weights in HBM), this kernel keeps a single (TY, TX) accumulator in
+VMEM: HBM traffic is one read per contributing input pixel + one write per
+output pixel.
+
+Inputs are tiles padded by one output-tile extent of zeros on every side so
+window DMAs never clamp; validity is tracked analytically from the true
+(unpadded) coordinates, matching the NaN-outside-domain semantics of the
+reference pipeline (fusion/_core.py:1513).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fuse_tile_kernel(
+    # scalar prefetch
+    view_idx_ref,   # (n_ty, n_tx, K) int32 — per-tile view slots (-1 empty)
+    offs_ref,       # (V, 2) f32 — output pixel -> tile pixel translation
+    extents_ref,    # (V, 2) f32 — valid tile extents (pixels) per view
+    wdiags_ref,     # (V, 2) f32 — output pixel -> weight-grid pixel diag
+    woffs_ref,      # (V, 2) f32 — ... offset
+    # tensor inputs
+    tiles_ref,      # (V, HP, WP) f32 in ANY/HBM, zero-padded by (PADY, PADX)
+    wgrids_ref,     # (V, 8, 128) f32 in VMEM (5x5 grids padded)
+    # output
+    out_ref,        # (TY, TX) f32
+    # scratch
+    win_ref,        # (TY + 16, TX + 256) f32 VMEM window
+    sem,            # DMA semaphore
+    *,
+    K: int,
+    TY: int,
+    TX: int,
+    PADY: int,
+    PADX: int,
+):
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    oy0 = ty * TY
+    ox0 = tx * TX
+
+    row_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (TY, TX), 0) + oy0
+    ).astype(jnp.float32)
+    col_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (TY, TX), 1) + ox0
+    ).astype(jnp.float32)
+
+    acc = jnp.zeros((TY, TX), dtype=jnp.float32)
+    wsum = jnp.zeros((TY, TX), dtype=jnp.float32)
+
+    for k in range(K):
+        slot = view_idx_ref[ty, tx, k]
+        slot_valid = slot >= 0
+        vi = jnp.maximum(slot, 0)
+        off_y = offs_ref[vi, 0]
+        off_x = offs_ref[vi, 1]
+
+        # tile-pixel coordinates of this output tile's origin
+        cy0 = off_y + jnp.float32(oy0)
+        cx0 = off_x + jnp.float32(ox0)
+        iy0 = jnp.floor(cy0)
+        ix0 = jnp.floor(cx0)
+        fy = cy0 - iy0
+        fx = cx0 - ix0
+        # window start in the PADDED tile (pad offset = PADY/PADX);
+        # DMA starts must be aligned to the (8, 128) tiling, so copy from the
+        # aligned floor and shift the residual inside VMEM
+        wy = iy0.astype(jnp.int32) + PADY
+        wx = ix0.astype(jnp.int32) + PADX
+        hp = tiles_ref.shape[1]
+        wp = tiles_ref.shape[2]
+        wy = jnp.clip(wy, 0, hp - (TY + 16))
+        wx = jnp.clip(wx, 0, wp - (TX + 256))
+        wy_al = pl.multiple_of((wy // 8) * 8, 8)
+        wx_al = pl.multiple_of((wx // 128) * 128, 128)
+        ry = wy - wy_al
+        rx = wx - wx_al
+
+        copy = pltpu.make_async_copy(
+            tiles_ref.at[vi, pl.ds(wy_al, TY + 16), pl.ds(wx_al, TX + 256)],
+            win_ref,
+            sem,
+        )
+        copy.start()
+        copy.wait()
+
+        # residual integer shift + bilinear fraction folded into 2-banded
+        # lerp matrices, applied as MXU matmuls (dynamic VMEM offsets are not
+        # supported; matmul shifts are)
+        sy = ry.astype(jnp.float32) + fy
+        sx = rx.astype(jnp.float32) + fx
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (TY, TY + 16), 0)
+        row_j = jax.lax.broadcasted_iota(jnp.int32, (TY, TY + 16), 1)
+        sy_i = jnp.floor(sy).astype(jnp.int32)
+        sy_f = sy - jnp.floor(sy)
+        Sy = jnp.where(
+            row_j == row_i + sy_i, 1.0 - sy_f, 0.0
+        ) + jnp.where(row_j == row_i + sy_i + 1, sy_f, 0.0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (TX + 256, TX), 0)
+        col_j = jax.lax.broadcasted_iota(jnp.int32, (TX + 256, TX), 1)
+        sx_i = jnp.floor(sx).astype(jnp.int32)
+        sx_f = sx - jnp.floor(sx)
+        SxT = jnp.where(
+            col_i == col_j + sx_i, 1.0 - sx_f, 0.0
+        ) + jnp.where(col_i == col_j + sx_i + 1, sx_f, 0.0)
+        val = jnp.dot(
+            jnp.dot(Sy, win_ref[:, :], preferred_element_type=jnp.float32),
+            SxT,
+            preferred_element_type=jnp.float32,
+        )
+
+        # validity: true tile coordinates within [0, extent-1]
+        cy = row_ids + off_y
+        cx = col_ids + off_x
+        valid = (
+            (cy >= 0)
+            & (cy <= extents_ref[vi, 0] - 1)
+            & (cx >= 0)
+            & (cx <= extents_ref[vi, 1] - 1)
+            & slot_valid
+        )
+
+        # blending weight: bilinear sample of the 5x5 grid via hat expansion
+        gy = wdiags_ref[vi, 0] * row_ids + woffs_ref[vi, 0]
+        gx = wdiags_ref[vi, 1] * col_ids + woffs_ref[vi, 1]
+        w = jnp.zeros((TY, TX), dtype=jnp.float32)
+        for gi in range(5):
+            hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(gy - gi))
+            for gj in range(5):
+                hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(gx - gj))
+                w = w + wgrids_ref[vi, gi, gj] * hat_y * hat_x
+        # cosine taper of values < 1 (reference weights.py:502-509)
+        w = jnp.where(w < 1.0, (jnp.cos((1.0 - w) * np.pi) + 1.0) / 2.0, w)
+        w = jnp.clip(w, 0.0, 1.0)
+        w = jnp.where(valid, w, 0.0)
+
+        acc = acc + w * jnp.where(valid, val, 0.0)
+        wsum = wsum + w
+
+    out_ref[:, :] = acc / jnp.maximum(wsum, 1e-12)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("out_shape", "tile_shape", "K", "interpret"),
+)
+def fuse_translation_2d(
+    tiles_padded,   # (V, HP, WP) f32, zero-padded by (PADY, PADX) per side
+    view_idx,       # (n_ty, n_tx, K) int32, -1 for empty slots
+    offs,           # (V, 2) f32
+    extents,        # (V, 2) f32 — true tile extents
+    wdiags,         # (V, 2) f32
+    woffs,          # (V, 2) f32
+    wgrids,         # (V, 5, 5) f32
+    out_shape: Tuple[int, int],
+    tile_shape: Tuple[int, int] = (256, 256),
+    K: int = 4,
+    interpret: bool = False,
+):
+    """Fuse a full 2D output from translation-placed tiles (weighted average
+    with cosine blending), single pass in VMEM with per-tile view lists."""
+    TY, TX = tile_shape
+    OY, OX = out_shape
+    n_ty = -(-OY // TY)
+    n_tx = -(-OX // TX)
+    V, HP, WP = tiles_padded.shape
+    PADY, PADX = TY + 16, TX + 256
+
+    # pad the weight grids into a VMEM-friendly (K, 8, 128) layout
+    wgrids_padded = jnp.zeros((wgrids.shape[0], 8, 128), dtype=jnp.float32)
+    wgrids_padded = wgrids_padded.at[:, :5, :5].set(
+        wgrids.astype(jnp.float32)
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_ty, n_tx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),        # tiles stay in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # weight grids
+        ],
+        out_specs=pl.BlockSpec(
+            (TY, TX), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TY + 16, TX + 256), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    out = pl.pallas_call(
+        partial(
+            _fuse_tile_kernel, K=K, TY=TY, TX=TX, PADY=PADY, PADX=PADX
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_ty * TY, n_tx * TX), jnp.float32),
+        interpret=interpret,
+    )(
+        jnp.asarray(view_idx, dtype=jnp.int32),
+        jnp.asarray(offs, dtype=jnp.float32),
+        jnp.asarray(extents, dtype=jnp.float32),
+        jnp.asarray(wdiags, dtype=jnp.float32),
+        jnp.asarray(woffs, dtype=jnp.float32),
+        tiles_padded.astype(jnp.float32),
+        wgrids_padded,
+    )
+    return out[:OY, :OX]
+
+
+def pad_tiles_for_pallas(tiles: np.ndarray, tile_shape=(256, 256)):
+    """Zero-pad tiles by one window extent per side (host-side, once)."""
+    TY, TX = tile_shape
+    PADY, PADX = TY + 16, TX + 256
+    V, H, W = tiles.shape
+    padded = np.zeros((V, H + 2 * PADY, W + 2 * PADX), dtype=np.float32)
+    padded[:, PADY:PADY + H, PADX:PADX + W] = tiles
+    return padded

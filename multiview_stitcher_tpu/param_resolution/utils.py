@@ -74,7 +74,12 @@ def get_beads_graph_from_reg_graph(g_reg_subgraph, ndim: int) -> nx.Graph:
         bbox_vertices = gv * (bbox_upper - bbox_lower) + bbox_lower
         affine = _edge_transform_matrix(g_reg_subgraph.edges[e]["transform"])
         quality = g_reg_subgraph.edges[e].get("quality", 1.0)
-        quality = float(np.nanmean(np.asarray(quality, dtype=float)))
+        q_arr = np.asarray(quality, dtype=float)
+        quality = (
+            float(np.nanmean(q_arr))
+            if np.any(np.isfinite(q_arr))
+            else float("nan")
+        )
         overlap = float(g_reg_subgraph.edges[e].get("overlap", 1.0))
         g_beads.add_edge(
             sorted_e[0],

@@ -391,6 +391,29 @@ def _pcc_register_core_batch(im0s, im1s, upsample_factor: int,
     return jax.vmap(fn)(im0s, im1s)
 
 
+@partial(
+    jax.jit, static_argnames=("out_shape", "upsample_factor", "region_mode")
+)
+def _resample_and_register_batch(
+    f_crops, m_crops, fmats, foffs, mmats, moffs,
+    out_shape: tuple, upsample_factor: int,
+    region_mode: Optional[str] = None,
+):
+    """Intrinsic-space resampling of both crops + full registration for a
+    whole shape bucket in ONE dispatch (crops NaN-padded to a common shape)."""
+
+    def one(f, m, fm, fo, mm, mo):
+        im0 = resample_ops.affine_resample(
+            f.astype(jnp.float32), fm, fo, out_shape, order=1, cval=jnp.nan
+        )
+        im1 = resample_ops.affine_resample(
+            m.astype(jnp.float32), mm, mo, out_shape, order=1, cval=jnp.nan
+        )
+        return _pcc_register_core(im0, im1, upsample_factor, region_mode)
+
+    return jax.vmap(one)(f_crops, m_crops, fmats, foffs, mmats, moffs)
+
+
 def _evaluate_candidates_kernel(
     im0, im1, t_candidates, im0nm, valid_pixels1, data_range, im1_min,
     region_mode: str,
@@ -1364,52 +1387,119 @@ def _try_batched_phase_correlation(msims, edges, register_kwargs):
                 )
                 results_direct[(ei, ti)] = (np.eye(ndim + 1), np.nan)
                 continue
-            sims_px = sims_to_intrinsic_coord_system(
-                reg_sims_b[0],
-                reg_sims_b[1],
-                transform_key=transform_key,
-                overlap_bboxes=(lowers, uppers),
+
+            # intrinsic (fixed-pixel-grid) output window + per-image resample
+            # params (reference sims_to_intrinsic_coord_system, computed
+            # host-side so the resample itself joins the batched kernel)
+            sdims = reg_sims_b[0].spatial_dims
+            spacing = np.max(
+                [
+                    si_utils.get_spacing_from_sim(s, asarray=True)
+                    for s in reg_sims_b
+                ],
+                axis=0,
             )
-            units.append((ei, ti, sims_px))
+            affines = []
+            for s in reg_sims_b:
+                a = np.asarray(
+                    si_utils.get_affine_from_sim(s, transform_key).squeeze()
+                )
+                affines.append(a[0] if a.ndim == 3 else a)
+            transf_affine = np.linalg.inv(affines[1]) @ affines[0]
+            out_shape = tuple(
+                int(v)
+                for v in np.floor(
+                    np.array(uppers[0] - lowers[0]) / spacing + 1
+                ).astype(np.int64)
+            )
+            fmat, foff = resample_ops.physical_to_pixel_params(
+                np.eye(ndim + 1),
+                input_spacing=si_utils.get_spacing_from_sim(
+                    reg_sims_b[0], asarray=True
+                ),
+                input_origin=si_utils.get_origin_from_sim(
+                    reg_sims_b[0], asarray=True
+                ),
+                output_spacing=spacing,
+                output_origin=lowers[0],
+            )
+            mmat, moff = resample_ops.physical_to_pixel_params(
+                transf_affine,
+                input_spacing=si_utils.get_spacing_from_sim(
+                    reg_sims_b[1], asarray=True
+                ),
+                input_origin=si_utils.get_origin_from_sim(
+                    reg_sims_b[1], asarray=True
+                ),
+                output_spacing=spacing,
+                output_origin=lowers[0],
+            )
+            # world conversion context: the pixel grid T = A0 @ Tr(lo) @ S
+            T = (
+                affines[0]
+                @ param_utils.affine_from_translation(lowers[0])
+                @ np.diag(list(spacing) + [1])
+            )
+            units.append(
+                (
+                    ei, ti, f_arr, m_arr, fmat, foff, mmat, moff,
+                    out_shape, T,
+                )
+            )
 
     upsample_factor = reg_func_kwargs.get("upsample_factor")
     region_mode = reg_func_kwargs.get("disambiguate_region_mode")
 
-    # bucket by crop shape and run one fused dispatch per bucket
+    # bucket by output window shape; NaN-pad crops to a common input shape
     buckets = {}
     for unit in units:
-        shape = tuple(np.asarray(unit[2][0].data).shape)
-        buckets.setdefault(shape, []).append(unit)
+        buckets.setdefault(unit[8], []).append(unit)
 
     unit_results = {}
-    for shape, bucket in buckets.items():
-        ndim = len(shape)
+    for out_shape, bucket in buckets.items():
+        ndim = len(out_shape)
         uf = upsample_factor or (10 if ndim == 2 else 2)
-        # stack on device: crops from sims_to_intrinsic_coord_system are
-        # already device arrays — avoid a host round trip per pair
-        im0s = jnp.stack(
-            [jnp.asarray(u[2][0].data, dtype=jnp.float32) for u in bucket]
+        fshape = tuple(
+            max(u[2].shape[d] for u in bucket) for d in range(ndim)
         )
-        im1s = jnp.stack(
-            [jnp.asarray(u[2][1].data, dtype=jnp.float32) for u in bucket]
+        mshape = tuple(
+            max(u[3].shape[d] for u in bucket) for d in range(ndim)
         )
-        shifts, qualities = _pcc_register_core_batch(
-            im0s, im1s, upsample_factor=uf, region_mode=region_mode,
+        B = len(bucket)
+        f_crops = np.full((B,) + fshape, np.nan, dtype=np.float32)
+        m_crops = np.full((B,) + mshape, np.nan, dtype=np.float32)
+        fmats = np.zeros((B, ndim, ndim), dtype=np.float32)
+        foffs = np.zeros((B, ndim), dtype=np.float32)
+        mmats = np.zeros((B, ndim, ndim), dtype=np.float32)
+        moffs = np.zeros((B, ndim), dtype=np.float32)
+        for bi, u in enumerate(bucket):
+            f_crops[bi][tuple(slice(0, s) for s in u[2].shape)] = u[2]
+            m_crops[bi][tuple(slice(0, s) for s in u[3].shape)] = u[3]
+            fmats[bi] = u[4]
+            foffs[bi] = u[5]
+            mmats[bi] = u[6]
+            moffs[bi] = u[7]
+
+        shifts, qualities = _resample_and_register_batch(
+            jnp.asarray(f_crops),
+            jnp.asarray(m_crops),
+            jnp.asarray(fmats),
+            jnp.asarray(foffs),
+            jnp.asarray(mmats),
+            jnp.asarray(moffs),
+            out_shape,
+            uf,
+            region_mode,
         )
         shifts = np.asarray(shifts)
         qualities = np.asarray(qualities)
         for u, t_vec, q in zip(bucket, shifts, qualities):
-            ei, ti, sims_px = u
+            ei, ti = u[0], u[1]
+            T = u[9]
             affine_px = param_utils.affine_from_translation(
                 np.asarray(t_vec, dtype=float)
             )
-            affine_phys = get_affine_from_intrinsic_affine(
-                data_affine=affine_px,
-                sim_fixed=sims_px[0],
-                sim_moving=sims_px[1],
-                transform_key_fixed=transform_key,
-                transform_key_moving=transform_key,
-            )
+            affine_phys = T @ affine_px @ np.linalg.inv(T)
             unit_results[(ei, ti)] = (affine_phys, float(q))
 
     unit_results.update(results_direct)

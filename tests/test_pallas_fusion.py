@@ -1,0 +1,98 @@
+"""Pallas fused 2D translation-fusion kernel vs the XLA reference path.
+
+Runs in interpreter mode on CPU; the compiled path runs on TPU hardware.
+"""
+
+import numpy as np
+import pytest
+
+from multiview_stitcher_tpu import fusion, si_utils, weights
+from multiview_stitcher_tpu.ops import pallas_fusion
+from multiview_stitcher_tpu.ops import resample as resample_ops
+
+
+def _setup(shift=(0.3, 40.7), tile_shape=(64, 64)):
+    rng = np.random.default_rng(0)
+    tiles = rng.random((2,) + tile_shape).astype(np.float32) * 100
+    # view 0 at origin, view 1 translated
+    offsets = np.array([[0.0, 0.0], list(shift)], dtype=np.float32)
+    return tiles, offsets
+
+
+def test_pallas_matches_xla_path():
+    tile_shape = (64, 64)
+    tiles, world_offsets = _setup(tile_shape=tile_shape)
+
+    sims = [
+        si_utils.get_sim_from_array(
+            tiles[i],
+            translation={"y": float(world_offsets[i, 0]),
+                         "x": float(world_offsets[i, 1])},
+        )
+        for i in range(2)
+    ]
+    fused_ref = fusion.fuse(
+        sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+    )
+    ref = fused_ref.to_numpy().astype(np.float32)
+    osp = si_utils.get_stack_properties_from_sim(fused_ref)
+    out_shape = (osp["shape"]["y"], osp["shape"]["x"])
+
+    # build kernel inputs: per view, output pixel -> tile pixel offsets and
+    # weight-grid parameters
+    K = 2
+    offs = np.zeros((K, 2), dtype=np.float32)
+    extents = np.zeros((K, 2), dtype=np.float32)
+    wdiags = np.zeros((K, 2), dtype=np.float32)
+    woffs = np.zeros((K, 2), dtype=np.float32)
+    wgrids = np.zeros((K, 5, 5), dtype=np.float32)
+    for i, sim in enumerate(sims):
+        view_bb = si_utils.get_stack_properties_from_sim(sim)
+        m, o = resample_ops.physical_to_pixel_params(
+            np.eye(3),
+            input_spacing=np.ones(2),
+            input_origin=np.array(
+                [view_bb["origin"]["y"], view_bb["origin"]["x"]]
+            ),
+            output_spacing=np.ones(2),
+            output_origin=np.array([osp["origin"]["y"], osp["origin"]["x"]]),
+        )
+        offs[i] = o
+        extents[i] = tiles[i].shape
+        g, wm, wo = weights.blending_weights_pixel_params(
+            {
+                "origin": osp["origin"],
+                "spacing": osp["spacing"],
+                "shape": osp["shape"],
+            },
+            view_bb,
+            np.eye(3),
+        )
+        wgrids[i] = g
+        wdiags[i] = np.diag(wm)
+        woffs[i] = wo
+
+    TILE = (32, 128)
+    tiles_padded = pallas_fusion.pad_tiles_for_pallas(tiles, TILE)
+    n_ty = -(-out_shape[0] // TILE[0])
+    n_tx = -(-out_shape[1] // TILE[1])
+    view_idx = np.tile(
+        np.arange(K, dtype=np.int32), (n_ty, n_tx, 1)
+    )
+    out = np.asarray(
+        pallas_fusion.fuse_translation_2d(
+            tiles_padded,
+            view_idx,
+            offs,
+            extents,
+            wdiags,
+            woffs,
+            wgrids,
+            out_shape=out_shape,
+            tile_shape=TILE,
+            K=K,
+            interpret=True,
+        )
+    )
+    ref_f = np.nan_to_num(ref.astype(np.float32))
+    np.testing.assert_allclose(out, ref_f, rtol=1e-4, atol=1e-3)
