@@ -316,17 +316,18 @@ def _pcc_register_core(im0_raw, im1_raw, upsample_factor: int,
     # banded-matmul kernel (MXU) on the NaN-filled image + its validity mask
     im1_mask = (~im1nm).astype(jnp.float32)
     im1_filled = jnp.nan_to_num(im1)
+    diag1 = jnp.ones(ndim, dtype=jnp.float32)
 
-    def score_candidate(args):
-        t_cand, valid = args
-        diag = jnp.ones(ndim, dtype=jnp.float32)
+    def translate(t_cand):
         data_t = resample_ops.separable_axis_aligned_resample(
-            im1_filled, diag, t_cand, im1.shape, cval=jnp.nan
+            im1_filled, diag1, t_cand, im1.shape, cval=jnp.nan
         )
         mask_t = resample_ops.separable_axis_aligned_resample(
-            im1_mask, diag, t_cand, im1.shape, cval=0.0
+            im1_mask, diag1, t_cand, im1.shape, cval=0.0
         )
-        im1t = jnp.where(mask_t >= 1.0 - 1e-4, data_t, jnp.nan)
+        return jnp.where(mask_t >= 1.0 - 1e-4, data_t, jnp.nan)
+
+    def candidate_stats(im1t, valid):
         mask = (~jnp.isnan(im1t)) & (~im0nm)
         mask_sum = jnp.sum(mask)
         frac_ok = (mask_sum > 0) & (
@@ -334,16 +335,24 @@ def _pcc_register_core(im0_raw, im1_raw, upsample_factor: int,
             / jnp.maximum(valid_pixels1.astype(jnp.float32), 1.0)
             >= 0.1
         )
-
         im1t_valid = ~jnp.isnan(im1t)
         lo1, hi1 = im_metrics._bbox_bounds_from_mask(im1t_valid)
-        lo = jnp.where(use_intersection, jnp.maximum(lo0, lo1), jnp.minimum(lo0, lo1))
-        hi = jnp.where(use_intersection, jnp.minimum(hi0, hi1), jnp.maximum(hi0, hi1))
-
+        lo = jnp.where(
+            use_intersection, jnp.maximum(lo0, lo1), jnp.minimum(lo0, lo1)
+        )
+        hi = jnp.where(
+            use_intersection, jnp.minimum(hi0, hi1), jnp.maximum(hi0, hi1)
+        )
         box = im_metrics._box_mask(im0.shape, lo, hi)
         im1t_box_max = jnp.max(
             jnp.where(box, jnp.nan_to_num(im1t, nan=-jnp.inf), -jnp.inf)
         )
+        return mask, frac_ok, lo, hi, im1t_box_max
+
+    def score_candidate(args):
+        t_cand, valid = args
+        im1t = translate(t_cand)
+        mask, frac_ok, lo, hi, im1t_box_max = candidate_stats(im1t, valid)
 
         extents = hi - lo + 1
         min_shape = jnp.min(extents)
@@ -366,20 +375,24 @@ def _pcc_register_core(im0_raw, im1_raw, upsample_factor: int,
         ssim_val = jnp.where(
             (win_eff < 3) | (im1t_box_max <= im1_min), -1.0, ssim_val
         )
-        quality = im_metrics.masked_spearman(im0, im1t - 1, mask)
-        quality = jnp.where(im1t_box_max <= im1_min, -1.0, quality)
         ssim_val = jnp.where(frac_ok & valid, ssim_val, -jnp.inf)
-        quality = jnp.where(frac_ok & valid, quality, -1.0)
-        return ssim_val, quality
+        return ssim_val
 
-    ssim_vals, quality_vals = jax.lax.map(
-        score_candidate, (t_candidates, cand_valid)
-    )
+    ssim_vals = jax.lax.map(score_candidate, (t_candidates, cand_valid))
     best = jnp.argmax(ssim_vals)
-    # all-invalid fallback: zero shift, NaN quality
     any_valid = jnp.any(jnp.isfinite(ssim_vals))
     t_best = jnp.where(any_valid, t_candidates[best], jnp.zeros(ndim))
-    quality = jnp.where(any_valid, quality_vals[best], jnp.nan)
+
+    # Spearman link quality only for the winner (the reference computes it
+    # per candidate but only the argmax one is ever returned; sorts are the
+    # most expensive op on TPU, so evaluate once)
+    im1t_best = translate(t_best)
+    mask_b, frac_ok_b, _, _, box_max_b = candidate_stats(im1t_best, True)
+    quality = im_metrics.masked_spearman(im0, im1t_best - 1, mask_b)
+    quality = jnp.where(
+        (box_max_b <= im1_min) | ~frac_ok_b, -1.0, quality
+    )
+    quality = jnp.where(any_valid, quality, jnp.nan)
     return t_best, quality
 
 
