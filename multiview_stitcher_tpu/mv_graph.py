@@ -357,10 +357,13 @@ def build_view_adjacency_graph_from_msims(
 
 
 def get_node_with_maximal_edge_weight_sum_from_graph(g, weight_key):
-    total = {
-        node: np.sum([g.edges[e][weight_key] for e in g.edges if node in e])
-        for node in g.nodes
-    }
+    total = {node: 0.0 for node in g.nodes}
+    for a, b, attrs in g.edges(data=True):
+        w = float(np.nanmean(np.asarray(attrs[weight_key], dtype=float)))
+        if np.isnan(w):
+            w = 0.0
+        total[a] += w
+        total[b] += w
     return max(total, key=total.get)
 
 

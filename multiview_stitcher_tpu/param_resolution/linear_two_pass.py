@@ -78,51 +78,67 @@ def _bbox_center(edge_data, ndim: int) -> np.ndarray:
 
 
 def _solve_incidence(edges, nodes, ref_node, dim, rhs_fn, prior_lambda, lsqr_kwargs):
-    """Weighted incidence least squares: x_u - x_v ≈ rhs(edge)."""
-    slices = {}
+    """Weighted incidence least squares: x_u - x_v ≈ rhs(edge).
+
+    Vectorized sparse assembly (no per-entry Python loops) so the solve
+    scales to thousands of tiles.
+    """
+    slot = {}
     idx = 0
     for node in nodes:
         if node == ref_node:
             continue
-        slices[node] = slice(idx, idx + dim)
+        slot[node] = idx
         idx += dim
     n_params = idx
 
-    rows, cols, data, b = [], [], [], []
-    row_idx = 0
-    for edge in edges:
-        u, v, weight = edge["u"], edge["v"], edge["weight"]
-        scale = np.sqrt(weight)
-        rhs = rhs_fn(edge)
-        for k in range(dim):
-            b.append(scale * rhs[k])
-            if u != ref_node:
-                rows.append(row_idx)
-                cols.append(slices[u].start + k)
-                data.append(scale)
-            if v != ref_node:
-                rows.append(row_idx)
-                cols.append(slices[v].start + k)
-                data.append(-scale)
-            row_idx += 1
-
-    if prior_lambda > 0 and n_params > 0:
-        s = float(np.sqrt(prior_lambda))
-        for node, slc in slices.items():
-            for k in range(dim):
-                b.append(0.0)
-                rows.append(row_idx)
-                cols.append(slc.start + k)
-                data.append(s)
-                row_idx += 1
-
     values = {node: np.zeros(dim) for node in nodes}
-    if row_idx == 0 or n_params == 0:
+    if not edges or n_params == 0:
         return values
-    mat = sparse.coo_matrix((data, (rows, cols)), shape=(row_idx, n_params)).tocsr()
-    sol = lsqr(mat, np.asarray(b, dtype=float), **lsqr_kwargs)[0]
-    for node, slc in slices.items():
-        values[node] = sol[slc]
+
+    E = len(edges)
+    u_start = np.array(
+        [slot.get(e["u"], -1) for e in edges], dtype=np.int64
+    )
+    v_start = np.array(
+        [slot.get(e["v"], -1) for e in edges], dtype=np.int64
+    )
+    scales = np.sqrt(np.array([e["weight"] for e in edges], dtype=float))
+    rhs = np.array([rhs_fn(e) for e in edges], dtype=float)  # (E, dim)
+
+    row_base = np.arange(E, dtype=np.int64)[:, None] * dim + np.arange(dim)
+    b = (scales[:, None] * rhs).ravel()
+
+    rows_list, cols_list, data_list = [], [], []
+    for starts, sign in ((u_start, 1.0), (v_start, -1.0)):
+        mask = starts >= 0
+        rows_list.append(row_base[mask].ravel())
+        cols_list.append(
+            (starts[mask, None] + np.arange(dim)).ravel()
+        )
+        data_list.append(
+            np.repeat(sign * scales[mask], dim)
+        )
+    rows = np.concatenate(rows_list)
+    cols = np.concatenate(cols_list)
+    data = np.concatenate(data_list)
+    n_rows = E * dim
+
+    if prior_lambda > 0:
+        s = float(np.sqrt(prior_lambda))
+        prior_rows = n_rows + np.arange(n_params)
+        rows = np.concatenate([rows, prior_rows])
+        cols = np.concatenate([cols, np.arange(n_params)])
+        data = np.concatenate([data, np.full(n_params, s)])
+        b = np.concatenate([b, np.zeros(n_params)])
+        n_rows += n_params
+
+    mat = sparse.coo_matrix(
+        (data, (rows, cols)), shape=(n_rows, n_params)
+    ).tocsr()
+    sol = lsqr(mat, b, **lsqr_kwargs)[0]
+    for node, start in slot.items():
+        values[node] = sol[start:start + dim]
     return values
 
 

@@ -1,0 +1,90 @@
+"""North-star scale behavior: 1000-tile-class graphs through the solvers."""
+
+import time
+
+import networkx as nx
+import numpy as np
+import pytest
+
+from multiview_stitcher_tpu import param_resolution, param_utils
+
+
+def _grid_graph(nx_tiles, ny_tiles, tile=100.0, overlap=10.0, noise=0.5,
+                link_noise=0.02, seed=0):
+    rng = np.random.default_rng(seed)
+    g = nx.Graph()
+    n = nx_tiles * ny_tiles
+    truth = rng.normal(0, noise, (n, 2))
+
+    def idx(i, j):
+        return i * nx_tiles + j
+
+    step = tile - overlap
+    for i in range(ny_tiles):
+        for j in range(nx_tiles):
+            g.add_node(idx(i, j), stack_props={"spacing": {"y": 1.0, "x": 1.0}})
+    for i in range(ny_tiles):
+        for j in range(nx_tiles):
+            a = idx(i, j)
+            for di, dj in [(0, 1), (1, 0)]:
+                if i + di >= ny_tiles or j + dj >= nx_tiles:
+                    continue
+                b = idx(i + di, j + dj)
+                t = truth[b] - truth[a] + rng.normal(0, link_noise, 2)
+                lo = np.array([i * step, j * step]) + np.array([di, dj]) * step
+                hi = lo + np.array(
+                    [overlap if di else tile, overlap if dj else tile]
+                )
+                g.add_edge(
+                    a, b,
+                    transform=param_utils.affine_to_xaffine(
+                        param_utils.affine_from_translation(t)
+                    ),
+                    quality=0.9,
+                    bbox=np.array([lo, hi]),
+                    overlap=float(np.prod(hi - lo)),
+                )
+    return g, truth
+
+
+def test_linear_two_pass_1024_tiles_fast_and_accurate():
+    g, truth = _grid_graph(32, 32)
+    n = 1024
+    t0 = time.perf_counter()
+    params, info = param_resolution.groupwise_resolution(
+        g, method="linear_two_pass", transform="translation"
+    )
+    dt = time.perf_counter() - t0
+    rec = np.array([np.asarray(params[i].squeeze())[:2, 2] for i in range(n)])
+    err = (rec + truth) - (rec + truth).mean(axis=0)
+    rms = float(np.sqrt((err**2).mean()))
+    assert rms < 0.05  # at the 0.02 link-noise floor
+    assert dt < 10.0
+
+
+def test_global_optimization_100_tiles():
+    g, truth = _grid_graph(10, 10)
+    params, info = param_resolution.groupwise_resolution(
+        g, method="global_optimization", transform="translation"
+    )
+    rec = np.array([np.asarray(params[i].squeeze())[:2, 2] for i in range(100)])
+    err = (rec + truth) - (rec + truth).mean(axis=0)
+    assert float(np.sqrt((err**2).mean())) < 0.05
+
+
+def test_linear_two_pass_rejects_bad_edge():
+    g, truth = _grid_graph(6, 6)
+    # corrupt one edge badly
+    e = list(g.edges)[5]
+    g.edges[e]["transform"] = param_utils.affine_to_xaffine(
+        param_utils.affine_from_translation([25.0, -30.0])
+    )
+    params, info = param_resolution.groupwise_resolution(
+        g, method="linear_two_pass", transform="translation"
+    )
+    rec = np.array([np.asarray(params[i].squeeze())[:2, 2] for i in range(36)])
+    err = (rec + truth) - (rec + truth).mean(axis=0)
+    assert float(np.sqrt((err**2).mean())) < 0.2
+    # the corrupted edge is not among the kept edges
+    kept = {tuple(sorted(k)) for k in info["used_edges"][0]}
+    assert tuple(sorted(e)) not in kept
