@@ -47,3 +47,13 @@ def save_sim_as_tif(path, sim):
     from multiview_stitcher_tpu.io import tif_utils
 
     return tif_utils.save_sim_as_tif(path, sim)
+
+
+def get_number_of_scenes_in_mosaic(filepath) -> int:
+    """Number of scenes in a mosaic file (reference io.py:57)."""
+    filepath = Path(filepath)
+    if filepath.suffix == ".czi":
+        from multiview_stitcher_tpu.io import czi_utils
+
+        return czi_utils.get_czi_shape(filepath).get("S", 1)
+    return 1

@@ -392,11 +392,68 @@ def read_sim_from_ome_zarr(
     return sim
 
 
+TRANSFORMS_ATTR_KEY = "multiview_stitcher_tpu:transforms"
+
+
+def _transforms_to_json(transforms: dict) -> dict:
+    out = {}
+    for key, xaff in transforms.items():
+        out[key] = {
+            "data": np.asarray(xaff.data).tolist(),
+            "t_coords": (
+                None
+                if xaff.t_coords is None
+                else np.asarray(xaff.t_coords).tolist()
+            ),
+        }
+    return out
+
+
+def _transforms_from_json(payload: dict) -> dict:
+    from multiview_stitcher_tpu.param_utils import XAffine
+
+    out = {}
+    for key, entry in payload.items():
+        out[key] = XAffine(
+            np.asarray(entry["data"], dtype=float),
+            t_coords=(
+                None
+                if entry.get("t_coords") is None
+                else np.asarray(entry["t_coords"])
+            ),
+        )
+    return out
+
+
+def update_msim_transforms_zarr(msim_or_transforms, zarr_path):
+    """Persist transform keys into the store's group attrs.
+
+    NGFF 0.4/0.5 cannot store affines (reference docs/data_formats.md:35);
+    the reference keeps them as datatree data variables — here they live
+    under the ``multiview_stitcher_tpu:transforms`` group attribute.
+    Reference: msi_utils.update_msim_transforms_zarr:247.
+    """
+    import json as _json
+    import os as _os
+
+    transforms = (
+        msim_or_transforms.transforms
+        if hasattr(msim_or_transforms, "transforms")
+        else msim_or_transforms
+    )
+    attrs, zarr_format = zarr_backend.read_group_metadata(str(zarr_path))
+    attrs[TRANSFORMS_ATTR_KEY] = _transforms_to_json(transforms)
+    zarr_backend.write_group_metadata(
+        str(zarr_path), attrs, zarr_format=zarr_format
+    )
+
+
 def read_msim_from_ome_zarr(
     zarr_path,
     transform_key: str = si_utils.DEFAULT_TRANSFORM_KEY,
 ) -> Msim:
-    """Read all resolution levels as a lazy msim."""
+    """Read all resolution levels as a lazy msim (restoring stored
+    transform keys when present)."""
     attrs, _ = zarr_backend.read_group_metadata(str(zarr_path))
     ms, _ = _parse_multiscales(attrs)
     sims = [
@@ -405,13 +462,18 @@ def read_msim_from_ome_zarr(
         )
         for level in range(len(ms["datasets"]))
     ]
-    return Msim(sims=sims)
+    msim = Msim(sims=sims)
+    if TRANSFORMS_ATTR_KEY in attrs:
+        msim.transforms.update(
+            _transforms_from_json(attrs[TRANSFORMS_ATTR_KEY])
+        )
+    return msim
 
 
 def write_msim_to_ome_zarr(msim: Msim, output_zarr_url: str, **kwargs) -> Msim:
-    """Write scale0 (pyramid regenerated on write) and reopen lazily."""
+    """Write scale0 (pyramid regenerated on write), persist transform keys,
+    and reopen lazily."""
     sim = msi_utils.get_sim_from_msim(msim, scale="scale0")
     write_sim_to_ome_zarr(sim, output_zarr_url, **kwargs)
-    out = read_msim_from_ome_zarr(output_zarr_url)
-    out.transforms = {k: v.copy() for k, v in msim.transforms.items()}
-    return out
+    update_msim_transforms_zarr(msim, output_zarr_url)
+    return read_msim_from_ome_zarr(output_zarr_url)

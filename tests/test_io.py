@@ -123,3 +123,25 @@ def test_streaming_fusion_zarr_backed_inputs(tmp_path):
     np.testing.assert_allclose(
         fused.to_numpy().astype(int), full.astype(int), atol=1
     )
+
+
+def test_msim_transform_persistence(tmp_path):
+    """Transform keys survive an msim zarr round trip (group attrs)."""
+    import numpy as np
+
+    from multiview_stitcher_tpu import msi_utils, param_utils, si_utils
+    from multiview_stitcher_tpu.io import ngff_utils
+
+    sim = si_utils.get_sim_from_array(
+        np.random.randint(0, 100, (64, 64), dtype=np.uint16)
+    )
+    msim = msi_utils.get_msim_from_sim(sim, scale_factors=[])
+    aff = param_utils.affine_from_translation([2.5, -1.5])
+    msi_utils.set_affine_transform(msim, aff, transform_key="registered")
+    url = str(tmp_path / "persist.ome.zarr")
+    out = ngff_utils.write_msim_to_ome_zarr(msim, url, overwrite=True)
+    assert "registered" in out.transforms
+    np.testing.assert_allclose(out.transforms["registered"].squeeze(), aff)
+    # reopen from disk fresh
+    again = ngff_utils.read_msim_from_ome_zarr(url)
+    np.testing.assert_allclose(again.transforms["registered"].squeeze(), aff)
