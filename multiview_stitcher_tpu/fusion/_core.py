@@ -1226,7 +1226,14 @@ def _execute_fusion_plan_tiles(
         use_bw,
         np.dtype(out_dtype),
     )
-    results = np.asarray(jax.device_get(fused_all))
+    # parallel per-chunk fetches: remote/tunneled devices serve concurrent
+    # transfer streams faster than one large copy
+    from concurrent.futures import ThreadPoolExecutor
+
+    chunk_slices = [fused_all[i] for i in range(C)]
+    with ThreadPoolExecutor(min(8, max(1, C))) as ex:
+        results = list(ex.map(np.asarray, chunk_slices))
+    results = np.stack(results)
 
     for entry, fused in zip(entries, results):
         chunk_bb = entry["output_bb"]

@@ -359,9 +359,9 @@ def build_view_adjacency_graph_from_msims(
 def get_node_with_maximal_edge_weight_sum_from_graph(g, weight_key):
     total = {node: 0.0 for node in g.nodes}
     for a, b, attrs in g.edges(data=True):
-        w = float(np.nanmean(np.asarray(attrs[weight_key], dtype=float)))
-        if np.isnan(w):
-            w = 0.0
+        w_arr = np.asarray(attrs[weight_key], dtype=float)
+        finite = w_arr[np.isfinite(w_arr)]
+        w = float(finite.mean()) if finite.size else 0.0
         total[a] += w
         total[b] += w
     return max(total, key=total.get)

@@ -255,7 +255,7 @@ def content_based_dct(
         otf_support_fraction=otf_support_fraction,
         exponent=exponent,
     )
-    quality_maps = np.asarray(quality_maps)
+    quality_maps = np.array(quality_maps)
 
     quality_maps -= np.nanmin(quality_maps, axis=0)
     quality_maps = normalize_weights(quality_maps)
