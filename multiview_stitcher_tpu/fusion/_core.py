@@ -1227,13 +1227,18 @@ def _execute_fusion_plan_tiles(
         np.dtype(out_dtype),
     )
     # parallel per-chunk fetches: remote/tunneled devices serve concurrent
-    # transfer streams faster than one large copy
+    # transfer streams faster than one large copy; fall back to a single
+    # transfer if the backend rejects concurrent reads
     from concurrent.futures import ThreadPoolExecutor
 
-    chunk_slices = [fused_all[i] for i in range(C)]
-    with ThreadPoolExecutor(min(8, max(1, C))) as ex:
-        results = list(ex.map(np.asarray, chunk_slices))
-    results = np.stack(results)
+    try:
+        jax.block_until_ready(fused_all)
+        chunk_slices = [fused_all[i] for i in range(C)]
+        with ThreadPoolExecutor(min(8, max(1, C))) as ex:
+            results = list(ex.map(np.asarray, chunk_slices))
+        results = np.stack(results)
+    except Exception:  # noqa: BLE001
+        results = np.asarray(jax.device_get(fused_all))
 
     for entry, fused in zip(entries, results):
         chunk_bb = entry["output_bb"]

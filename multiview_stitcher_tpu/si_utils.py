@@ -200,7 +200,12 @@ class Sim:
         assert dim not in self.dims
         order = [d for d in ALL_DIMS if d == dim or d in self.dims]
         axis = order.index(dim)
-        data = np.expand_dims(self.to_numpy(), axis=axis)
+        if _is_lazy(self.data):
+            from multiview_stitcher_tpu import zarr_utils
+
+            data = zarr_utils.expand_dims(self.data, axis=axis)
+        else:
+            data = np.expand_dims(self.to_numpy(), axis=axis)
         new_coords = {k: np.asarray(v).copy() for k, v in self.coords.items()}
         new_coords[dim] = (
             np.asarray(coords) if coords is not None else np.arange(1)
@@ -559,10 +564,21 @@ def _merge_transforms(sims: Sequence[Sim], dim: str, coords) -> Dict[str, XAffin
 
 
 def concat(sims: Sequence[Sim], dim: str) -> Sim:
-    """Concatenate sims along an existing or new non-spatial dim."""
+    """Concatenate sims along an existing or new non-spatial dim.
+
+    When every input is lazily backed (zarr/tensorstore handles), the result
+    stays lazy through a virtual index-mapping view (reference keeps
+    zarr-backing via virtual stores, spatial_image_utils.py:1356 /
+    SURVEY.md Appendix D).
+    """
     sims = [ensure_dim(s, dim) for s in sims]
     axis = sims[0].dim_index(dim)
-    data = np.concatenate([s.to_numpy() for s in sims], axis=axis)
+    if all(_is_lazy(s.data) for s in sims):
+        from multiview_stitcher_tpu import zarr_utils
+
+        data = zarr_utils.concatenate([s.data for s in sims], axis=axis)
+    else:
+        data = np.concatenate([s.to_numpy() for s in sims], axis=axis)
     coords = np.concatenate([np.asarray(s.coords[dim]) for s in sims])
     out = sims[0].copy(data=data)
     out.coords[dim] = coords

@@ -144,3 +144,27 @@ def supports_process_scheduler() -> bool:
         return True
     except ValueError:
         return False
+
+
+def process_batch_using_joblib(func: Callable, batch: Sequence, n_workers: int = 4,
+                               backend: str = "loky") -> list:
+    """joblib batch executor (optional dependency; reference misc_utils.py:184)."""
+    try:
+        from joblib import Parallel, delayed
+    except ImportError as e:
+        raise ImportError("joblib is not installed") from e
+    return Parallel(n_jobs=n_workers, backend=backend)(
+        delayed(func)(item) for item in batch
+    )
+
+
+def process_batch_using_ray(func: Callable, batch: Sequence) -> list:
+    """ray batch executor (optional dependency; reference misc_utils.py:161)."""
+    try:
+        import ray
+    except ImportError as e:
+        raise ImportError("ray is not installed") from e
+    if not ray.is_initialized():
+        ray.init(ignore_reinit_error=True)
+    remote_func = ray.remote(func)
+    return ray.get([remote_func.remote(item) for item in batch])

@@ -445,3 +445,35 @@ def view_ome_zarr(image_path: str, port: int = 8000, **kwargs):
     return view_neuroglancer(
         ome_zarr_paths=[str(image_path)], port=port, **kwargs
     )
+
+
+def serve_dir_https(dir_path: str, port: int = 8000, host: str = "127.0.0.1",
+                    certfile: str = "cert.pem", keyfile: str = "key.pem"):
+    """HTTPS variant of :func:`serve_dir` (reference vis_utils.py:1118)."""
+    import ssl
+
+    handler = lambda *args, **kw: _CORSHandler(
+        *args, directory=str(dir_path), **kw
+    )
+    server = socketserver.ThreadingTCPServer((host, port), handler)
+    server.daemon_threads = True
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certfile=certfile, keyfile=keyfile)
+    server.socket = ctx.wrap_socket(server.socket, server_side=True)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, thread
+
+
+def get_contrast_min_max_from_ome_zarr_omero_metadata(ome_zarr_path):
+    """Per-channel (start, end) display windows from omero metadata
+    (reference vis_utils.py:1188)."""
+    from multiview_stitcher_tpu.io import zarr_backend
+
+    attrs, _ = zarr_backend.read_group_metadata(str(ome_zarr_path))
+    if "omero" not in attrs:
+        return None
+    return [
+        (ch["window"]["start"], ch["window"]["end"])
+        for ch in attrs["omero"]["channels"]
+    ]

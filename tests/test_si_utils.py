@@ -145,3 +145,29 @@ class TestMsi:
         msi_utils.set_affine_transform(msim, aff, transform_key="reg")
         out = msi_utils.get_sim_from_msim(msim, scale="scale0")
         np.testing.assert_allclose(out.transforms["reg"].squeeze(), aff)
+
+
+def test_lazy_concat_stays_lazy(tmp_path):
+    """Concatenating zarr-backed sims along c keeps them lazily backed."""
+    from multiview_stitcher_tpu.io import ngff_utils
+
+    arrs = []
+    sims = []
+    for i in range(2):
+        data = np.random.randint(0, 100, (32, 32), dtype=np.uint16)
+        s = si_utils.get_sim_from_array(data)
+        lazy = ngff_utils.write_sim_to_ome_zarr(
+            s, str(tmp_path / f"t{i}.ome.zarr"), overwrite=True
+        )
+        arrs.append(data)
+        sims.append(lazy)
+    combined = si_utils.stack(sims, "c")
+    assert not isinstance(combined.data, np.ndarray)
+    assert combined.sizes["c"] == 2
+    np.testing.assert_array_equal(
+        combined.to_numpy(), np.stack(arrs)
+    )
+    # windowed read stays windowed
+    np.testing.assert_array_equal(
+        np.asarray(combined.data[1, 4:8, 2:6]), arrs[1][4:8, 2:6]
+    )
