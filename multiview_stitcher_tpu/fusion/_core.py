@@ -689,6 +689,8 @@ def fuse(
     output_zarr_url: Optional[str] = None,
     zarr_options: Optional[dict] = None,
     batch_options: Optional[dict] = None,
+    backend: Optional[str] = None,
+    output_on_backend: bool = False,
     sims: Optional[Sequence] = None,
 ):
     """Fuse input views into a single image (reference fusion/_core.py:782).
@@ -696,7 +698,18 @@ def fuse(
     Eager TPU execution: the output is computed chunk by chunk through the
     fused resample+blend kernel (or streamed into zarr when
     ``output_zarr_url`` is given). Returns a Sim (or Msim for msim inputs).
+
+    ``backend``: the reference's numpy/cupy seam; here the accelerator is
+    always JAX, so only "numpy"/"jax"/None are accepted. With
+    ``output_on_backend=True`` the in-memory result stays a device (jax)
+    array instead of being copied to host.
     """
+    if backend not in (None, "numpy", "jax"):
+        raise ValueError(
+            f"Unsupported backend {backend!r}: the TPU build computes on "
+            "JAX; use backend=None and output_on_backend to control the "
+            "result placement."
+        )
     if images is None:
         if sims is None:
             raise TypeError("fuse() missing required argument 'images'")
@@ -932,6 +945,8 @@ def fuse(
                 c_coords=ns_coord_lists.get("c"),
             )
     else:
+        if output_on_backend:
+            output_array = jnp.asarray(output_array)
         out_sim = si_utils.to_spatial_image(
             output_array,
             dims=tuple(nsdims) + tuple(sdims),

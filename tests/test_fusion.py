@@ -217,3 +217,53 @@ def test_fuse_msims_multiscale():
     assert s0.shape == full.shape
     np.testing.assert_allclose(s0.to_numpy(), full, atol=1e-2)
     assert len(fused.sims) >= 2
+
+
+def test_fuse_with_nan_inputs():
+    """NaN pixels in input tiles are treated as outside-domain."""
+    full, sims = _two_tile_sims()
+    data = sims[0].to_numpy()
+    data[:5, :5] = np.nan
+    sims[0] = si_utils.get_sim_from_array(
+        data, translation={"y": 0.0, "x": 0.0}
+    )
+    fused = fusion.fuse(sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY)
+    out = fused.to_numpy()
+    # NaN-only region (covered by no valid view) -> 0 after nan_to_num
+    assert np.allclose(out[:5, :5], 0)
+    # elsewhere unchanged
+    np.testing.assert_allclose(out[10:, 10:], full[10:, 10:], atol=1e-3)
+
+
+def test_fuse_output_on_backend():
+    import jax
+
+    full, sims = _two_tile_sims()
+    fused = fusion.fuse(
+        sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_on_backend=True,
+    )
+    assert isinstance(fused.data, jax.Array)
+    np.testing.assert_allclose(np.asarray(fused.data), full, atol=1e-3)
+
+
+def test_fuse_output_stack_mode_sample():
+    _, sims3 = _two_tile_sims()
+    sims3 = [
+        si_utils.get_sim_from_array(
+            s.to_numpy()[None].repeat(4, axis=0),
+            dims=("z", "y", "x"),
+            translation={"z": 0.0, **s.origin},
+        )
+        for s in sims3
+    ]
+    props = fusion.calc_fusion_stack_properties(
+        sims3,
+        [
+            si_utils.get_affine_from_sim(s, si_utils.DEFAULT_TRANSFORM_KEY)
+            for s in sims3
+        ],
+        spacing={"z": 1.0, "y": 1.0, "x": 1.0},
+        mode="sample",
+    )
+    assert props["shape"]["z"] == 1
