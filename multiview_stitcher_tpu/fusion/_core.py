@@ -1016,7 +1016,7 @@ def _plan_is_translation(sparams, ndim) -> bool:
     return True
 
 
-def _execute_fusion_plan_pallas_2d(
+def _execute_fusion_plan_pallas(
     plan,
     field_sims,
     output_stack_properties,
@@ -1026,12 +1026,15 @@ def _execute_fusion_plan_pallas_2d(
     shrink_distance,
     out_dtype,
     out_sink=None,
-    tile_shape=(256, 256),
+    tile_shape=None,
 ):
-    """2D translation layouts on TPU: the whole output in ONE Pallas kernel
-    call with per-tile view lists (see ops/pallas_fusion)."""
+    """Translation layouts on TPU: the whole output in ONE Pallas kernel
+    call with per-tile view lists (see ops/pallas_fusion; 2D and 3D)."""
     from multiview_stitcher_tpu.ops import pallas_fusion
 
+    ndim = len(sdims)
+    if tile_shape is None:
+        tile_shape = (256, 256) if ndim == 2 else (8, 128, 256)
     out_shape_full = tuple(
         int(output_stack_properties["shape"][d]) for d in sdims
     )
@@ -1045,11 +1048,11 @@ def _execute_fusion_plan_pallas_2d(
     )
 
     # per-view global params
-    offs = np.zeros((V, 2), dtype=np.float32)
-    extents = np.zeros((V, 2), dtype=np.float32)
-    wdiags = np.zeros((V, 2), dtype=np.float32)
-    woffs = np.zeros((V, 2), dtype=np.float32)
-    wgrids = np.zeros((V, 5, 5), dtype=np.float32)
+    offs = np.zeros((V, ndim), dtype=np.float32)
+    extents = np.zeros((V, ndim), dtype=np.float32)
+    wdiags = np.zeros((V, ndim), dtype=np.float32)
+    woffs = np.zeros((V, ndim), dtype=np.float32)
+    wgrids = np.zeros((V,) + (5,) * ndim, dtype=np.float32)
     for v in range(V):
         pm = plan["sparams"][v]
         m, o = resample_ops.physical_to_pixel_params(
@@ -1073,51 +1076,57 @@ def _execute_fusion_plan_pallas_2d(
         woffs[v] = wo
 
     # per-kernel-tile view lists via AABB index arithmetic
-    TY, TX = tile_shape
-    n_ty = -(-out_shape_full[0] // TY)
-    n_tx = -(-out_shape_full[1] // TX)
-    tile_lists = [[[] for _ in range(n_tx)] for _ in range(n_ty)]
+    n_t = [
+        -(-out_shape_full[d] // tile_shape[d]) for d in range(ndim)
+    ]
+    tile_lists = {}
     for v in range(V):
-        # tile window in output pixels: out = tilepix - off
         lo = -offs[v] - 1
-        hi = -offs[v] + extents[v] - 1 + 1
-        ty0 = max(0, int(np.floor(lo[0] / TY)))
-        ty1 = min(n_ty - 1, int(np.floor(hi[0] / TY)))
-        tx0 = max(0, int(np.floor(lo[1] / TX)))
-        tx1 = min(n_tx - 1, int(np.floor(hi[1] / TX)))
-        for a in range(ty0, ty1 + 1):
-            for b in range(tx0, tx1 + 1):
-                tile_lists[a][b].append(v)
-    K = max(
-        1, max(len(tile_lists[a][b]) for a in range(n_ty) for b in range(n_tx))
-    )
-    view_idx = np.full((n_ty, n_tx, K), -1, dtype=np.int32)
-    for a in range(n_ty):
-        for b in range(n_tx):
-            for s, v in enumerate(tile_lists[a][b]):
-                view_idx[a, b, s] = v
+        hi = -offs[v] + extents[v]
+        ranges = []
+        empty = False
+        for d in range(ndim):
+            a0 = max(0, int(np.floor(lo[d] / tile_shape[d])))
+            a1 = min(n_t[d] - 1, int(np.floor(hi[d] / tile_shape[d])))
+            if a0 > a1:
+                empty = True
+                break
+            ranges.append(range(a0, a1 + 1))
+        if empty:
+            continue
+        for idx in product(*ranges):
+            tile_lists.setdefault(idx, []).append(v)
+    K = max(1, max((len(v) for v in tile_lists.values()), default=1))
+    view_idx = np.full(tuple(n_t) + (K,), -1, dtype=np.int32)
+    for idx, vs in tile_lists.items():
+        for s, v in enumerate(vs):
+            view_idx[idx + (s,)] = v
 
     tiles = np.stack(
         [np.asarray(s.data, dtype=np.float32) for s in field_sims]
     )
     if np.issubdtype(tiles.dtype, np.floating):
         tiles = np.nan_to_num(tiles)
-    tiles_padded = pallas_fusion.pad_tiles_for_pallas(tiles, tile_shape)
 
     interpret = jax.devices()[0].platform == "cpu"
-    fused = pallas_fusion.fuse_translation_2d(
-        jnp.asarray(tiles_padded),
-        view_idx,
-        offs,
-        extents,
-        wdiags,
-        woffs,
-        wgrids,
-        out_shape=out_shape_full,
-        tile_shape=tile_shape,
-        K=K,
-        interpret=interpret,
-    )
+    if ndim == 2:
+        tiles_padded = pallas_fusion.pad_tiles_for_pallas(tiles, tile_shape)
+        fused = pallas_fusion.fuse_translation_2d(
+            jnp.asarray(tiles_padded), view_idx, offs, extents,
+            wdiags, woffs, wgrids,
+            out_shape=out_shape_full, tile_shape=tile_shape, K=K,
+            interpret=interpret,
+        )
+    else:
+        tiles_padded = pallas_fusion.pad_tiles_for_pallas_3d(
+            tiles, tile_shape
+        )
+        fused = pallas_fusion.fuse_translation_3d(
+            jnp.asarray(tiles_padded), view_idx, offs, extents,
+            wdiags, woffs, wgrids,
+            out_shape=out_shape_full, tile_shape=tile_shape, K=K,
+            interpret=interpret,
+        )
     result = np.nan_to_num(np.asarray(fused)).astype(out_dtype)
     out = out_sink if out_sink is not None else np.zeros(
         out_shape_full, dtype=out_dtype
@@ -1478,13 +1487,13 @@ def _execute_fusion_plan(
         builtin_mode == "weighted_average"
         and weights_func is None
         and not (fusion_func_kwargs or {})
-        and ndim == 2
+        and ndim in (2, 3)
         and len(tile_shapes) == 1
         and tiles_in_memory
         and _plan_is_translation(plan["sparams"], ndim)
         and _os.environ.get("MVS_TPU_PALLAS", "1") != "0"
     ):
-        return _execute_fusion_plan_pallas_2d(
+        return _execute_fusion_plan_pallas(
             plan,
             field_sims,
             output_stack_properties,

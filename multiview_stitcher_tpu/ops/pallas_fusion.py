@@ -225,6 +225,249 @@ def fuse_translation_2d(
     return out[:OY, :OX]
 
 
+def _fuse_tile_kernel_3d(
+    # scalar prefetch
+    view_idx_ref,   # (n_tz, n_ty, n_tx, K) int32, -1 empty
+    offs_ref,       # (V, 3) f32 — output pixel -> tile pixel translation
+    extents_ref,    # (V, 3) f32
+    wdiags_ref,     # (V, 3) f32
+    woffs_ref,      # (V, 3) f32
+    # tensor inputs
+    tiles_ref,      # (V, DP, HP, WP) f32 in ANY/HBM, zero-padded
+    wgrids_ref,     # (V, 5, 8, 128) f32 in VMEM (5x5x5 grids padded)
+    # output
+    out_ref,        # (TZ, TY, TX) f32
+    # scratch
+    win_ref,        # (TZ + 1, TY + 16, TX + 256) f32
+    sem,
+    *,
+    K: int,
+    TZ: int,
+    TY: int,
+    TX: int,
+    PADZ: int,
+    PADY: int,
+    PADX: int,
+):
+    tz = pl.program_id(0)
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+    oz0 = tz * TZ
+    oy0 = ty * TY
+    ox0 = tx * TX
+
+    # broadcast index vectors (2D iota then squeeze patterns are TPU-safe)
+    z_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (TZ, 1, 1), 0) + oz0
+    ).astype(jnp.float32)
+    y_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, TY, 1), 1) + oy0
+    ).astype(jnp.float32)
+    x_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, TX), 2) + ox0
+    ).astype(jnp.float32)
+
+    acc = jnp.zeros((TZ, TY, TX), dtype=jnp.float32)
+    wsum = jnp.zeros((TZ, TY, TX), dtype=jnp.float32)
+
+    for k in range(K):
+        slot = view_idx_ref[tz, ty, tx, k]
+        slot_valid = slot >= 0
+        vi = jnp.maximum(slot, 0)
+        off = [offs_ref[vi, d] for d in range(3)]
+
+        cz0 = off[0] + jnp.float32(oz0)
+        cy0 = off[1] + jnp.float32(oy0)
+        cx0 = off[2] + jnp.float32(ox0)
+        iz0 = jnp.floor(cz0)
+        iy0 = jnp.floor(cy0)
+        ix0 = jnp.floor(cx0)
+        fz = cz0 - iz0
+        fy = cy0 - iy0
+        fx = cx0 - ix0
+
+        wz = iz0.astype(jnp.int32) + PADZ
+        wy = iy0.astype(jnp.int32) + PADY
+        wx = ix0.astype(jnp.int32) + PADX
+        dp = tiles_ref.shape[1]
+        hp = tiles_ref.shape[2]
+        wp = tiles_ref.shape[3]
+        wz = jnp.clip(wz, 0, dp - (TZ + 1))
+        wy = jnp.clip(wy, 0, hp - (TY + 16))
+        wx = jnp.clip(wx, 0, wp - (TX + 256))
+        # z is an untiled dim: arbitrary start; y/x must be tiling-aligned
+        wy_al = pl.multiple_of((wy // 8) * 8, 8)
+        wx_al = pl.multiple_of((wx // 128) * 128, 128)
+        ry = wy - wy_al
+        rx = wx - wx_al
+
+        copy = pltpu.make_async_copy(
+            tiles_ref.at[
+                vi,
+                pl.ds(wz, TZ + 1),
+                pl.ds(wy_al, TY + 16),
+                pl.ds(wx_al, TX + 256),
+            ],
+            win_ref,
+            sem,
+        )
+        copy.start()
+        copy.wait()
+
+        # z lerp: window starts exactly at floor(cz0) -> static slices
+        wlerp = (1.0 - fz) * win_ref[0:TZ, :, :] + fz * win_ref[1:TZ + 1, :, :]
+
+        # y/x residual shift + fraction as banded matmuls (batched over z)
+        sy = ry.astype(jnp.float32) + fy
+        sx = rx.astype(jnp.float32) + fx
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (TY, TY + 16), 0)
+        row_j = jax.lax.broadcasted_iota(jnp.int32, (TY, TY + 16), 1)
+        sy_i = jnp.floor(sy).astype(jnp.int32)
+        sy_f = sy - jnp.floor(sy)
+        Sy = jnp.where(
+            row_j == row_i + sy_i, 1.0 - sy_f, 0.0
+        ) + jnp.where(row_j == row_i + sy_i + 1, sy_f, 0.0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (TX + 256, TX), 0)
+        col_j = jax.lax.broadcasted_iota(jnp.int32, (TX + 256, TX), 1)
+        sx_i = jnp.floor(sx).astype(jnp.int32)
+        sx_f = sx - jnp.floor(sx)
+        SxT = jnp.where(
+            col_i == col_j + sx_i, 1.0 - sx_f, 0.0
+        ) + jnp.where(col_i == col_j + sx_i + 1, sx_f, 0.0)
+
+        # (TZ, TY+16, TX+256) x (TY, TY+16) -> (TZ, TY, TX+256)
+        val = jax.lax.dot_general(
+            wlerp, Sy,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TZ, TX+256, TY)
+        val = jax.lax.dot_general(
+            val, SxT,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TZ, TY, TX)
+
+        # validity from true tile coordinates
+        cz = z_ids + off[0]
+        cy = y_ids + off[1]
+        cx = x_ids + off[2]
+        valid = (
+            (cz >= 0) & (cz <= extents_ref[vi, 0] - 1)
+            & (cy >= 0) & (cy <= extents_ref[vi, 1] - 1)
+            & (cx >= 0) & (cx <= extents_ref[vi, 2] - 1)
+            & slot_valid
+        )
+
+        # separable hat expansion of the 5^3 blending grid:
+        # w[z,y,x] = sum_ijk g[i,j,k] hat_z(i)[z] hat_y(j)[y] hat_x(k)[x]
+        gz = wdiags_ref[vi, 0] * z_ids + woffs_ref[vi, 0]   # (TZ,1,1)
+        gy = wdiags_ref[vi, 1] * y_ids + woffs_ref[vi, 1]   # (1,TY,1)
+        gx = wdiags_ref[vi, 2] * x_ids + woffs_ref[vi, 2]   # (1,1,TX)
+        w = jnp.zeros((TZ, TY, TX), dtype=jnp.float32)
+        for gi in range(5):
+            hz = jnp.maximum(0.0, 1.0 - jnp.abs(gz - gi))
+            inner_y = jnp.zeros((1, TY, TX), dtype=jnp.float32)
+            for gj in range(5):
+                hy = jnp.maximum(0.0, 1.0 - jnp.abs(gy - gj))
+                inner_x = jnp.zeros((1, 1, TX), dtype=jnp.float32)
+                for gk in range(5):
+                    hx = jnp.maximum(0.0, 1.0 - jnp.abs(gx - gk))
+                    inner_x = inner_x + wgrids_ref[vi, gi, gj, gk] * hx
+                inner_y = inner_y + hy * inner_x
+            w = w + hz * inner_y
+        w = jnp.where(w < 1.0, (jnp.cos((1.0 - w) * np.pi) + 1.0) / 2.0, w)
+        w = jnp.clip(w, 0.0, 1.0)
+        w = jnp.where(valid, w, 0.0)
+
+        acc = acc + w * jnp.where(valid, val, 0.0)
+        wsum = wsum + w
+
+    out_ref[:, :, :] = acc / jnp.maximum(wsum, 1e-12)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("out_shape", "tile_shape", "K", "interpret"),
+)
+def fuse_translation_3d(
+    tiles_padded,   # (V, DP, HP, WP) f32
+    view_idx,       # (n_tz, n_ty, n_tx, K) int32
+    offs,           # (V, 3) f32
+    extents,        # (V, 3) f32
+    wdiags,         # (V, 3) f32
+    woffs,          # (V, 3) f32
+    wgrids,         # (V, 5, 5, 5) f32
+    out_shape,
+    tile_shape=(8, 128, 256),
+    K: int = 4,
+    interpret: bool = False,
+):
+    """Fuse a full 3D output from translation-placed tiles, single pass."""
+    TZ, TY, TX = tile_shape
+    OZ, OY, OX = out_shape
+    n_tz = -(-OZ // TZ)
+    n_ty = -(-OY // TY)
+    n_tx = -(-OX // TX)
+    PADZ, PADY, PADX = TZ + 1, TY + 16, TX + 256
+
+    wgrids_padded = jnp.zeros(
+        (wgrids.shape[0], 5, 8, 128), dtype=jnp.float32
+    )
+    wgrids_padded = wgrids_padded.at[:, :, :5, :5].set(
+        jnp.asarray(wgrids, dtype=jnp.float32)
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_tz, n_ty, n_tx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TZ, TY, TX), lambda i, j, k, *_: (i, j, k),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TZ + 1, TY + 16, TX + 256), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    out = pl.pallas_call(
+        partial(
+            _fuse_tile_kernel_3d, K=K, TZ=TZ, TY=TY, TX=TX,
+            PADZ=PADZ, PADY=PADY, PADX=PADX,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tz * TZ, n_ty * TY, n_tx * TX), jnp.float32
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(view_idx, dtype=jnp.int32),
+        jnp.asarray(offs, dtype=jnp.float32),
+        jnp.asarray(extents, dtype=jnp.float32),
+        jnp.asarray(wdiags, dtype=jnp.float32),
+        jnp.asarray(woffs, dtype=jnp.float32),
+        tiles_padded.astype(jnp.float32),
+        wgrids_padded,
+    )
+    return out[:OZ, :OY, :OX]
+
+
+def pad_tiles_for_pallas_3d(tiles: np.ndarray, tile_shape=(8, 128, 256)):
+    """Zero-pad 3D tiles by one window extent per side (host-side, once)."""
+    TZ, TY, TX = tile_shape
+    PADZ, PADY, PADX = TZ + 1, TY + 16, TX + 256
+    V, D, H, W = tiles.shape
+    padded = np.zeros(
+        (V, D + 2 * PADZ, H + 2 * PADY, W + 2 * PADX), dtype=np.float32
+    )
+    padded[:, PADZ:PADZ + D, PADY:PADY + H, PADX:PADX + W] = tiles
+    return padded
+
+
 def pad_tiles_for_pallas(tiles: np.ndarray, tile_shape=(256, 256)):
     """Zero-pad tiles by one window extent per side (host-side, once)."""
     TY, TX = tile_shape

@@ -96,3 +96,68 @@ def test_pallas_matches_xla_path():
     )
     ref_f = np.nan_to_num(ref.astype(np.float32))
     np.testing.assert_allclose(out, ref_f, rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_3d_matches_xla_path():
+    rng = np.random.default_rng(1)
+    tiles = rng.random((2, 12, 40, 40)).astype(np.float32) * 100
+    offsets = np.array(
+        [[0.0, 0.0, 0.0], [1.3, 2.7, 30.4]], dtype=np.float32
+    )
+    sims = [
+        si_utils.get_sim_from_array(
+            tiles[i],
+            dims=("z", "y", "x"),
+            translation={
+                "z": float(offsets[i, 0]),
+                "y": float(offsets[i, 1]),
+                "x": float(offsets[i, 2]),
+            },
+        )
+        for i in range(2)
+    ]
+    fused_ref = fusion.fuse(sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY)
+    ref = np.nan_to_num(fused_ref.to_numpy().astype(np.float32))
+    osp = si_utils.get_stack_properties_from_sim(fused_ref)
+    sdims = ["z", "y", "x"]
+    out_shape = tuple(int(osp["shape"][d]) for d in sdims)
+
+    K = 2
+    offs = np.zeros((K, 3), dtype=np.float32)
+    extents = np.zeros((K, 3), dtype=np.float32)
+    wdiags = np.zeros((K, 3), dtype=np.float32)
+    woffs = np.zeros((K, 3), dtype=np.float32)
+    wgrids = np.zeros((K, 5, 5, 5), dtype=np.float32)
+    for i, sim in enumerate(sims):
+        view_bb = si_utils.get_stack_properties_from_sim(sim)
+        m, o = resample_ops.physical_to_pixel_params(
+            np.eye(4),
+            input_spacing=np.ones(3),
+            input_origin=np.array([view_bb["origin"][d] for d in sdims]),
+            output_spacing=np.ones(3),
+            output_origin=np.array([osp["origin"][d] for d in sdims]),
+        )
+        offs[i] = o
+        extents[i] = tiles[i].shape
+        g, wm, wo = weights.blending_weights_pixel_params(
+            {k: osp[k] for k in ("origin", "spacing", "shape")},
+            view_bb,
+            np.eye(4),
+        )
+        wgrids[i] = g
+        wdiags[i] = np.diag(wm)
+        woffs[i] = wo
+
+    TILE = (8, 16, 128)
+    tiles_padded = pallas_fusion.pad_tiles_for_pallas_3d(tiles, TILE)
+    n_t = [-(-out_shape[d] // TILE[d]) for d in range(3)]
+    view_idx = np.tile(
+        np.arange(K, dtype=np.int32), tuple(n_t) + (1,)
+    )
+    out = np.asarray(
+        pallas_fusion.fuse_translation_3d(
+            tiles_padded, view_idx, offs, extents, wdiags, woffs, wgrids,
+            out_shape=out_shape, tile_shape=TILE, K=K, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3)
