@@ -1487,7 +1487,12 @@ def _execute_fusion_plan(
         builtin_mode == "weighted_average"
         and weights_func is None
         and not (fusion_func_kwargs or {})
-        and ndim in (2, 3)
+        and (
+            ndim == 2
+            # the 3D kernel is correct but not yet performant on hardware;
+            # opt in with MVS_TPU_PALLAS_3D=1 (the XLA tiles path is fast)
+            or (ndim == 3 and _os.environ.get("MVS_TPU_PALLAS_3D") == "1")
+        )
         and len(tile_shapes) == 1
         and tiles_in_memory
         and _plan_is_translation(plan["sparams"], ndim)
