@@ -169,6 +169,57 @@ class VirtualOMEZarr:
         return None
 
 
+class VirtualOMEZarrPlate:
+    """Virtual HCS (plate) OME-Zarr over a dict of well -> image.
+
+    Reference: ngff_utils.py:466 (plate variant of the virtual store).
+    ``wells`` maps "A/1"-style paths to sims/msims; each well exposes one
+    field of view at ``{row}/{col}/0``.
+    """
+
+    def __init__(self, wells: Dict[str, Union[Sim, Msim]]):
+        self.wells = {k.strip("/"): VirtualOMEZarr(v) for k, v in wells.items()}
+        rows = sorted({k.split("/")[0] for k in self.wells})
+        cols = sorted({k.split("/")[1] for k in self.wells})
+        self.attrs = {
+            "plate": {
+                "version": "0.4",
+                "rows": [{"name": r} for r in rows],
+                "columns": [{"name": c} for c in cols],
+                "wells": [
+                    {
+                        "path": k,
+                        "rowIndex": rows.index(k.split("/")[0]),
+                        "columnIndex": cols.index(k.split("/")[1]),
+                    }
+                    for k in sorted(self.wells)
+                ],
+            }
+        }
+
+    def get(self, key: str) -> Optional[bytes]:
+        key = key.strip("/")
+        if key == ".zattrs":
+            return json.dumps(self.attrs).encode()
+        if key == ".zgroup":
+            return json.dumps({"zarr_format": 2}).encode()
+        parts = key.split("/")
+        if len(parts) >= 2:
+            well = "/".join(parts[:2])
+            if well in self.wells:
+                rest = "/".join(parts[2:])
+                if rest == ".zgroup" or rest == "":
+                    return json.dumps({"zarr_format": 2}).encode()
+                if rest == ".zattrs":
+                    return json.dumps(
+                        {"well": {"images": [{"path": "0"}], "version": "0.4"}}
+                    ).encode()
+                if rest.startswith("0"):
+                    sub = rest[1:].strip("/")
+                    return self.wells[well].get(sub or ".zattrs")
+        return None
+
+
 class _VirtualHandler(http.server.BaseHTTPRequestHandler):
     stores: Dict[str, VirtualOMEZarr] = {}
 

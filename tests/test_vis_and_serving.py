@@ -171,3 +171,26 @@ class TestVirtualServing:
             assert "#!" in url
         finally:
             server.shutdown()
+
+
+def test_virtual_plate_store():
+    from multiview_stitcher_tpu.io.virtual_ngff import VirtualOMEZarrPlate
+
+    sims = {
+        "A/1": si_utils.get_sim_from_array(
+            np.arange(16, dtype=np.uint16).reshape(4, 4)
+        ),
+        "B/2": si_utils.get_sim_from_array(
+            np.ones((4, 4), dtype=np.uint16)
+        ),
+    }
+    plate = VirtualOMEZarrPlate(sims)
+    attrs = json.loads(plate.get(".zattrs"))
+    assert len(attrs["plate"]["wells"]) == 2
+    well_attrs = json.loads(plate.get("A/1/.zattrs"))
+    assert well_attrs["well"]["images"][0]["path"] == "0"
+    img_attrs = json.loads(plate.get("A/1/0/.zattrs"))
+    assert "multiscales" in img_attrs
+    chunk = plate.get("A/1/0/0/0.0")
+    arr = np.frombuffer(chunk, dtype=np.uint16).reshape(4, 4)
+    np.testing.assert_array_equal(arr, np.arange(16).reshape(4, 4))
