@@ -267,6 +267,50 @@ def concat(msims: Sequence[Msim], dim: str) -> Msim:
     return Msim(sims=out_sims)
 
 
+def sim_map_blocks(sim: Sim, func, *args, dtype=None, **kwargs) -> Sim:
+    """Apply ``func`` to the image data, keeping coords/transforms intact.
+
+    Lazily backed data stays lazy: ``func`` is applied per window as it is
+    read (``zarr_utils.VirtualMap``); in-memory data is transformed eagerly.
+    ``func`` must be shape-preserving. Extra args/kwargs are forwarded.
+    """
+    from multiview_stitcher_tpu import zarr_utils
+
+    if si_utils._is_lazy(sim.data):
+        data = zarr_utils.map_blocks(
+            sim.data, func, *args, dtype=dtype, **kwargs
+        )
+    else:
+        data = func(sim.data, *args, **kwargs)
+        if dtype is not None:
+            data = np.asarray(data).astype(dtype)
+        if tuple(np.shape(data)) != tuple(sim.shape):
+            raise ValueError(
+                "sim_map_blocks requires a shape-preserving func; got "
+                f"{np.shape(data)} from {tuple(sim.shape)}"
+            )
+    return sim.copy(data=data)
+
+
+def msim_map_blocks(msim: Msim, func, *args, dtype=None, **kwargs) -> Msim:
+    """Apply ``func`` to the image data of every scale (reference
+    msi_utils.py:503-524, ``msim_map_blocks``).
+
+    Coordinates, transforms, and attached point sets are preserved. E.g.
+    ``msim_map_blocks(msim, jnp.asarray)`` makes materialized chunks
+    device-backed; ``msim_map_blocks(msim, np.clip, 0, 100)`` clips lazily.
+    """
+    out = Msim(
+        sims=[
+            sim_map_blocks(sim, func, *args, dtype=dtype, **kwargs)
+            for sim in msim.sims
+        ],
+        transforms={k: v.copy() for k, v in msim.transforms.items()},
+        attrs=dict(msim.attrs),
+    )
+    return out
+
+
 def set_point_set(msim: Msim, points, points_key: str = "beads"):
     msim.attrs.setdefault("point_sets", {})[points_key] = np.asarray(
         points, dtype=float

@@ -140,3 +140,38 @@ def stack(arrays: Sequence, axis: int = 0):
     return VirtualConcat(
         [VirtualExpandDims(a, axis=axis) for a in arrays], axis=axis
     )
+
+
+class VirtualMap:
+    """Lazy elementwise map over any array handle.
+
+    TPU-native counterpart of dask ``map_blocks`` for shape-preserving
+    functions (reference msi_utils.py:503-524): ``func`` is applied to each
+    window as it is read, so lazily backed data stays lazy. ``dtype``
+    overrides the output dtype if ``func`` changes it (default: probed on a
+    zero-size block).
+    """
+
+    def __init__(self, base, func, *args, dtype=None, **kwargs):
+        self.base = base
+        self.func = func
+        self.args = args
+        self.kwargs = kwargs
+        self.shape = tuple(base.shape)
+        self.ndim = len(self.shape)
+        if dtype is None:
+            probe = np.zeros((0,) * self.ndim, dtype=base.dtype)
+            dtype = np.asarray(func(probe, *args, **kwargs)).dtype
+        self.dtype = np.dtype(dtype)
+
+    def __getitem__(self, idx):
+        block = np.asarray(self.base[idx])
+        return np.asarray(self.func(block, *self.args, **self.kwargs))
+
+    def __array__(self, dtype=None):
+        out = self[tuple(slice(None) for _ in range(self.ndim))]
+        return out.astype(dtype) if dtype is not None else np.asarray(out)
+
+
+def map_blocks(array, func, *args, dtype=None, **kwargs):
+    return VirtualMap(array, func, *args, dtype=dtype, **kwargs)
