@@ -1102,31 +1102,24 @@ def _execute_fusion_plan_pallas(
         for s, v in enumerate(vs):
             view_idx[idx + (s,)] = v
 
-    tiles = np.stack(
-        [np.asarray(s.data, dtype=np.float32) for s in field_sims]
-    )
+    # keep the native dtype on the host link (half the bytes for uint16);
+    # the kernel wrapper pads + casts to f32 on device
+    tiles = np.stack([np.asarray(s.data) for s in field_sims])
     if np.issubdtype(tiles.dtype, np.floating):
         tiles = np.nan_to_num(tiles)
 
     interpret = jax.devices()[0].platform == "cpu"
-    if ndim == 2:
-        tiles_padded = pallas_fusion.pad_tiles_for_pallas(tiles, tile_shape)
-        fused = pallas_fusion.fuse_translation_2d(
-            jnp.asarray(tiles_padded), view_idx, offs, extents,
-            wdiags, woffs, wgrids,
-            out_shape=out_shape_full, tile_shape=tile_shape, K=K,
-            interpret=interpret,
-        )
-    else:
-        tiles_padded = pallas_fusion.pad_tiles_for_pallas_3d(
-            tiles, tile_shape
-        )
-        fused = pallas_fusion.fuse_translation_3d(
-            jnp.asarray(tiles_padded), view_idx, offs, extents,
-            wdiags, woffs, wgrids,
-            out_shape=out_shape_full, tile_shape=tile_shape, K=K,
-            interpret=interpret,
-        )
+    fuse_fn = (
+        pallas_fusion.fuse_translation_2d
+        if ndim == 2
+        else pallas_fusion.fuse_translation_3d
+    )
+    fused = fuse_fn(
+        jnp.asarray(tiles), view_idx, offs, extents,
+        wdiags, woffs, wgrids,
+        out_shape=out_shape_full, tile_shape=tile_shape, K=K,
+        interpret=interpret,
+    )
     result = np.nan_to_num(np.asarray(fused)).astype(out_dtype)
     out = out_sink if out_sink is not None else np.zeros(
         out_shape_full, dtype=out_dtype

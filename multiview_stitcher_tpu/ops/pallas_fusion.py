@@ -163,7 +163,7 @@ def _fuse_tile_kernel(
     static_argnames=("out_shape", "tile_shape", "K", "interpret"),
 )
 def fuse_translation_2d(
-    tiles_padded,   # (V, HP, WP) f32, zero-padded by (PADY, PADX) per side
+    tiles,          # (V, H, W) any dtype — padded + cast to f32 on device
     view_idx,       # (n_ty, n_tx, K) int32, -1 for empty slots
     offs,           # (V, 2) f32
     extents,        # (V, 2) f32 — true tile extents
@@ -176,13 +176,22 @@ def fuse_translation_2d(
     interpret: bool = False,
 ):
     """Fuse a full 2D output from translation-placed tiles (weighted average
-    with cosine blending), single pass in VMEM with per-tile view lists."""
+    with cosine blending), single pass in VMEM with per-tile view lists.
+
+    Tiles are zero-padded by one window extent per side ON DEVICE (an XLA
+    pad at HBM bandwidth) so the host->device transfer carries only the raw
+    tile bytes — the clamp-free window padding inflates the array severalfold
+    and must never ride the host link.
+    """
     TY, TX = tile_shape
     OY, OX = out_shape
     n_ty = -(-OY // TY)
     n_tx = -(-OX // TX)
-    V, HP, WP = tiles_padded.shape
     PADY, PADX = TY + 16, TX + 256
+    tiles_padded = jnp.pad(
+        tiles.astype(jnp.float32),
+        ((0, 0), (PADY, PADY), (PADX, PADX)),
+    )
 
     # pad the weight grids into a VMEM-friendly (K, 8, 128) layout
     wgrids_padded = jnp.zeros((wgrids.shape[0], 8, 128), dtype=jnp.float32)
@@ -219,7 +228,7 @@ def fuse_translation_2d(
         jnp.asarray(extents, dtype=jnp.float32),
         jnp.asarray(wdiags, dtype=jnp.float32),
         jnp.asarray(woffs, dtype=jnp.float32),
-        tiles_padded.astype(jnp.float32),
+        tiles_padded,
         wgrids_padded,
     )
     return out[:OY, :OX]
@@ -390,7 +399,7 @@ def _fuse_tile_kernel_3d(
     static_argnames=("out_shape", "tile_shape", "K", "interpret"),
 )
 def fuse_translation_3d(
-    tiles_padded,   # (V, DP, HP, WP) f32
+    tiles,          # (V, D, H, W) any dtype — padded + cast to f32 on device
     view_idx,       # (n_tz, n_ty, n_tx, K) int32
     offs,           # (V, 3) f32
     extents,        # (V, 3) f32
@@ -402,13 +411,22 @@ def fuse_translation_3d(
     K: int = 4,
     interpret: bool = False,
 ):
-    """Fuse a full 3D output from translation-placed tiles, single pass."""
+    """Fuse a full 3D output from translation-placed tiles, single pass.
+
+    Like the 2D variant, the clamp-free window padding (which inflates
+    128-cube tiles >10x) is applied on device so only raw tile bytes cross
+    the host link.
+    """
     TZ, TY, TX = tile_shape
     OZ, OY, OX = out_shape
     n_tz = -(-OZ // TZ)
     n_ty = -(-OY // TY)
     n_tx = -(-OX // TX)
     PADZ, PADY, PADX = TZ + 1, TY + 16, TX + 256
+    tiles_padded = jnp.pad(
+        tiles.astype(jnp.float32),
+        ((0, 0), (PADZ, PADZ), (PADY, PADY), (PADX, PADX)),
+    )
 
     wgrids_padded = jnp.zeros(
         (wgrids.shape[0], 5, 8, 128), dtype=jnp.float32
@@ -450,29 +468,7 @@ def fuse_translation_3d(
         jnp.asarray(extents, dtype=jnp.float32),
         jnp.asarray(wdiags, dtype=jnp.float32),
         jnp.asarray(woffs, dtype=jnp.float32),
-        tiles_padded.astype(jnp.float32),
+        tiles_padded,
         wgrids_padded,
     )
     return out[:OZ, :OY, :OX]
-
-
-def pad_tiles_for_pallas_3d(tiles: np.ndarray, tile_shape=(8, 128, 256)):
-    """Zero-pad 3D tiles by one window extent per side (host-side, once)."""
-    TZ, TY, TX = tile_shape
-    PADZ, PADY, PADX = TZ + 1, TY + 16, TX + 256
-    V, D, H, W = tiles.shape
-    padded = np.zeros(
-        (V, D + 2 * PADZ, H + 2 * PADY, W + 2 * PADX), dtype=np.float32
-    )
-    padded[:, PADZ:PADZ + D, PADY:PADY + H, PADX:PADX + W] = tiles
-    return padded
-
-
-def pad_tiles_for_pallas(tiles: np.ndarray, tile_shape=(256, 256)):
-    """Zero-pad tiles by one window extent per side (host-side, once)."""
-    TY, TX = tile_shape
-    PADY, PADX = TY + 16, TX + 256
-    V, H, W = tiles.shape
-    padded = np.zeros((V, H + 2 * PADY, W + 2 * PADX), dtype=np.float32)
-    padded[:, PADY:PADY + H, PADX:PADX + W] = tiles
-    return padded

@@ -3,6 +3,7 @@
 Runs in interpreter mode on CPU; the compiled path runs on TPU hardware.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -73,7 +74,6 @@ def test_pallas_matches_xla_path():
         woffs[i] = wo
 
     TILE = (32, 128)
-    tiles_padded = pallas_fusion.pad_tiles_for_pallas(tiles, TILE)
     n_ty = -(-out_shape[0] // TILE[0])
     n_tx = -(-out_shape[1] // TILE[1])
     view_idx = np.tile(
@@ -81,7 +81,7 @@ def test_pallas_matches_xla_path():
     )
     out = np.asarray(
         pallas_fusion.fuse_translation_2d(
-            tiles_padded,
+            jnp.asarray(tiles),
             view_idx,
             offs,
             extents,
@@ -149,14 +149,13 @@ def test_pallas_3d_matches_xla_path():
         woffs[i] = wo
 
     TILE = (8, 16, 128)
-    tiles_padded = pallas_fusion.pad_tiles_for_pallas_3d(tiles, TILE)
     n_t = [-(-out_shape[d] // TILE[d]) for d in range(3)]
     view_idx = np.tile(
         np.arange(K, dtype=np.int32), tuple(n_t) + (1,)
     )
     out = np.asarray(
         pallas_fusion.fuse_translation_3d(
-            tiles_padded, view_idx, offs, extents, wdiags, woffs, wgrids,
+            jnp.asarray(tiles), view_idx, offs, extents, wdiags, woffs, wgrids,
             out_shape=out_shape, tile_shape=TILE, K=K, interpret=True,
         )
     )
