@@ -267,3 +267,83 @@ def test_fuse_output_stack_mode_sample():
         mode="sample",
     )
     assert props["shape"]["z"] == 1
+
+
+def test_plan_built_once_across_channels(monkeypatch):
+    """Spatial plan is computed once and reused for every (t, c) combination
+    with identical params (reference fusion/_core.py:725, test_fusion.py:164)."""
+    from multiview_stitcher_tpu.fusion import _core
+
+    calls = {"n": 0}
+    orig = _core._build_spatial_fusion_plan
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(_core, "_build_spatial_fusion_plan", counting)
+
+    rng = np.random.default_rng(0)
+    sims = [
+        si_utils.get_sim_from_array(
+            rng.random((3, 2, 40, 40)).astype(np.float32),
+            dims=("t", "c", "y", "x"),
+            translation={"y": 0.0, "x": float(30 * i)},
+        )
+        for i in range(2)
+    ]
+    fused = fusion.fuse(sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY)
+    assert fused.sizes["t"] == 3 and fused.sizes["c"] == 2
+    assert calls["n"] == 1
+
+
+class _ReadLogArray:
+    """Lazy-array stand-in that records every window read."""
+
+    def __init__(self, data):
+        self._data = np.asarray(data)
+        self.shape = self._data.shape
+        self.dtype = self._data.dtype
+        self.ndim = self._data.ndim
+        self.reads = []
+
+    def __getitem__(self, idx):
+        self.reads.append(idx)
+        return self._data[idx]
+
+
+def test_fusion_reads_only_needed_windows():
+    """With lazy inputs, fuse() must read per-chunk source windows, never
+    materialize whole tiles (reference's laziness assertions,
+    test_fusion.py:204)."""
+    rng = np.random.default_rng(1)
+    n, tile, overlap = 2, 64, 16
+    step = tile - overlap
+    arrays, sims = [], []
+    for iy in range(n):
+        for ix in range(n):
+            arr = _ReadLogArray(
+                rng.integers(0, 1000, (tile, tile)).astype(np.uint16)
+            )
+            arrays.append(arr)
+            sims.append(
+                si_utils.get_sim_from_array(
+                    arr,
+                    translation={"y": float(iy * step), "x": float(ix * step)},
+                )
+            )
+    fused = fusion.fuse(
+        sims,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_chunksize=32,
+    )
+    assert fused.shape == (2 * step + overlap,) * 2
+    for arr in arrays:
+        assert arr.reads, "every tile overlaps some chunk"
+        for idx in arr.reads:
+            assert isinstance(idx, tuple)
+            for d, sl in enumerate(idx):
+                span = (sl.stop or tile) - (sl.start or 0)
+                assert span <= 32 + 2 * overlap + 8, (
+                    f"window read too large: {idx}"
+                )
