@@ -94,6 +94,19 @@ def groupwise_resolution_global_optimization(
 def optimize_bead_subgraph(
     g_beads, transform, ref_node, max_iter, rel_tol, abs_tol
 ):
+    """Gauss-Seidel bead optimization, vectorized over edges.
+
+    The reference recomputes every bead position with per-edge numpy calls
+    inside the sweep (global_optimization.py:169-511), which is the documented
+    scaling bottleneck (">100s of tiles"). Here all per-iteration work runs on
+    (E, n_beads, ndim) arrays: residuals in one vectorized pass, and for the
+    default ``translation`` transform the per-node re-fit collapses to the
+    closed form ``t[n] = mean_j(d_j) + mean_j(t[m_j])`` with per-edge constant
+    displacements ``d_j`` (node affines start at identity and translation fits
+    compose to pure translations, so bead positions are affine in ``t``).
+    Sweep order, convergence criterion, and the edge-removal outer loop keep
+    the reference semantics.
+    """
     g_beads = copy.deepcopy(g_beads)
 
     mapping = {n: i for i, n in enumerate(g_beads.nodes)}
@@ -108,6 +121,7 @@ def optimize_bead_subgraph(
     centralities = nx.degree_centrality(g_beads)
     sorted_nodes = sorted(centralities, key=centralities.get, reverse=True)
     all_nodes = list(mapping.values())
+    N = len(all_nodes)
     ndim = g_beads.nodes[all_nodes[0]]["affine"].shape[-1] - 1
 
     transform = transform.lower()
@@ -119,148 +133,227 @@ def optimize_bead_subgraph(
     new_affines = np.stack(
         [np.asarray(g_beads.nodes[n]["affine"], dtype=float) for n in all_nodes]
     )
+    # the closed-form translation path requires bead positions affine in t,
+    # i.e. identity linear parts (always true for graphs built by
+    # get_beads_graph_from_reg_graph, where node affines start at identity)
+    use_translation_fast_path = transform == "translation" and np.allclose(
+        new_affines[:, :ndim, :ndim],
+        np.eye(ndim)[None],
+        atol=1e-12,
+    )
+
+    # static edge arrays (edge removal just masks a row)
+    edge_list = list(g_beads.edges)
+    E = len(edge_list)
+    e1 = np.array([e[0] for e in edge_list], dtype=np.int64)
+    e2 = np.array([e[1] for e in edge_list], dtype=np.int64)
+    beads1 = np.stack(
+        [np.asarray(g_beads.edges[e]["beads"][e[0]], float) for e in edge_list]
+    )  # (E, nb, ndim)
+    beads2 = np.stack(
+        [np.asarray(g_beads.edges[e]["beads"][e[1]], float) for e in edge_list]
+    )
+    ones = np.ones(beads1.shape[:2] + (1,))
+    beads1_h = np.concatenate([beads1, ones], axis=2)  # (E, nb, ndim+1)
+    beads2_h = np.concatenate([beads2, ones], axis=2)
+    qualities = np.array(
+        [float(g_beads.edges[e]["quality"]) for e in edge_list]
+    )
+    active = np.ones(E, dtype=bool)
+
+    def residual_matrix():
+        """Per-bead residuals of active edges, (E_active, nb)."""
+        if use_translation_fast_path:
+            t = new_affines[:, :ndim, ndim]
+            diff = (beads1[active] - beads2[active]) + (
+                t[e1[active]] - t[e2[active]]
+            )[:, None, :]
+        else:
+            pts1 = np.einsum(
+                "eij,enj->eni", new_affines[e1[active]], beads1_h[active]
+            )[..., :ndim]
+            pts2 = np.einsum(
+                "eij,enj->eni", new_affines[e2[active]], beads2_h[active]
+            )[..., :ndim]
+            diff = pts1 - pts2
+        return np.linalg.norm(diff, axis=2)
 
     mean_residuals = []
     max_residuals = []
-    edge_residuals = {}
+    res_mat = np.zeros((0, beads1.shape[1]))
     total_iterations = 0
 
     while True:
-        edges = list(g_beads.edges)
-        if not len(edges):
+        if not np.any(active):
             break
 
-        node_edges = [list(g_beads.edges(n)) for n in all_nodes]
-        node_beads = []
-        adj_info = []
-        for n in all_nodes:
-            if node_edges[n]:
-                own = np.concatenate(
-                    [g_beads.edges[e]["beads"][n] for e in node_edges[n]],
-                    axis=0,
-                )
-                own_h = np.concatenate([own, np.ones((len(own), 1))], axis=1)
-            else:
-                own_h = None
-            node_beads.append(own_h)
-            neighbors = [
-                m for e in node_edges[n] for m in e if m != n
-            ]
-            neigh_beads = [
-                np.concatenate(
-                    [
-                        g_beads.edges[e]["beads"][m],
-                        np.ones((len(g_beads.edges[e]["beads"][m]), 1)),
-                    ],
-                    axis=1,
-                )
-                for e in node_edges[n]
-                for m in e
-                if m != n
-            ]
-            adj_info.append(list(zip(neighbors, neigh_beads)))
+        # per-node adjacency over active edges, as sparse operators; the
+        # Gauss-Seidel sweep updates one graph-color class at a time (nodes
+        # within a class are non-adjacent, so the simultaneous update equals
+        # a sequential sweep in some node order)
+        import scipy.sparse as sp
 
-        iter_all_residuals = []
-        for iteration in range(max_iter):
-            for curr_node in sorted_nodes:
-                if not node_edges[curr_node]:
-                    continue
-                node_pts = (new_affines[curr_node] @ node_beads[curr_node].T).T[
-                    :, :-1
+        act = np.nonzero(active)[0]
+        d12 = np.mean(beads2 - beads1, axis=1)  # (E, ndim)
+        rows = np.concatenate([e1[act], e2[act]])
+        cols = np.concatenate([e2[act], e1[act]])
+        adj = sp.csr_matrix(
+            (np.ones(len(rows)), (rows, cols)), shape=(N, N)
+        )
+        deg = np.asarray(adj.sum(axis=1)).ravel()
+        d_signed = np.concatenate([d12[act], -d12[act]])
+        nbr_const = np.zeros((N, ndim))
+        np.add.at(nbr_const, rows, d_signed)
+        nbr_const /= np.maximum(deg, 1)[:, None]
+
+        g_active = nx.Graph()
+        g_active.add_nodes_from(all_nodes)
+        g_active.add_edges_from(zip(e1[act].tolist(), e2[act].tolist()))
+        coloring = nx.greedy_color(g_active)
+        n_colors = max(coloring.values()) + 1 if coloring else 1
+        # classes ordered so high-degree nodes update first (reference
+        # sweeps in degree-centrality order)
+        color_classes = []
+        for c in range(n_colors):
+            cls = np.array(
+                [
+                    n
+                    for n in sorted_nodes
+                    if coloring[n] == c and deg[n] > 0 and n != ref_node
+                ],
+                dtype=np.int64,
+            )
+            if len(cls):
+                color_classes.append(cls)
+        color_classes.sort(key=lambda cls: -deg[cls].max())
+        n_updates_per_sweep = int(np.sum(deg > 0))
+
+        if not use_translation_fast_path:
+            # general path: concatenated own/neighbor homogeneous beads
+            node_beads, adj_info = [], []
+            for n in all_nodes:
+                eis = [
+                    ei
+                    for ei in np.nonzero(active)[0]
+                    if e1[ei] == n or e2[ei] == n
                 ]
-                adj_pts = np.concatenate(
-                    [
-                        (new_affines[an] @ ab.T).T
-                        for an, ab in adj_info[curr_node]
-                    ],
-                    axis=0,
-                )[:, :-1]
-                if curr_node != ref_node:
-                    fit = estimate_transform(transform, node_pts, adj_pts)
-                    if np.all(np.isfinite(fit)):
-                        new_affines[curr_node] = fit @ new_affines[curr_node]
-                total_iterations += 1
+                if eis:
+                    own = np.concatenate(
+                        [
+                            beads1_h[ei] if e1[ei] == n else beads2_h[ei]
+                            for ei in eis
+                        ]
+                    )
+                    adj = [
+                        (
+                            int(e2[ei] if e1[ei] == n else e1[ei]),
+                            beads2_h[ei] if e1[ei] == n else beads1_h[ei],
+                        )
+                        for ei in eis
+                    ]
+                else:
+                    own, adj = None, []
+                node_beads.append(own)
+                adj_info.append(adj)
 
-            edge_residuals = {}
-            for e in g_beads.edges:
-                n1, n2 = e
-                pts1 = param_utils.transform_pts(
-                    g_beads.edges[e]["beads"][n1], new_affines[n1]
-                )
-                pts2 = param_utils.transform_pts(
-                    g_beads.edges[e]["beads"][n2], new_affines[n2]
-                )
-                edge_residuals[e] = np.linalg.norm(pts1 - pts2, axis=1)
+        prev_res_mat = None
+        for iteration in range(max_iter):
+            if use_translation_fast_path:
+                t = new_affines[:, :ndim, ndim]
+                for cls in color_classes:
+                    t[cls] = (
+                        nbr_const[cls]
+                        + (adj[cls] @ t) / deg[cls, None]
+                    )
+                total_iterations += n_updates_per_sweep
+            else:
+                for curr_node in sorted_nodes:
+                    if node_beads[curr_node] is None:
+                        continue
+                    node_pts = (
+                        new_affines[curr_node] @ node_beads[curr_node].T
+                    ).T[:, :-1]
+                    adj_pts = np.concatenate(
+                        [
+                            (new_affines[an] @ ab.T).T
+                            for an, ab in adj_info[curr_node]
+                        ],
+                        axis=0,
+                    )[:, :-1]
+                    if curr_node != ref_node:
+                        fit = estimate_transform(transform, node_pts, adj_pts)
+                        if np.all(np.isfinite(fit)):
+                            new_affines[curr_node] = (
+                                fit @ new_affines[curr_node]
+                            )
+                    total_iterations += 1
 
-            mean_residuals.append(
-                float(np.mean([np.mean(v) for v in edge_residuals.values()]))
-            )
-            max_residuals.append(
-                float(np.max([np.max(v) for v in edge_residuals.values()]))
-            )
-            iter_all_residuals.append(edge_residuals)
+            res_mat = residual_matrix()
+            mean_residuals.append(float(res_mat.mean()))
+            max_residuals.append(float(res_mat.max()))
 
             if iteration > 5:
-                max_rel_change = np.max(
-                    [
-                        np.max(
-                            np.abs(
-                                (
-                                    iter_all_residuals[-1][e]
-                                    - iter_all_residuals[-2][e]
-                                )
-                                / max_residuals[-1]
-                            )
-                        )
-                        if max_residuals[-1] > 0
-                        else 0.0
-                        for e in g_beads.edges
-                    ]
+                max_rel_change = (
+                    float(
+                        np.max(np.abs(res_mat - prev_res_mat))
+                        / max_residuals[-1]
+                    )
+                    if max_residuals[-1] > 0
+                    else 0.0
                 )
                 if max_rel_change < rel_tol:
                     break
+            prev_res_mat = res_mat
 
-        if len(list(g_beads.edges)) < 2:
+        if int(np.sum(active)) < 2:
             break
 
-        edges = list(g_beads.edges)
         if max_residuals[-1] < abs_tol:
             edge_to_remove = None
         else:
-            edge_residual_values = [
-                (1 - float(g_beads.edges[e]["quality"])) ** 2
-                * np.sqrt(np.max(edge_residuals[e]))
-                * np.log10(
-                    np.max([len(list(g_beads.neighbors(n))) for n in e])
-                )
-                for e in edges
-            ]
-            residual_order = np.argsort(edge_residual_values)[::-1]
+            # removal criterion over active edges (reference :426-436)
+            act = np.nonzero(active)[0]
+            degrees = np.bincount(
+                np.concatenate([e1[act], e2[act]]), minlength=N
+            )
+            crit = (
+                (1 - qualities[act]) ** 2
+                * np.sqrt(res_mat.max(axis=1))
+                * np.log10(np.maximum(degrees[e1[act]], degrees[e2[act]]))
+            )
             # pick the worst edge whose removal keeps its nodes connected
-            found = False
             edge_to_remove = None
-            for candidate_ind in range(len(residual_order)):
-                candidate = edges[residual_order[candidate_ind]]
-                tmp = g_beads.copy()
-                tmp.remove_edge(*candidate)
-                if nx.has_path(tmp, candidate[0], candidate[1]):
-                    edge_to_remove = candidate
-                    found = True
+            g_active = nx.Graph()
+            g_active.add_nodes_from(all_nodes)
+            g_active.add_edges_from(zip(e1[act], e2[act]))
+            for ci in np.argsort(crit)[::-1]:
+                ei = int(act[ci])
+                g_active.remove_edge(e1[ei], e2[ei])
+                if nx.has_path(g_active, e1[ei], e2[ei]):
+                    edge_to_remove = ei
                     break
-            if not found:
-                edge_to_remove = None
+                g_active.add_edge(e1[ei], e2[ei])
 
         if edge_to_remove is not None:
-            g_beads.remove_edge(*edge_to_remove)
-            logger.debug("Removing edge %s and restarting.", edge_to_remove)
+            active[edge_to_remove] = False
+            g_beads.remove_edge(
+                int(e1[edge_to_remove]), int(e2[edge_to_remove])
+            )
+            logger.debug(
+                "Removing edge %s and restarting.",
+                (int(e1[edge_to_remove]), int(e2[edge_to_remove])),
+            )
         else:
             break
 
     if total_iterations:
         for n in all_nodes:
             g_beads.nodes[n]["affine"] = new_affines[n]
-        for e, residual in edge_residuals.items():
-            g_beads.edges[e]["residual"] = float(np.mean(residual))
+        act = np.nonzero(active)[0]
+        for row, ei in enumerate(act):
+            g_beads.edges[int(e1[ei]), int(e2[ei])]["residual"] = float(
+                np.mean(res_mat[row])
+            )
 
     nx.relabel_nodes(g_beads, inverse_mapping, copy=False)
 

