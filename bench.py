@@ -226,6 +226,49 @@ def pairwise_reg_rate(n_pairs=32, crop=(128, 128), repeats=3):
     return n_pairs / min(times)
 
 
+def large_zarr_to_zarr_rate(n=32, tile=64, overlap=12, chunksize=128):
+    """North-star scenario (BASELINE.md): 1000+-tile 3D grid, zarr->zarr.
+
+    Input tiles are zarr arrays on disk; output streams to a zarr store.
+    Gated behind MVS_BENCH_LARGE=1 (writes ~1.5 GB under .bench_large/ and
+    moves ~1 GB over the device link per run).
+    """
+    import shutil
+
+    from multiview_stitcher_tpu import fusion, si_utils
+    from multiview_stitcher_tpu.io import zarr_backend
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".bench_large")
+    rng = np.random.default_rng(0)
+    step = tile - overlap
+    base = rng.integers(0, 1000, (tile,) * 3).astype(np.uint16)
+    sims = []
+    for iy in range(n):
+        for ix in range(n):
+            url = f"{root}/tile_{iy}_{ix}.zarr"
+            if not os.path.exists(url):
+                arr = zarr_backend.create_zarr_array(
+                    url, shape=(tile,) * 3, dtype="uint16",
+                    chunks=(tile,) * 3,
+                )
+                arr[...] = np.roll(base, (iy * 7 + ix * 3) % tile, axis=2)
+            sims.append(si_utils.get_sim_from_array(
+                zarr_backend.open_zarr_array(url), dims=("z", "y", "x"),
+                translation={"z": 0.0, "y": float(iy * step),
+                             "x": float(ix * step)},
+            ))
+    out_url = f"{root}/fused_bench.zarr"
+    shutil.rmtree(out_url, ignore_errors=True)
+    t0 = time.perf_counter()
+    out = fusion.fuse(
+        sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_chunksize=chunksize, output_zarr_url=out_url,
+    )
+    dt = time.perf_counter() - t0
+    return int(np.prod(out.shape)) / dt, n * n
+
+
 def main():
     from multiview_stitcher_tpu import si_utils
 
@@ -253,6 +296,16 @@ def main():
         tpu_rate = max(tpu_rate, tpu_rate_big)
     except Exception as e:  # noqa: BLE001
         log(f"large-grid fuse bench failed: {e}")
+
+    if os.environ.get("MVS_BENCH_LARGE") == "1":
+        try:
+            rate, n_tiles = large_zarr_to_zarr_rate()
+            log(
+                f"1024-tile 3D zarr->zarr streaming fuse: "
+                f"{rate / 1e6:.2f} Mvox/s ({n_tiles} tiles)"
+            )
+        except Exception as e:  # noqa: BLE001
+            log(f"large zarr bench failed: {e}")
 
     try:
         reg_rate = pairwise_reg_rate()

@@ -645,6 +645,29 @@ def _build_spatial_fusion_plan(
     }
 
 
+def _materialize_tiles(field_sims) -> np.ndarray:
+    """(V, *tile) array from equal-shape tiles, reading lazy tiles in
+    parallel (tensorstore releases the GIL; serial np.stack over 1000+ lazy
+    tiles pays per-tile read latency)."""
+    V = len(field_sims)
+    shape = tuple(field_sims[0].data.shape)
+    dtype = np.dtype(field_sims[0].data.dtype)
+    out = np.empty((V,) + shape, dtype=dtype)
+    lazy = [not isinstance(s.data, (np.ndarray, jnp.ndarray)) for s in field_sims]
+    if any(lazy):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def fetch(i):
+            out[i] = np.asarray(field_sims[i].data[...])
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            list(ex.map(fetch, range(V)))
+    else:
+        for i, s in enumerate(field_sims):
+            out[i] = np.asarray(s.data)
+    return out
+
+
 def _slab_from_sim(sim: Sim, window_bb: BoundingBox):
     """Extract the integer pixel window of ``window_bb`` from a tile."""
     sdims = si_utils.get_spatial_dims_from_sim(sim)
@@ -1104,7 +1127,7 @@ def _execute_fusion_plan_pallas(
 
     # keep the native dtype on the host link (half the bytes for uint16);
     # the kernel wrapper pads + casts to f32 on device
-    tiles = np.stack([np.asarray(s.data) for s in field_sims])
+    tiles = _materialize_tiles(field_sims)
     if np.issubdtype(tiles.dtype, np.floating):
         tiles = np.nan_to_num(tiles)
 
@@ -1164,7 +1187,7 @@ def _execute_fusion_plan_tiles(
         return out
 
     # upload tiles once, in their native dtype (cast to f32 on device)
-    tiles = np.stack([np.asarray(s.data) for s in field_sims])
+    tiles = _materialize_tiles(field_sims)
     if np.issubdtype(tiles.dtype, np.floating):
         tiles = np.nan_to_num(tiles)
     tiles_dev = jnp.asarray(tiles)
@@ -1243,21 +1266,14 @@ def _execute_fusion_plan_tiles(
         use_bw,
         np.dtype(out_dtype),
     )
-    # parallel per-chunk fetches: remote/tunneled devices serve concurrent
-    # transfer streams faster than one large copy; fall back to a single
-    # transfer if the backend rejects concurrent reads
+    # per-chunk fetch + sink write pipelined in a thread pool: remote/
+    # tunneled devices serve concurrent transfer streams faster than one
+    # large copy, and disjoint-region writes (numpy slices or tensorstore
+    # chunk-aligned regions) are thread-safe; fall back to a single
+    # transfer + serial writes if the backend rejects concurrent reads
     from concurrent.futures import ThreadPoolExecutor
 
-    try:
-        jax.block_until_ready(fused_all)
-        chunk_slices = [fused_all[i] for i in range(C)]
-        with ThreadPoolExecutor(min(8, max(1, C))) as ex:
-            results = list(ex.map(np.asarray, chunk_slices))
-        results = np.stack(results)
-    except Exception:  # noqa: BLE001
-        results = np.asarray(jax.device_get(fused_all))
-
-    for entry, fused in zip(entries, results):
+    def write_chunk(entry, fused):
         chunk_bb = entry["output_bb"]
         chunk_bb_ov = entry["output_bb_overlap"]
         core_off = [
@@ -1290,6 +1306,20 @@ def _execute_fusion_plan_tiles(
             for s, d in zip(starts, sdims)
         )
         out[out_slices] = np.asarray(fused)[core].astype(out_dtype)
+
+    try:
+        jax.block_until_ready(fused_all)
+        with ThreadPoolExecutor(min(8, max(1, C))) as ex:
+            list(
+                ex.map(
+                    lambda pair: write_chunk(pair[0], np.asarray(pair[1])),
+                    zip(entries, (fused_all[i] for i in range(C))),
+                )
+            )
+    except Exception:  # noqa: BLE001
+        results = np.asarray(jax.device_get(fused_all))
+        for entry, fused in zip(entries, results):
+            write_chunk(entry, fused)
     return out
 
 
@@ -1307,7 +1337,7 @@ def _execute_fusion_plan_batched(
     shrink_distance,
     out_dtype,
     out_sink=None,
-    max_batch_elements=2**27,
+    max_batch_elements=2**25,
 ):
     """Uniform-shape batched execution for builtin fusion funcs.
 
@@ -1476,6 +1506,23 @@ def _execute_fusion_plan(
     )
     import os as _os
 
+    # lazy (zarr-backed) tiles also take the whole-tiles-on-device kernels
+    # when they fit in HBM: one bulk materialize+upload beats per-chunk slab
+    # extraction with halo duplication (the reference's zarr-backed map_blocks
+    # path re-reads each tile window per chunk, fusion/_core.py:1308-1341)
+    try:
+        total_tile_bytes = sum(
+            int(np.prod(s.data.shape)) * np.dtype(s.data.dtype).itemsize
+            for s in field_sims
+        )
+    except Exception:  # noqa: BLE001
+        total_tile_bytes = None
+    tiles_fit_on_device = tiles_in_memory or (
+        total_tile_bytes is not None
+        and total_tile_bytes
+        <= int(_os.environ.get("MVS_TPU_TILES_MAX_BYTES", 2 << 30))
+    )
+
     if (
         builtin_mode == "weighted_average"
         and weights_func is None
@@ -1487,7 +1534,7 @@ def _execute_fusion_plan(
             or (ndim == 3 and _os.environ.get("MVS_TPU_PALLAS_3D") == "1")
         )
         and len(tile_shapes) == 1
-        and tiles_in_memory
+        and tiles_fit_on_device
         and _plan_is_translation(plan["sparams"], ndim)
         and _os.environ.get("MVS_TPU_PALLAS", "1") != "0"
     ):
@@ -1506,7 +1553,7 @@ def _execute_fusion_plan(
         and weights_func is None
         and not (fusion_func_kwargs or {})
         and len(tile_shapes) == 1
-        and tiles_in_memory
+        and tiles_fit_on_device
         and _plan_is_axis_aligned(plan["sparams"], ndim)
     ):
         return _execute_fusion_plan_tiles(

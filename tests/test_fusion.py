@@ -312,10 +312,11 @@ class _ReadLogArray:
         return self._data[idx]
 
 
-def test_fusion_reads_only_needed_windows():
-    """With lazy inputs, fuse() must read per-chunk source windows, never
-    materialize whole tiles (reference's laziness assertions,
-    test_fusion.py:204)."""
+def test_fusion_reads_only_needed_windows(monkeypatch):
+    """With lazy inputs too large for whole-tiles-on-device, fuse() must
+    read per-chunk source windows, never materialize whole tiles
+    (reference's laziness assertions, test_fusion.py:204)."""
+    monkeypatch.setenv("MVS_TPU_TILES_MAX_BYTES", "0")
     rng = np.random.default_rng(1)
     n, tile, overlap = 2, 64, 16
     step = tile - overlap
