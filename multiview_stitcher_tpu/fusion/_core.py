@@ -311,6 +311,24 @@ def _fuse_chunk_tiles_kernel(
     return jnp.nan_to_num(fused)
 
 
+def _tiles_map_body(
+    tiles, view_idx, diags, offs, wgrids, wdiags, woffs, view_valid,
+    out_shape, mode, use_bw, out_dtype,
+):
+    tiles_f = tiles.astype(jnp.float32)
+
+    def one_chunk(args):
+        vi, dg, off, wg, wdg, woff, vv = args
+        return _fuse_chunk_tiles_kernel(
+            tiles_f, vi, dg, off, wg, wdg, woff, vv, out_shape, mode, use_bw
+        ).astype(out_dtype)
+
+    return jax.lax.map(
+        one_chunk,
+        (view_idx, diags, offs, wgrids, wdiags, woffs, view_valid),
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("out_shape", "mode", "use_bw", "out_dtype"),
@@ -333,18 +351,44 @@ def _fuse_chunks_tiles_map_kernel(
     axis of the tiles-resident fused kernel, casting to the output dtype on
     device. Minimizes host<->device round trips (critical for tunneled or
     remote accelerators) and compiles once per plan."""
-    tiles_f = tiles.astype(jnp.float32)
-
-    def one_chunk(args):
-        vi, dg, off, wg, wdg, woff, vv = args
-        return _fuse_chunk_tiles_kernel(
-            tiles_f, vi, dg, off, wg, wdg, woff, vv, out_shape, mode, use_bw
-        ).astype(out_dtype)
-
-    return jax.lax.map(
-        one_chunk,
-        (view_idx, diags, offs, wgrids, wdiags, woffs, view_valid),
+    return _tiles_map_body(
+        tiles, view_idx, diags, offs, wgrids, wdiags, woffs, view_valid,
+        out_shape, mode, use_bw, out_dtype,
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("out_shape", "mode", "use_bw", "out_dtype", "mesh"),
+)
+def _fuse_chunks_tiles_map_kernel_sharded(
+    tiles, view_idx, diags, offs, wgrids, wdiags, woffs, view_valid,
+    out_shape: tuple,
+    mode: str = "weighted_average",
+    use_bw: bool = True,
+    out_dtype=jnp.float32,
+    mesh=None,
+):
+    """Multi-chip variant (SURVEY.md §2.4 P2): the chunk axis is sharded
+    over the mesh's leading axis with ``shard_map`` — tiles are replicated,
+    every device sweeps its disjoint chunk subset (no cross-device traffic;
+    this mirrors the reference's embarrassingly-parallel block fusion,
+    fusion/_core.py:2044). The chunk count must be a multiple of the mesh
+    size (pad with all-invalid chunks)."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    body = partial(
+        _tiles_map_body,
+        out_shape=out_shape, mode=mode, use_bw=use_bw, out_dtype=out_dtype,
+    )
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(),) + (P(axis),) * 7,
+        out_specs=P(axis),
+        check_vma=False,
+    )(tiles, view_idx, diags, offs, wgrids, wdiags, woffs, view_valid)
 
 
 @partial(
@@ -715,6 +759,7 @@ def fuse(
     backend: Optional[str] = None,
     output_on_backend: bool = False,
     sims: Optional[Sequence] = None,
+    mesh=None,
 ):
     """Fuse input views into a single image (reference fusion/_core.py:782).
 
@@ -726,6 +771,11 @@ def fuse(
     always JAX, so only "numpy"/"jax"/None are accepted. With
     ``output_on_backend=True`` the in-memory result stays a device (jax)
     array instead of being copied to host.
+
+    ``mesh``: a ``jax.sharding.Mesh`` to shard the output-chunk axis across
+    devices (tiles replicated, each device fuses a disjoint chunk subset —
+    SURVEY.md §2.4 P2). Applies to the axis-aligned whole-tiles execution
+    tier; see also ``parallel.pipeline`` for lower-level sharded kernels.
     """
     if backend not in (None, "numpy", "jax"):
         raise ValueError(
@@ -943,6 +993,7 @@ def fuse(
             shrink_distance=shrink_distance,
             out_dtype=out_dtype,
             out_sink=_PrefixedSink(output_array, ns_idx),
+            mesh=mesh,
         )
 
     if streaming:
@@ -1173,6 +1224,7 @@ def _execute_fusion_plan_tiles(
     shrink_distance,
     out_dtype,
     out_sink=None,
+    mesh=None,
 ):
     """Axis-aligned fast path: full tiles live on device once; each chunk is
     fused by the separable banded-matmul kernel reading tiles directly (no
@@ -1252,20 +1304,48 @@ def _execute_fusion_plan_tiles(
                 wdiags[ci, vi] = np.diag(wm)
                 woffs[ci, vi] = wo
 
-    fused_all = _fuse_chunks_tiles_map_kernel(
-        tiles_dev,
-        jnp.asarray(view_idx),
-        jnp.asarray(diags),
-        jnp.asarray(offs),
-        jnp.asarray(wgrids),
-        jnp.asarray(wdiags),
-        jnp.asarray(woffs),
-        jnp.asarray(valid),
-        O_max,
-        mode,
-        use_bw,
-        np.dtype(out_dtype),
-    )
+    if mesh is not None and mesh.size > 1:
+        # pad the chunk axis to a mesh multiple with all-invalid chunks;
+        # rows >= C are never fetched below
+        pad = (-C) % mesh.size
+        if pad:
+            view_idx = np.concatenate(
+                [view_idx, np.zeros((pad, K_max), view_idx.dtype)]
+            )
+            diags, offs, wgrids, wdiags, woffs, valid = (
+                np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+                for a in (diags, offs, wgrids, wdiags, woffs, valid)
+            )
+        fused_all = _fuse_chunks_tiles_map_kernel_sharded(
+            tiles_dev,
+            jnp.asarray(view_idx),
+            jnp.asarray(diags),
+            jnp.asarray(offs),
+            jnp.asarray(wgrids),
+            jnp.asarray(wdiags),
+            jnp.asarray(woffs),
+            jnp.asarray(valid),
+            O_max,
+            mode,
+            use_bw,
+            np.dtype(out_dtype),
+            mesh,
+        )
+    else:
+        fused_all = _fuse_chunks_tiles_map_kernel(
+            tiles_dev,
+            jnp.asarray(view_idx),
+            jnp.asarray(diags),
+            jnp.asarray(offs),
+            jnp.asarray(wgrids),
+            jnp.asarray(wdiags),
+            jnp.asarray(woffs),
+            jnp.asarray(valid),
+            O_max,
+            mode,
+            use_bw,
+            np.dtype(out_dtype),
+        )
     # per-chunk fetch + sink write pipelined in a thread pool: remote/
     # tunneled devices serve concurrent transfer streams faster than one
     # large copy, and disjoint-region writes (numpy slices or tensorstore
@@ -1496,6 +1576,7 @@ def _execute_fusion_plan(
     shrink_distance,
     out_dtype,
     out_sink=None,
+    mesh=None,
 ):
     """Run the per-chunk fused kernel over the plan, assembling the output."""
     builtin_mode = _BUILTIN_FUSION_MODES.get(fusion_func)
@@ -1537,6 +1618,7 @@ def _execute_fusion_plan(
         and tiles_fit_on_device
         and _plan_is_translation(plan["sparams"], ndim)
         and _os.environ.get("MVS_TPU_PALLAS", "1") != "0"
+        and mesh is None
     ):
         return _execute_fusion_plan_pallas(
             plan,
@@ -1567,6 +1649,7 @@ def _execute_fusion_plan(
             shrink_distance=shrink_distance,
             out_dtype=out_dtype,
             out_sink=out_sink,
+            mesh=mesh,
         )
     if (
         builtin_mode is not None

@@ -88,3 +88,37 @@ def test_multiworker_streaming_fusion(tmp_path):
     assert out.shape == scene.shape
     err = np.abs(out.astype(float) - scene.astype(float))
     assert np.median(err) < 5
+
+
+def test_fuse_with_mesh_matches_unsharded(monkeypatch):
+    """fuse(mesh=...) shards the chunk axis over the device mesh and must
+    reproduce the single-device result exactly (same XLA tiles tier; the
+    Pallas tier accumulates in a different order)."""
+    import jax
+
+    monkeypatch.setenv("MVS_TPU_PALLAS", "0")
+
+    from multiview_stitcher_tpu import fusion, si_utils
+    from multiview_stitcher_tpu.parallel import mesh as mesh_utils
+
+    rng = np.random.default_rng(5)
+    n, tile, overlap = 3, 40, 10
+    step = tile - overlap
+    sims = [
+        si_utils.get_sim_from_array(
+            rng.integers(0, 1000, (tile, tile)).astype(np.uint16),
+            translation={"y": float(iy * step), "x": float(ix * step)},
+        )
+        for iy in range(n)
+        for ix in range(n)
+    ]
+    ref = fusion.fuse(
+        sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_chunksize=32,
+    ).to_numpy()
+    mesh = mesh_utils.get_mesh(len(jax.devices()))
+    out = fusion.fuse(
+        sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_chunksize=32, mesh=mesh,
+    ).to_numpy()
+    np.testing.assert_array_equal(out, ref)
