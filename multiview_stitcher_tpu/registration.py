@@ -427,6 +427,39 @@ def _resample_and_register_batch(
     return jax.vmap(one)(f_crops, m_crops, fmats, foffs, mmats, moffs)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("out_shape", "upsample_factor", "region_mode", "mesh"),
+)
+def _resample_and_register_batch_sharded(
+    f_crops, m_crops, fmats, foffs, mmats, moffs,
+    out_shape: tuple, upsample_factor: int,
+    region_mode: Optional[str] = None,
+    mesh=None,
+):
+    """Multi-chip variant (SURVEY.md §2.4 P1): the pair axis is sharded over
+    the mesh's leading axis with ``shard_map`` — every device registers its
+    disjoint pair subset with no cross-device traffic (the reference runs one
+    dask task per pair instead, registration.py:2622-2714). The batch size
+    must be a multiple of the mesh size (pad with dummy pairs)."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    body = partial(
+        _resample_and_register_batch.__wrapped__,
+        out_shape=out_shape,
+        upsample_factor=upsample_factor,
+        region_mode=region_mode,
+    )
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis),) * 6,
+        out_specs=P(axis),
+        check_vma=False,
+    )(f_crops, m_crops, fmats, foffs, mmats, moffs)
+
+
 def _evaluate_candidates_kernel(
     im0, im1, t_candidates, im0nm, valid_pixels1, data_range, im1_min,
     region_mode: str,
@@ -1122,12 +1155,18 @@ def register(
     n_parallel_pairwise_regs: Optional[int] = None,
     pairwise_executor: Optional[Callable] = None,
     return_dict: bool = False,
+    mesh=None,
 ):
     """Register a list of views to a common extrinsic coordinate system.
 
     Flow (reference :2227-2619): build overlap graph → prune → pairwise
     registrations → optional quality filter → groupwise resolution → optional
     transform write-back under ``new_transform_key``.
+
+    ``mesh``: a ``jax.sharding.Mesh`` to shard the batched pairwise
+    registrations across devices (SURVEY.md §2.4 P1) — each device registers
+    a disjoint subset of the (edge, t) work units; the tiny global solve
+    stays host-side.
     """
     pairwise_reg_func_kwargs = pairwise_reg_func_kwargs or {}
     groupwise_resolution_kwargs = groupwise_resolution_kwargs or {}
@@ -1196,6 +1235,7 @@ def register(
             pairwise_reg_func_kwargs=pairwise_reg_func_kwargs,
             n_parallel_pairwise_regs=n_parallel_pairwise_regs,
             pairwise_executor=pairwise_executor,
+            mesh=mesh,
         )
 
     if post_registration_do_quality_filter:
@@ -1278,6 +1318,7 @@ def compute_pairwise_registrations(
     g_reg,
     n_parallel_pairwise_regs=None,
     pairwise_executor=None,
+    mesh=None,
     **register_kwargs,
 ):
     """Compute pairwise registrations for all graph edges.
@@ -1299,7 +1340,9 @@ def compute_pairwise_registrations(
             )
         return _assign_pairwise_registrations(g_reg_computed, edges, params)
 
-    params = _try_batched_phase_correlation(msims, edges, register_kwargs)
+    params = _try_batched_phase_correlation(
+        msims, edges, register_kwargs, mesh=mesh
+    )
     if params is None:
         params = [
             register_pair_of_msims_over_time(
@@ -1314,7 +1357,7 @@ def compute_pairwise_registrations(
     return _assign_pairwise_registrations(g_reg_computed, edges, params)
 
 
-def _try_batched_phase_correlation(msims, edges, register_kwargs):
+def _try_batched_phase_correlation(msims, edges, register_kwargs, mesh=None):
     """Batched pairwise registration: one fused-core dispatch per crop-shape
     bucket instead of one per pair (SURVEY.md P1).
 
@@ -1493,19 +1536,48 @@ def _try_batched_phase_correlation(msims, edges, register_kwargs):
             mmats[bi] = u[6]
             moffs[bi] = u[7]
 
-        shifts, qualities = _resample_and_register_batch(
-            jnp.asarray(f_crops),
-            jnp.asarray(m_crops),
-            jnp.asarray(fmats),
-            jnp.asarray(foffs),
-            jnp.asarray(mmats),
-            jnp.asarray(moffs),
-            out_shape,
-            uf,
-            region_mode,
-        )
-        shifts = np.asarray(shifts)
-        qualities = np.asarray(qualities)
+        if mesh is not None and mesh.size > 1:
+            # pad the pair axis to a mesh multiple with dummy pairs
+            pad = (-B) % mesh.size
+            if pad:
+                f_crops = np.concatenate(
+                    [f_crops, np.zeros((pad,) + fshape, np.float32)]
+                )
+                m_crops = np.concatenate(
+                    [m_crops, np.zeros((pad,) + mshape, np.float32)]
+                )
+                fmats, foffs, mmats, moffs = (
+                    np.concatenate(
+                        [a, np.zeros((pad,) + a.shape[1:], a.dtype)]
+                    )
+                    for a in (fmats, foffs, mmats, moffs)
+                )
+            shifts, qualities = _resample_and_register_batch_sharded(
+                jnp.asarray(f_crops),
+                jnp.asarray(m_crops),
+                jnp.asarray(fmats),
+                jnp.asarray(foffs),
+                jnp.asarray(mmats),
+                jnp.asarray(moffs),
+                out_shape,
+                uf,
+                region_mode,
+                mesh,
+            )
+        else:
+            shifts, qualities = _resample_and_register_batch(
+                jnp.asarray(f_crops),
+                jnp.asarray(m_crops),
+                jnp.asarray(fmats),
+                jnp.asarray(foffs),
+                jnp.asarray(mmats),
+                jnp.asarray(moffs),
+                out_shape,
+                uf,
+                region_mode,
+            )
+        shifts = np.asarray(shifts)[:B]
+        qualities = np.asarray(qualities)[:B]
         for u, t_vec, q in zip(bucket, shifts, qualities):
             ei, ti = u[0], u[1]
             T = u[9]

@@ -122,3 +122,44 @@ def test_fuse_with_mesh_matches_unsharded(monkeypatch):
         output_chunksize=32, mesh=mesh,
     ).to_numpy()
     np.testing.assert_array_equal(out, ref)
+
+
+def test_register_with_mesh_matches_unsharded():
+    """register(mesh=...) shards the pairwise batch across the mesh and must
+    reproduce the single-device transforms."""
+    import jax
+
+    from multiview_stitcher_tpu import (
+        msi_utils,
+        registration,
+        sample_data,
+        si_utils,
+    )
+    from multiview_stitcher_tpu.parallel import mesh as mesh_utils
+
+    sims = sample_data.generate_tiled_dataset(
+        ndim=2, N_c=1, N_t=1, tile_size=40, tiles_x=3, tiles_y=3,
+        overlap=10, zoom=4, shift_scale=1.0, drift_scale=0.0,
+    )
+
+    def run(mesh=None):
+        msims = [
+            msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims
+        ]
+        registration.register(
+            msims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+            new_transform_key="registered", reg_channel_index=0,
+            pre_registration_pruning_method=None, mesh=mesh,
+        )
+        return np.stack(
+            [
+                np.asarray(
+                    msi_utils.get_transform_from_msim(m, "registered").squeeze()
+                )
+                for m in msims
+            ]
+        )
+
+    ref = run()
+    out = run(mesh_utils.get_mesh(len(jax.devices())))
+    np.testing.assert_allclose(out, ref, atol=1e-8)
