@@ -1,11 +1,12 @@
-"""Minimal TIFF reading and writing (pure Python, no tifffile dependency).
+"""Minimal TIFF reading and writing (no tifffile dependency).
 
 Rebuild of the reference's ``tif_utils``
 (/root/reference/src/multiview_stitcher/tif_utils.py) without the tifffile
-dependency (not available in this environment): a self-contained baseline
-TIFF codec supporting uncompressed grayscale multi-page files with 8/16/32
-bit unsigned-integer and 32/64-bit float samples — sufficient for the
-round-trip IO the reference's TIFF paths provide (plane-chunked lazy reads,
+dependency (not available in this environment): a self-contained TIFF codec
+for grayscale multi-page files with 8/16/32-bit unsigned-integer and
+32/64-bit float samples; compression none/LZW/Deflate/PackBits (+ TIFF
+predictor 2) through the native codec layer in :mod:`.codecs` — sufficient
+for the IO the reference's TIFF paths provide (plane-chunked lazy reads,
 ``save_sim_as_tif``). Plane reads are lazy: pages are parsed up-front but
 pixel data is read on demand per page.
 """
@@ -18,6 +19,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from multiview_stitcher_tpu import msi_utils, si_utils
+from multiview_stitcher_tpu.io import codecs
 from multiview_stitcher_tpu.si_utils import Sim
 
 # TIFF tag ids
@@ -30,7 +32,16 @@ _TAG_STRIP_OFFSETS = 273
 _TAG_SAMPLES_PER_PIXEL = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_BYTE_COUNTS = 279
+_TAG_PREDICTOR = 317
 _TAG_SAMPLE_FORMAT = 339
+
+_COMPRESSION_NAMES = {
+    "none": codecs.TIFF_COMPRESSION_NONE,
+    "lzw": codecs.TIFF_COMPRESSION_LZW,
+    "deflate": codecs.TIFF_COMPRESSION_DEFLATE,
+    "zlib": codecs.TIFF_COMPRESSION_DEFLATE,
+    "packbits": codecs.TIFF_COMPRESSION_PACKBITS,
+}
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
 _TYPE_FMT = {3: "H", 4: "I"}
@@ -46,12 +57,14 @@ def _dtype_for(bits: int, sample_format: int) -> np.dtype:
 
 class TiffPage:
     def __init__(self, shape, dtype, strip_offsets, strip_byte_counts,
-                 rows_per_strip):
+                 rows_per_strip, compression=1, predictor=1):
         self.shape = shape
         self.dtype = dtype
         self.strip_offsets = strip_offsets
         self.strip_byte_counts = strip_byte_counts
         self.rows_per_strip = rows_per_strip
+        self.compression = compression
+        self.predictor = predictor
 
 
 class TiffFile:
@@ -106,10 +119,6 @@ class TiffFile:
         length = tags[_TAG_LENGTH][0]
         bits = tags.get(_TAG_BITS, [8])[0]
         compression = tags.get(_TAG_COMPRESSION, [1])[0]
-        if compression != 1:
-            raise NotImplementedError(
-                f"TIFF compression {compression} not supported."
-            )
         spp = tags.get(_TAG_SAMPLES_PER_PIXEL, [1])[0]
         if spp != 1:
             raise NotImplementedError("Only single-sample TIFFs supported.")
@@ -121,21 +130,40 @@ class TiffFile:
                 strip_offsets=tags[_TAG_STRIP_OFFSETS],
                 strip_byte_counts=tags[_TAG_STRIP_BYTE_COUNTS],
                 rows_per_strip=tags.get(_TAG_ROWS_PER_STRIP, [length])[0],
+                compression=compression,
+                predictor=tags.get(_TAG_PREDICTOR, [1])[0],
             )
         )
         return next_offset
 
     def read_page(self, index: int) -> np.ndarray:
         page = self.pages[index]
+        length, width = page.shape
+        itemsize = page.dtype.itemsize
+        rps = max(1, int(page.rows_per_strip))
         with open(self.path, "rb") as f:
             chunks = []
-            for off, cnt in zip(page.strip_offsets, page.strip_byte_counts):
+            for si, (off, cnt) in enumerate(
+                zip(page.strip_offsets, page.strip_byte_counts)
+            ):
                 f.seek(off)
-                chunks.append(f.read(cnt))
+                raw = f.read(cnt)
+                rows = min(rps, length - si * rps)
+                chunks.append(
+                    codecs.decode_tiff_data(
+                        raw, page.compression, rows * width * itemsize
+                    )
+                )
         data = b"".join(chunks)
         arr = np.frombuffer(data, dtype=page.dtype).reshape(page.shape)
         if self._e == ">":
             arr = arr.byteswap().view(arr.dtype.newbyteorder("<"))
+        if page.predictor == 2:
+            arr = codecs.undo_predictor2(arr)
+        elif page.predictor != 1:
+            raise NotImplementedError(
+                f"TIFF predictor {page.predictor} not supported."
+            )
         return arr
 
     def asarray(self) -> np.ndarray:
@@ -178,8 +206,11 @@ class LazyTiffPages:
         return out.astype(dtype) if dtype is not None else out
 
 
-def write_tiff(path, data: np.ndarray):
-    """Write a (pages, H, W) or (H, W) array as an uncompressed TIFF."""
+def write_tiff(path, data: np.ndarray, compression: str = "none"):
+    """Write a (pages, H, W) or (H, W) array as a TIFF.
+
+    ``compression``: "none" (default), "lzw", "deflate"/"zlib", "packbits".
+    """
     data = np.asarray(data)
     if data.ndim == 2:
         data = data[None]
@@ -195,6 +226,9 @@ def write_tiff(path, data: np.ndarray):
     else:
         raise ValueError(f"Unsupported dtype {dtype}")
     bits = dtype.itemsize * 8
+    comp_id = _COMPRESSION_NAMES.get(str(compression).lower())
+    if comp_id is None:
+        raise ValueError(f"Unknown compression {compression!r}")
 
     n_pages, length, width = data.shape
     with open(path, "wb") as f:
@@ -204,7 +238,7 @@ def write_tiff(path, data: np.ndarray):
             plane = np.ascontiguousarray(data[ip]).astype(
                 dtype.newbyteorder("<")
             )
-            raw = plane.tobytes()
+            raw = codecs.encode_tiff_data(plane.tobytes(), comp_id)
             n_entries = 10
             data_offset = ifd_offset + 2 + n_entries * 12 + 4
 
@@ -215,7 +249,7 @@ def write_tiff(path, data: np.ndarray):
                 entry(_TAG_WIDTH, 4, 1, width),
                 entry(_TAG_LENGTH, 4, 1, length),
                 entry(_TAG_BITS, 3, 1, bits),
-                entry(_TAG_COMPRESSION, 3, 1, 1),
+                entry(_TAG_COMPRESSION, 3, 1, comp_id),
                 entry(_TAG_PHOTOMETRIC, 3, 1, 1),
                 entry(_TAG_STRIP_OFFSETS, 4, 1, data_offset),
                 entry(_TAG_SAMPLES_PER_PIXEL, 3, 1, 1),
