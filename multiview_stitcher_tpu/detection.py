@@ -16,7 +16,7 @@ mask and centroid extraction stay host-side (scipy.ndimage.label).
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Dict, Optional, Tuple, Union
+from typing import Callable, Dict, Optional, Union
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,9 @@ logger = logging.getLogger(__name__)
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "_codecs.c")
-_LIB_PATH = os.path.join(_HERE, "_codecs.so")
+# keep the artifact out of the package's module namespace (a _codecs.so
+# next to the sources would shadow-import as a broken extension module)
+_LIB_PATH = os.path.join(_HERE, "_native", "codecs.so")
 _lib = None
 _lib_tried = False
 
@@ -44,6 +46,7 @@ def _load_native():
         if not os.path.exists(_LIB_PATH) or (
             os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
         ):
+            os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
             with tempfile.TemporaryDirectory() as td:
                 tmp_so = os.path.join(td, "_codecs.so")
                 subprocess.run(

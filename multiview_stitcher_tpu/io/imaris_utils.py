@@ -9,7 +9,6 @@ per-window through h5py on access).
 
 from __future__ import annotations
 
-from typing import List, Optional
 
 import h5py
 import numpy as np

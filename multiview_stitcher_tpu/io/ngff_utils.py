@@ -18,7 +18,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from multiview_stitcher_tpu import msi_utils, param_utils, si_utils
+from multiview_stitcher_tpu import msi_utils, si_utils
 from multiview_stitcher_tpu.io import zarr_backend
 from multiview_stitcher_tpu.msi_utils import Msim
 from multiview_stitcher_tpu.si_utils import Sim

@@ -14,7 +14,7 @@ pixel data is read on demand per page.
 from __future__ import annotations
 
 import struct
-from typing import List, Optional, Tuple
+from typing import List
 
 import numpy as np
 

@@ -19,7 +19,7 @@ import copy
 import logging
 import warnings
 from itertools import chain, product
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, Optional, Sequence, Union
 
 import networkx as nx
 import numpy as np

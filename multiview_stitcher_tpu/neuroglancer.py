@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import json
 import urllib.parse
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

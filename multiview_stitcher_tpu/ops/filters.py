@@ -14,9 +14,8 @@ reference's CPU outputs.
 
 from __future__ import annotations
 
-import math
 from functools import partial
-from typing import Dict, Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp

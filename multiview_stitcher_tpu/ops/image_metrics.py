@@ -13,10 +13,8 @@ reference's for every candidate whose box admits the window.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

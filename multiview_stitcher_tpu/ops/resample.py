@@ -17,7 +17,6 @@ Semantics match ``scipy.ndimage.affine_transform(order<=1, mode='constant')``:
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Sequence
 

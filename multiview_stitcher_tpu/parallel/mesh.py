@@ -10,7 +10,7 @@ dask/ray/joblib executors collapse into these shardings plus the
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

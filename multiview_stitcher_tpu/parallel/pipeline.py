@@ -14,11 +14,8 @@ Multi-chip execution of the two hot batches (SURVEY.md §2.4 P1/P2):
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from multiview_stitcher_tpu.fusion._core import _fuse_chunk_batch_kernel

@@ -17,7 +17,7 @@ Conventions (same as reference, see docs/implementation_details.md there):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence, Union
 
 import numpy as np

@@ -13,11 +13,9 @@ reference's extension surface for users who rely on ANTs/Elastix pipelines.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 
-from multiview_stitcher_tpu import param_utils
 
 try:
     import ants

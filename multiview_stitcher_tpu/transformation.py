@@ -10,7 +10,6 @@ reference exactly so output grids are bit-comparable.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

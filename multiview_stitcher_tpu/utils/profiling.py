@@ -14,7 +14,7 @@ import contextlib
 import logging
 import time
 from collections import defaultdict
-from typing import Dict, Optional
+from typing import Dict
 
 logger = logging.getLogger(__name__)
 

@@ -20,7 +20,6 @@ import numpy as np
 
 from multiview_stitcher_tpu import msi_utils, mv_graph, param_utils, si_utils
 from multiview_stitcher_tpu.msi_utils import Msim
-from multiview_stitcher_tpu.si_utils import Sim
 
 logger = logging.getLogger(__name__)
 
