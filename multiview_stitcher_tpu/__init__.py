@@ -43,3 +43,23 @@ __all__ = [
     "parallel",
     "ops",
 ]
+
+# Reference-layout aliases (PEP 562 lazy): users of the reference package
+# find the module names they know (multiview_stitcher.spatial_image_utils,
+# .ngff_utils, .misc_utils, .tif_utils, ...) at the same places here.
+_ALIASES = {
+    "spatial_image_utils": "multiview_stitcher_tpu.si_utils",
+    "ngff_utils": "multiview_stitcher_tpu.io.ngff_utils",
+    "misc_utils": "multiview_stitcher_tpu.utils.misc",
+    "tif_utils": "multiview_stitcher_tpu.io.tif_utils",
+    "czi_utils": "multiview_stitcher_tpu.io.czi_utils",
+    "imaris_utils": "multiview_stitcher_tpu.io.imaris_utils",
+}
+
+
+def __getattr__(name):
+    if name in _ALIASES:
+        import importlib
+
+        return importlib.import_module(_ALIASES[name])
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

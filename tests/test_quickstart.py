@@ -33,3 +33,21 @@ def test_quickstart_zarr(tmp_path):
     assert out.shape == scene.shape
     err = np.abs(out[5:-5, 5:-5] - scene[5:-5, 5:-5].astype(float))
     assert np.median(err) < 10
+
+
+def test_example_multiview_rotated():
+    import sys
+
+    sys.path.insert(0, "examples")
+    import multiview_rotated
+
+    multiview_rotated.main()
+
+
+def test_example_deconvolution():
+    import sys
+
+    sys.path.insert(0, "examples")
+    import deconvolution
+
+    deconvolution.main()
