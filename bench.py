@@ -204,7 +204,7 @@ def register_grid_rate(n=6, tile=200, overlap=40, repeats=2):
     return n_edges / min(times), n_edges
 
 
-def pairwise_reg_rate(n_pairs=32, crop=(128, 128), repeats=3):
+def pairwise_reg_rate(n_pairs=512, crop=(128, 128), repeats=3):
     import jax
     import jax.numpy as jnp
 
