@@ -1455,8 +1455,7 @@ def _execute_fusion_plan_batched(
         [output_stack_properties["spacing"][d] for d in sdims]
     )
 
-    for batch_start in range(0, len(entries), batch_size):
-        batch = entries[batch_start : batch_start + batch_size]
+    def build_batch(batch):
         B = len(batch)
         slabs = np.full((B, K_max) + S_max, np.nan, dtype=np.float32)
         mats = np.tile(np.eye(ndim, dtype=np.float32), (B, K_max, 1, 1))
@@ -1506,22 +1505,14 @@ def _execute_fusion_plan_batched(
                     wgrids[bi, vi] = g
                     wmats[bi, vi] = wm
                     woffs[bi, vi] = wo
+        return slabs, mats, offs, wgrids, wmats, woffs, valid
 
-        fused_batch = np.asarray(
-            _fuse_chunk_batch_kernel(
-                jnp.asarray(slabs),
-                jnp.asarray(mats),
-                jnp.asarray(offs),
-                jnp.asarray(wgrids),
-                jnp.asarray(wmats),
-                jnp.asarray(woffs),
-                jnp.asarray(valid),
-                O_max,
-                mode,
-                use_bw,
-            )
+    def dispatch(arrays):
+        return _fuse_chunk_batch_kernel(
+            *(jnp.asarray(a) for a in arrays), O_max, mode, use_bw
         )
 
+    def write_batch(batch, fused_batch):
         for bi, entry in enumerate(batch):
             chunk_bb = entry["output_bb"]
             chunk_bb_ov = entry["output_bb_overlap"]
@@ -1556,6 +1547,29 @@ def _execute_fusion_plan_batched(
                 for s, d in zip(starts, sdims)
             )
             out[out_slices] = fused_batch[bi][core].astype(out_dtype)
+
+    # software pipeline (SURVEY.md §7 "out-of-core streaming"): while the
+    # device computes batch i, a prep thread reads batch i+1's slabs from
+    # the (possibly zarr-backed) tiles, and batch i-1's results are fetched
+    # and region-written; jax dispatch is async so the stages overlap
+    from concurrent.futures import ThreadPoolExecutor
+
+    batches = [
+        entries[i : i + batch_size]
+        for i in range(0, len(entries), batch_size)
+    ]
+    with ThreadPoolExecutor(max_workers=1) as prep:
+        next_fut = prep.submit(build_batch, batches[0])
+        inflight = None  # (batch, device array)
+        for i, batch in enumerate(batches):
+            arrays = next_fut.result()
+            if i + 1 < len(batches):
+                next_fut = prep.submit(build_batch, batches[i + 1])
+            dev = dispatch(arrays)
+            if inflight is not None:
+                write_batch(inflight[0], np.asarray(inflight[1]))
+            inflight = (batch, dev)
+        write_batch(inflight[0], np.asarray(inflight[1]))
     return out
 
 
