@@ -183,6 +183,17 @@ def optimize_bead_subgraph(
     res_mat = np.zeros((0, beads1.shape[1]))
     total_iterations = 0
 
+    # graph coloring computed ONCE: a proper coloring stays proper when
+    # edges are removed, so outer-loop restarts reuse it. The same
+    # persistent graph serves the incremental connectivity checks.
+    import scipy.sparse as sp
+
+    g_conn = nx.Graph()
+    g_conn.add_nodes_from(all_nodes)
+    g_conn.add_edges_from(zip(e1.tolist(), e2.tolist()))
+    coloring = nx.greedy_color(g_conn)
+    d12 = np.mean(beads2 - beads1, axis=1)  # (E, ndim)
+
     while True:
         if not np.any(active):
             break
@@ -191,10 +202,7 @@ def optimize_bead_subgraph(
         # Gauss-Seidel sweep updates one graph-color class at a time (nodes
         # within a class are non-adjacent, so the simultaneous update equals
         # a sequential sweep in some node order)
-        import scipy.sparse as sp
-
         act = np.nonzero(active)[0]
-        d12 = np.mean(beads2 - beads1, axis=1)  # (E, ndim)
         rows = np.concatenate([e1[act], e2[act]])
         cols = np.concatenate([e2[act], e1[act]])
         adj = sp.csr_matrix(
@@ -206,13 +214,10 @@ def optimize_bead_subgraph(
         np.add.at(nbr_const, rows, d_signed)
         nbr_const /= np.maximum(deg, 1)[:, None]
 
-        g_active = nx.Graph()
-        g_active.add_nodes_from(all_nodes)
-        g_active.add_edges_from(zip(e1[act].tolist(), e2[act].tolist()))
-        coloring = nx.greedy_color(g_active)
         n_colors = max(coloring.values()) + 1 if coloring else 1
         # classes ordered so high-degree nodes update first (reference
-        # sweeps in degree-centrality order)
+        # sweeps in degree-centrality order); per-class operators are
+        # sliced once per round, not per iteration
         color_classes = []
         for c in range(n_colors):
             cls = np.array(
@@ -226,6 +231,10 @@ def optimize_bead_subgraph(
             if len(cls):
                 color_classes.append(cls)
         color_classes.sort(key=lambda cls: -deg[cls].max())
+        class_ops = [
+            (cls, adj[cls], nbr_const[cls], deg[cls, None])
+            for cls in color_classes
+        ]
         n_updates_per_sweep = int(np.sum(deg > 0))
 
         if not use_translation_fast_path:
@@ -260,11 +269,8 @@ def optimize_bead_subgraph(
         for iteration in range(max_iter):
             if use_translation_fast_path:
                 t = new_affines[:, :ndim, ndim]
-                for cls in color_classes:
-                    t[cls] = (
-                        nbr_const[cls]
-                        + (adj[cls] @ t) / deg[cls, None]
-                    )
+                for cls, adj_cls, const_cls, deg_cls in class_ops:
+                    t[cls] = const_cls + (adj_cls @ t) / deg_cls
                 total_iterations += n_updates_per_sweep
             else:
                 for curr_node in sorted_nodes:
@@ -322,17 +328,15 @@ def optimize_bead_subgraph(
                 * np.log10(np.maximum(degrees[e1[act]], degrees[e2[act]]))
             )
             # pick the worst edge whose removal keeps its nodes connected
+            # (incremental on the persistent graph)
             edge_to_remove = None
-            g_active = nx.Graph()
-            g_active.add_nodes_from(all_nodes)
-            g_active.add_edges_from(zip(e1[act], e2[act]))
             for ci in np.argsort(crit)[::-1]:
                 ei = int(act[ci])
-                g_active.remove_edge(e1[ei], e2[ei])
-                if nx.has_path(g_active, e1[ei], e2[ei]):
+                g_conn.remove_edge(e1[ei], e2[ei])
+                if nx.has_path(g_conn, e1[ei], e2[ei]):
                     edge_to_remove = ei
                     break
-                g_active.add_edge(e1[ei], e2[ei])
+                g_conn.add_edge(e1[ei], e2[ei])
 
         if edge_to_remove is not None:
             active[edge_to_remove] = False

@@ -1521,51 +1521,35 @@ def _try_batched_phase_correlation(msims, edges, register_kwargs, mesh=None):
         mshape = tuple(
             max(u[3].shape[d] for u in bucket) for d in range(ndim)
         )
-        B = len(bucket)
-        f_crops = np.full((B,) + fshape, np.nan, dtype=np.float32)
-        m_crops = np.full((B,) + mshape, np.nan, dtype=np.float32)
-        fmats = np.zeros((B, ndim, ndim), dtype=np.float32)
-        foffs = np.zeros((B, ndim), dtype=np.float32)
-        mmats = np.zeros((B, ndim, ndim), dtype=np.float32)
-        moffs = np.zeros((B, ndim), dtype=np.float32)
-        for bi, u in enumerate(bucket):
-            f_crops[bi][tuple(slice(0, s) for s in u[2].shape)] = u[2]
-            m_crops[bi][tuple(slice(0, s) for s in u[3].shape)] = u[3]
-            fmats[bi] = u[4]
-            foffs[bi] = u[5]
-            mmats[bi] = u[6]
-            moffs[bi] = u[7]
+        # quantized batch sizes: process in fixed-size chunks and pad each
+        # to a power of two (and a mesh multiple) so that varying edge
+        # counts reuse a handful of compiled batch shapes instead of
+        # triggering a fresh (slow, remote) compile per grid size
+        MAX_B = 256
+        for cstart in range(0, len(bucket), MAX_B):
+            chunk = bucket[cstart : cstart + MAX_B]
+            B = len(chunk)
+            Bq = 1
+            while Bq < B:
+                Bq *= 2
+            if mesh is not None and mesh.size > 1:
+                Bq = max(Bq, mesh.size)
+                Bq += (-Bq) % mesh.size
+            f_crops = np.full((Bq,) + fshape, np.nan, dtype=np.float32)
+            m_crops = np.full((Bq,) + mshape, np.nan, dtype=np.float32)
+            fmats = np.zeros((Bq, ndim, ndim), dtype=np.float32)
+            foffs = np.zeros((Bq, ndim), dtype=np.float32)
+            mmats = np.zeros((Bq, ndim, ndim), dtype=np.float32)
+            moffs = np.zeros((Bq, ndim), dtype=np.float32)
+            for bi, u in enumerate(chunk):
+                f_crops[bi][tuple(slice(0, s) for s in u[2].shape)] = u[2]
+                m_crops[bi][tuple(slice(0, s) for s in u[3].shape)] = u[3]
+                fmats[bi] = u[4]
+                foffs[bi] = u[5]
+                mmats[bi] = u[6]
+                moffs[bi] = u[7]
 
-        if mesh is not None and mesh.size > 1:
-            # pad the pair axis to a mesh multiple with dummy pairs
-            pad = (-B) % mesh.size
-            if pad:
-                f_crops = np.concatenate(
-                    [f_crops, np.zeros((pad,) + fshape, np.float32)]
-                )
-                m_crops = np.concatenate(
-                    [m_crops, np.zeros((pad,) + mshape, np.float32)]
-                )
-                fmats, foffs, mmats, moffs = (
-                    np.concatenate(
-                        [a, np.zeros((pad,) + a.shape[1:], a.dtype)]
-                    )
-                    for a in (fmats, foffs, mmats, moffs)
-                )
-            shifts, qualities = _resample_and_register_batch_sharded(
-                jnp.asarray(f_crops),
-                jnp.asarray(m_crops),
-                jnp.asarray(fmats),
-                jnp.asarray(foffs),
-                jnp.asarray(mmats),
-                jnp.asarray(moffs),
-                out_shape,
-                uf,
-                region_mode,
-                mesh,
-            )
-        else:
-            shifts, qualities = _resample_and_register_batch(
+            args = (
                 jnp.asarray(f_crops),
                 jnp.asarray(m_crops),
                 jnp.asarray(fmats),
@@ -1576,16 +1560,22 @@ def _try_batched_phase_correlation(msims, edges, register_kwargs, mesh=None):
                 uf,
                 region_mode,
             )
-        shifts = np.asarray(shifts)[:B]
-        qualities = np.asarray(qualities)[:B]
-        for u, t_vec, q in zip(bucket, shifts, qualities):
-            ei, ti = u[0], u[1]
-            T = u[9]
-            affine_px = param_utils.affine_from_translation(
-                np.asarray(t_vec, dtype=float)
-            )
-            affine_phys = T @ affine_px @ np.linalg.inv(T)
-            unit_results[(ei, ti)] = (affine_phys, float(q))
+            if mesh is not None and mesh.size > 1:
+                shifts, qualities = _resample_and_register_batch_sharded(
+                    *args, mesh
+                )
+            else:
+                shifts, qualities = _resample_and_register_batch(*args)
+            shifts = np.asarray(shifts)[:B]
+            qualities = np.asarray(qualities)[:B]
+            for u, t_vec, q in zip(chunk, shifts, qualities):
+                ei, ti = u[0], u[1]
+                T = u[9]
+                affine_px = param_utils.affine_from_translation(
+                    np.asarray(t_vec, dtype=float)
+                )
+                affine_phys = T @ affine_px @ np.linalg.inv(T)
+                unit_results[(ei, ti)] = (affine_phys, float(q))
 
     unit_results.update(results_direct)
 
