@@ -113,11 +113,6 @@ class CziFile:
         )
 
     def read_subblock(self, sb: CziSubBlock) -> np.ndarray:
-        if sb.compression != 0:
-            raise NotImplementedError(
-                "Compressed CZI subblocks are not supported by the built-in "
-                "reader."
-            )
         dtype = _PIXEL_TYPES.get(sb.pixel_type)
         if dtype is None:
             raise NotImplementedError(f"CZI pixel type {sb.pixel_type}")
@@ -129,6 +124,7 @@ class CziFile:
         with open(self.path, "rb") as f:
             f.seek(sb.data_offset)
             raw = f.read(sb.data_size)
+        raw = _decompress_subblock(raw, sb.compression, dtype)
         n = int(np.prod(shape))
         return np.frombuffer(raw[: n * dtype.itemsize], dtype=dtype).reshape(
             shape
@@ -139,6 +135,56 @@ class CziFile:
         if self.metadata_xml is None:
             raise ValueError("No metadata segment found.")
         return ET.fromstring(self.metadata_xml)
+
+
+_CZI_COMPRESSION_NAMES = {
+    0: "none", 1: "JPEG", 2: "LZW", 4: "JPEG XR", 5: "ZSTD0", 6: "ZSTD1",
+}
+
+
+def _decompress_subblock(raw: bytes, compression: int, dtype) -> bytes:
+    """Decode a ZISRAW subblock payload.
+
+    Supports uncompressed (0), ZSTD0 (5: plain zstd stream) and ZSTD1
+    (6: 1- or 3-byte header, optional hi/lo byte-plane packing for 16-bit
+    data — libczi decoder_zstd.cpp semantics; the reference reads these via
+    czifile+imagecodecs, czifile_patch.py:37-75).
+    """
+    if compression == 0:
+        return raw
+    if compression in (5, 6):
+        try:
+            import zstandard
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError(
+                "ZSTD-compressed CZI subblocks need the zstandard package."
+            ) from e
+        hi_lo = False
+        if compression == 6:
+            # ZSTD1 header: [1] -> 1-byte header; [3, 1, flags] -> 3-byte
+            # header with bit0 of flags = hi/lo byte unpack preprocessing
+            header_size = 0
+            if len(raw) >= 1 and raw[0] == 1:
+                header_size = 1
+            elif len(raw) >= 3 and raw[0] == 3 and raw[1] == 1:
+                header_size = 3
+                hi_lo = bool(raw[2] & 1)
+            raw = raw[header_size:]
+        data = zstandard.ZstdDecompressor().decompress(raw)
+        if hi_lo and np.dtype(dtype).itemsize == 2:
+            # packed as all low bytes then all high bytes; re-interleave
+            half = len(data) // 2
+            arr = np.empty(len(data), dtype=np.uint8)
+            arr[0::2] = np.frombuffer(data[:half], np.uint8)
+            arr[1::2] = np.frombuffer(data[half:half * 2], np.uint8)
+            data = arr.tobytes()
+        return data
+    raise NotImplementedError(
+        f"CZI compression {compression} "
+        f"({_CZI_COMPRESSION_NAMES.get(compression, 'unknown')}) is not "
+        "supported by the built-in reader (JPEG/JPEG-XR need external "
+        "codecs)."
+    )
 
 
 def _find_float(tree, path, default=None):

@@ -229,3 +229,46 @@ class TestTiffCodecs:
         native = codecs.lzw_decode(enc, len(payload))
         pure = codecs._lzw_decode_py(enc, len(payload))
         assert native == pure == payload
+
+
+class TestCziZstd:
+    """ZSTD0/ZSTD1 subblock decompression (libczi decoder_zstd semantics)."""
+
+    def test_zstd0_roundtrip(self):
+        import zstandard
+
+        from multiview_stitcher_tpu.io import czi_utils
+
+        data = np.arange(200, dtype=np.uint16).tobytes()
+        comp = zstandard.ZstdCompressor().compress(data)
+        out = czi_utils._decompress_subblock(comp, 5, np.uint16)
+        assert out == data
+
+    def test_zstd1_plain_header(self):
+        import zstandard
+
+        from multiview_stitcher_tpu.io import czi_utils
+
+        data = np.arange(100, dtype=np.uint8).tobytes()
+        comp = bytes([1]) + zstandard.ZstdCompressor().compress(data)
+        out = czi_utils._decompress_subblock(comp, 6, np.uint8)
+        assert out == data
+
+    def test_zstd1_hilo_unpack(self):
+        import zstandard
+
+        from multiview_stitcher_tpu.io import czi_utils
+
+        arr = np.arange(300, 556, dtype="<u2")
+        b = arr.tobytes()
+        lo, hi = b[0::2], b[1::2]
+        packed = lo + hi
+        comp = bytes([3, 1, 1]) + zstandard.ZstdCompressor().compress(packed)
+        out = czi_utils._decompress_subblock(comp, 6, np.uint16)
+        np.testing.assert_array_equal(np.frombuffer(out, "<u2"), arr)
+
+    def test_unsupported_compression_raises(self):
+        from multiview_stitcher_tpu.io import czi_utils
+
+        with pytest.raises(NotImplementedError, match="JPEG XR"):
+            czi_utils._decompress_subblock(b"xx", 4, np.uint16)
