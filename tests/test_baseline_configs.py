@@ -175,3 +175,43 @@ def test_config5_zarr_streaming_multichannel_time(tmp_path):
 
     arr = zarr_backend.attach_zarr_array(out_url + "/0")
     assert tuple(arr.shape) == out.shape
+
+
+@pytest.mark.parametrize(
+    "ndim,overlap,N_c,N_t,dtype",
+    [
+        (2, 5, 1, 1, np.uint8),
+        (2, 12, 2, 1, np.uint16),
+        (2, 8, 1, 2, np.float32),
+        (3, 6, 1, 1, np.uint16),
+        (3, 10, 2, 1, np.uint8),
+    ],
+)
+def test_diversity_stitching(ndim, overlap, N_c, N_t, dtype):
+    """Register+fuse across ndim/overlap/channels/time/dtype diversity
+    (mirror of reference test_integration.py:31 test_diversity_stitching)."""
+    tile = 32 if ndim == 3 else 48
+    sims = sample_data.generate_tiled_dataset(
+        ndim=ndim, N_c=N_c, N_t=N_t, tile_size=tile, tiles_x=2, tiles_y=2,
+        overlap=overlap, zoom=3, shift_scale=1.0, drift_scale=0.3,
+        dtype=dtype,
+    )
+    msims = [msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims]
+    params = registration.register(
+        msims,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        new_transform_key="registered",
+        reg_channel_index=0,
+        pre_registration_pruning_method=None,
+    )
+    assert len(params) == 4
+    fused = fusion.fuse(
+        [msi_utils.get_sim_from_msim(m) for m in msims],
+        transform_key="registered",
+    )
+    assert fused.dtype == dtype
+    if N_c > 1:
+        assert fused.sizes["c"] == N_c
+    if N_t > 1:
+        assert fused.sizes["t"] == N_t
+    assert np.asarray(fused.to_numpy()).max() > 0
