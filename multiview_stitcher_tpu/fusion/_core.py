@@ -1090,6 +1090,20 @@ def _plan_is_translation(sparams, ndim) -> bool:
     return True
 
 
+def _views_match_output_grid(field_sims, output_stack_properties, sdims):
+    """True when every view's spacing equals the output spacing, i.e. the
+    output-pixel -> tile-pixel map is a pure (unit-scale) translation — the
+    assumption baked into the Pallas translation kernels."""
+    osp = np.array(
+        [float(output_stack_properties["spacing"][d]) for d in sdims]
+    )
+    for s in field_sims:
+        sp = si_utils.get_spacing_from_sim(s)
+        if not np.allclose([sp[d] for d in sdims], osp, rtol=1e-6):
+            return False
+    return True
+
+
 def _execute_fusion_plan_pallas(
     plan,
     field_sims,
@@ -1193,12 +1207,30 @@ def _execute_fusion_plan_pallas(
         wdiags, woffs, wgrids,
         out_shape=out_shape_full, tile_shape=tile_shape, K=K,
         interpret=interpret,
+        out_dtype=np.dtype(out_dtype),
     )
-    result = np.nan_to_num(np.asarray(fused)).astype(out_dtype)
     out = out_sink if out_sink is not None else np.zeros(
         out_shape_full, dtype=out_dtype
     )
-    out[tuple(slice(0, s) for s in out_shape_full)] = result
+    # fetch + write in parallel bands along the leading axis: concurrent
+    # transfer streams beat one large copy on remote/tunneled devices
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_bands = min(8, out_shape_full[0])
+    bounds = np.linspace(0, out_shape_full[0], n_bands + 1).astype(int)
+
+    def fetch_band(i):
+        sl = slice(int(bounds[i]), int(bounds[i + 1]))
+        out[(sl,) + tuple(slice(0, s) for s in out_shape_full[1:])] = (
+            np.asarray(fused[sl])
+        )
+
+    try:
+        jax.block_until_ready(fused)
+        with ThreadPoolExecutor(n_bands) as ex:
+            list(ex.map(fetch_band, range(n_bands)))
+    except Exception:  # noqa: BLE001
+        out[tuple(slice(0, s) for s in out_shape_full)] = np.asarray(fused)
     return out
 
 
@@ -1624,13 +1656,17 @@ def _execute_fusion_plan(
         and not (fusion_func_kwargs or {})
         and (
             ndim == 2
-            # the 3D kernel is correct but not yet performant on hardware;
-            # opt in with MVS_TPU_PALLAS_3D=1 (the XLA tiles path is fast)
-            or (ndim == 3 and _os.environ.get("MVS_TPU_PALLAS_3D") == "1")
+            or (
+                ndim == 3
+                and _os.environ.get("MVS_TPU_PALLAS_3D", "1") != "0"
+            )
         )
         and len(tile_shapes) == 1
         and tiles_fit_on_device
         and _plan_is_translation(plan["sparams"], ndim)
+        and _views_match_output_grid(
+            field_sims, output_stack_properties, sdims
+        )
         and _os.environ.get("MVS_TPU_PALLAS", "1") != "0"
         and mesh is None
     ):

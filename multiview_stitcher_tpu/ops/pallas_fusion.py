@@ -160,7 +160,7 @@ def _fuse_tile_kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("out_shape", "tile_shape", "K", "interpret"),
+    static_argnames=("out_shape", "tile_shape", "K", "interpret", "out_dtype"),
 )
 def fuse_translation_2d(
     tiles,          # (V, H, W) any dtype — padded + cast to f32 on device
@@ -174,6 +174,7 @@ def fuse_translation_2d(
     tile_shape: Tuple[int, int] = (256, 256),
     K: int = 4,
     interpret: bool = False,
+    out_dtype=jnp.float32,
 ):
     """Fuse a full 2D output from translation-placed tiles (weighted average
     with cosine blending), single pass in VMEM with per-tile view lists.
@@ -231,7 +232,8 @@ def fuse_translation_2d(
         tiles_padded,
         wgrids_padded,
     )
-    return out[:OY, :OX]
+    # cast on device: halves the host-link bytes for uint16 outputs
+    return jnp.nan_to_num(out[:OY, :OX]).astype(out_dtype)
 
 
 def _fuse_tile_kernel_3d(
@@ -396,7 +398,7 @@ def _fuse_tile_kernel_3d(
 
 @partial(
     jax.jit,
-    static_argnames=("out_shape", "tile_shape", "K", "interpret"),
+    static_argnames=("out_shape", "tile_shape", "K", "interpret", "out_dtype"),
 )
 def fuse_translation_3d(
     tiles,          # (V, D, H, W) any dtype — padded + cast to f32 on device
@@ -410,6 +412,7 @@ def fuse_translation_3d(
     tile_shape=(8, 128, 256),
     K: int = 4,
     interpret: bool = False,
+    out_dtype=jnp.float32,
 ):
     """Fuse a full 3D output from translation-placed tiles, single pass.
 
@@ -471,4 +474,4 @@ def fuse_translation_3d(
         tiles_padded,
         wgrids_padded,
     )
-    return out[:OZ, :OY, :OX]
+    return jnp.nan_to_num(out[:OZ, :OY, :OX]).astype(out_dtype)
