@@ -46,12 +46,9 @@ class VirtualExpandDims:
         idx = _norm_idx(idx, self.ndim)
         ax_idx = idx[self.axis]
         rest = idx[: self.axis] + idx[self.axis + 1:]
-        out = self.base[rest]
-        out = np.asarray(out)
+        out = np.asarray(self.base[rest])
         if isinstance(ax_idx, slice):
-            return out[
-                (slice(None),) * self.axis
-            ][..., None].swapaxes(-1, self.axis) if False else np.expand_dims(out, self.axis)
+            return np.expand_dims(out, self.axis)
         return out
 
     def __array__(self, dtype=None):

@@ -163,3 +163,40 @@ def test_register_with_mesh_matches_unsharded():
     ref = run()
     out = run(mesh_utils.get_mesh(len(jax.devices())))
     np.testing.assert_allclose(out, ref, atol=1e-8)
+
+
+def test_fuse_with_odd_mesh_size(monkeypatch):
+    """Chunk counts that don't divide the mesh size are padded correctly."""
+    import jax
+    from jax.sharding import Mesh
+
+    monkeypatch.setenv("MVS_TPU_PALLAS", "0")
+
+    from multiview_stitcher_tpu import fusion, si_utils
+
+    devs = jax.devices()
+    if len(devs) < 3:
+        pytest.skip("needs >= 3 devices")
+    mesh = Mesh(np.array(devs[:3]), ("data",))
+    rng = np.random.default_rng(6)
+    step = 30
+    sims = [
+        si_utils.get_sim_from_array(
+            rng.integers(0, 1000, (40, 40)).astype(np.uint16),
+            translation={"y": float(iy * step), "x": float(ix * step)},
+        )
+        for iy in range(2)
+        for ix in range(2)
+    ]
+    # 70x70 output with chunk 32 -> 9 chunks, not divisible by 3? (it is);
+    # use chunk 24 -> 3x3=9... choose chunk usage making C=16: chunk 18 ->
+    # 4x4=16 chunks, 16 % 3 != 0 exercises the padding
+    ref = fusion.fuse(
+        sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_chunksize=18,
+    ).to_numpy()
+    out = fusion.fuse(
+        sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_chunksize=18, mesh=mesh,
+    ).to_numpy()
+    np.testing.assert_array_equal(out, ref)
