@@ -1,3 +1,4 @@
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -250,3 +251,39 @@ def test_fused_core_matches_host_path():
     np.testing.assert_allclose(
         res_fused["quality"], res_host["quality"], atol=1e-5
     )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fused_core_fuzz_random_subpixel_shifts(seed):
+    """The full fused registration core (proposals + candidate expansion +
+    SSIM disambiguation) recovers random exact Fourier-domain subpixel
+    shifts across random crop sizes to <0.1 px."""
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(seed)
+    shape = tuple(int(rng.integers(48, 100)) for _ in range(2))
+    true_shift = tuple(float(rng.uniform(-6, 6)) for _ in range(2))
+
+    base = gaussian_filter(
+        rng.random([s + 24 for s in shape]), 1.0
+    )
+    freqs = np.meshgrid(
+        *[np.fft.fftfreq(s) for s in base.shape], indexing="ij"
+    )
+    phase = np.exp(
+        -2j * np.pi * sum(f * s for f, s in zip(freqs, true_shift))
+    )
+    shifted = np.fft.ifftn(np.fft.fftn(base) * phase).real
+    sl = tuple(slice(12, 12 + s) for s in shape)
+    im0 = base[sl].astype(np.float32)
+    im1 = shifted[sl].astype(np.float32)
+
+    t_best, quality = registration._pcc_register_core(
+        jnp.asarray(im0), jnp.asarray(im1), 10, None
+    )
+    # core convention: t_best maps fixed pixel coords -> moving pixel
+    # coords, i.e. +true_shift when the moving content moved by +s
+    np.testing.assert_allclose(
+        np.asarray(t_best), list(true_shift), atol=0.1
+    )
+    assert float(quality) > 0.9
