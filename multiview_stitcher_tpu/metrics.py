@@ -17,8 +17,11 @@ transforms from a precomputed registration graph (``pairs_graph``).
 from __future__ import annotations
 
 import logging
+from functools import partial
 from typing import Callable, Dict, Optional
 
+import jax
+import jax.numpy as jnp
 import networkx as nx
 import numpy as np
 
@@ -31,6 +34,7 @@ from multiview_stitcher_tpu import (
 )
 from multiview_stitcher_tpu.msi_utils import Msim
 from multiview_stitcher_tpu.ops import image_metrics as im_metrics
+from multiview_stitcher_tpu.ops import resample as resample_ops
 
 logger = logging.getLogger(__name__)
 
@@ -185,6 +189,146 @@ def _build_metrics_graph_from_pairs_graph(
     return g_metrics
 
 
+@partial(jax.jit, static_argnames=("out_shape", "h_max"))
+def _ncc_pair_batch_kernel(
+    f_slabs, fmats, foffs, m_slabs, mmats, moffs,
+    planes, origins, spacings,
+    out_shape: tuple,
+    h_max: int,
+):
+    """Batched overlap-NCC: resample fixed+moving onto the comparison grid,
+    mask fixed by the intersection halfspaces (evaluated from output-grid
+    world coordinates on device), NaN-aware NCC — one dispatch per
+    shape bucket instead of (1 + n_keys) per edge."""
+    ndim = len(out_shape)
+
+    def one(fs, fm, fo, ms, mm, mo, pln, org, sp):
+        fixed = resample_ops.affine_resample(
+            fs, fm, fo, out_shape, order=1, cval=jnp.nan
+        )
+        moving = resample_ops.affine_resample(
+            ms, mm, mo, out_shape, order=1, cval=jnp.nan
+        )
+        inside = jnp.ones(out_shape, dtype=bool)
+        for h in range(h_max):
+            val = pln[h, ndim]
+            for d in range(ndim):
+                coord = org[d] + sp[d] * jax.lax.broadcasted_iota(
+                    jnp.float32, out_shape, d
+                )
+                val = val + pln[h, d] * coord
+            inside = inside & (val <= 0)
+        fixed = jnp.where(inside, fixed, jnp.nan)
+        return im_metrics.nan_aware_ncc(fixed, moving)
+
+    return jax.vmap(one)(
+        f_slabs, fmats, foffs, m_slabs, mmats, moffs,
+        planes, origins, spacings,
+    )
+
+
+def _source_window(sim, p, output_sp, sdims, margin=2):
+    """Slab of ``sim`` covering the back-projection of the output bbox
+    through ``p`` (output world -> input world), with pixel params mapping
+    output pixels -> slab pixels (the fusion slab convention)."""
+    ndim = len(sdims)
+    lower = np.array([output_sp["origin"][d] for d in sdims])
+    spacing_o = np.array([output_sp["spacing"][d] for d in sdims])
+    shape_o = np.array([output_sp["shape"][d] for d in sdims])
+    corners01 = np.array(list(np.ndindex((2,) * ndim)), dtype=float)
+    corners_w = lower + corners01 * (shape_o - 1) * spacing_o
+    p = np.asarray(p, dtype=float)
+    src_w = corners_w @ p[:ndim, :ndim].T + p[:ndim, ndim]
+    origin_i = si_utils.get_origin_from_sim(sim, asarray=True)
+    spacing_i = si_utils.get_spacing_from_sim(sim, asarray=True)
+    px = (src_w - origin_i) / spacing_i
+    lo = np.maximum(0, np.floor(px.min(axis=0)).astype(int) - margin)
+    hi = np.minimum(
+        np.array(sim.shape), np.ceil(px.max(axis=0)).astype(int) + margin + 1
+    )
+    hi = np.maximum(hi, lo + 1)
+    slab = np.asarray(
+        sim.data[tuple(slice(a, b) for a, b in zip(lo, hi))],
+        dtype=np.float32,
+    )
+    slab_origin = origin_i + lo * spacing_i
+    m, o = resample_ops.physical_to_pixel_params(
+        p,
+        input_spacing=spacing_i,
+        input_origin=slab_origin,
+        output_spacing=spacing_o,
+        output_origin=lower,
+    )
+    return slab, m, o
+
+
+def _batched_ncc_metrics(units, sdims):
+    """Run (edge, key) NCC units through shape-bucketed device batches.
+
+    ``units``: list of dicts with keys fixed_sim, moving_sim, p_moving,
+    output_sp, planes, result_slot (callable storing the value).
+    """
+    ndim = len(sdims)
+    buckets = {}
+    for u in units:
+        out_shape = tuple(
+            int(u["output_sp"]["shape"][d]) for d in sdims
+        )
+        buckets.setdefault(out_shape, []).append(u)
+
+    for out_shape, bucket in buckets.items():
+        B = len(bucket)
+        prepared = []
+        for u in bucket:
+            f_slab, fm, fo = _source_window(
+                u["fixed_sim"], np.eye(ndim + 1), u["output_sp"], sdims
+            )
+            m_slab, mm, mo = _source_window(
+                u["moving_sim"], u["p_moving"], u["output_sp"], sdims
+            )
+            prepared.append((f_slab, fm, fo, m_slab, mm, mo))
+        fshape = tuple(
+            max(p[0].shape[d] for p in prepared) for d in range(ndim)
+        )
+        mshape = tuple(
+            max(p[3].shape[d] for p in prepared) for d in range(ndim)
+        )
+        h_max = max(1, max(len(u["planes"]) for u in bucket))
+        f_slabs = np.full((B,) + fshape, np.nan, dtype=np.float32)
+        m_slabs = np.full((B,) + mshape, np.nan, dtype=np.float32)
+        fmats = np.zeros((B, ndim, ndim), dtype=np.float32)
+        foffs = np.zeros((B, ndim), dtype=np.float32)
+        mmats = np.zeros((B, ndim, ndim), dtype=np.float32)
+        moffs = np.zeros((B, ndim), dtype=np.float32)
+        planes = np.zeros((B, h_max, ndim + 1), dtype=np.float32)
+        origins = np.zeros((B, ndim), dtype=np.float32)
+        spacings = np.ones((B, ndim), dtype=np.float32)
+        for bi, (u, (fs, fm, fo, ms, mm, mo)) in enumerate(
+            zip(bucket, prepared)
+        ):
+            f_slabs[bi][tuple(slice(0, s) for s in fs.shape)] = fs
+            m_slabs[bi][tuple(slice(0, s) for s in ms.shape)] = ms
+            fmats[bi], foffs[bi] = fm, fo
+            mmats[bi], moffs[bi] = mm, mo
+            pl_arr = np.asarray(u["planes"], dtype=np.float32)
+            if len(pl_arr):
+                planes[bi, : len(pl_arr)] = pl_arr
+            origins[bi] = [u["output_sp"]["origin"][d] for d in sdims]
+            spacings[bi] = [u["output_sp"]["spacing"][d] for d in sdims]
+
+        vals = np.asarray(
+            _ncc_pair_batch_kernel(
+                jnp.asarray(f_slabs), jnp.asarray(fmats), jnp.asarray(foffs),
+                jnp.asarray(m_slabs), jnp.asarray(mmats), jnp.asarray(moffs),
+                jnp.asarray(planes), jnp.asarray(origins),
+                jnp.asarray(spacings),
+                out_shape, h_max,
+            )
+        )
+        for u, v in zip(bucket, vals):
+            u["store"](float(v))
+
+
 def tile_pair_image_metrics(
     msims,
     base_transform_key: str,
@@ -251,6 +395,13 @@ def tile_pair_image_metrics(
             max_tolerance, bidirectional=bidirectional,
         )
 
+    # the default NCC metric takes the batched device path: all (edge, key)
+    # units of a shape bucket resample+mask+reduce in ONE dispatch
+    use_batched_ncc = all(
+        f is normalized_cross_correlation for f in metric_funcs.values()
+    )
+    batched_units = []
+
     computed = {}
     for fixed_idx, moving_idx in list(g_metrics.edges()):
         edge = g_metrics.edges[(fixed_idx, moving_idx)]
@@ -309,6 +460,27 @@ def tile_pair_image_metrics(
             },
         }
 
+        computed[(fixed_idx, moving_idx)] = {}
+        if use_batched_ncc:
+            for q in candidate_keys:
+                slot = computed[(fixed_idx, moving_idx)].setdefault(q, {})
+
+                def store(v, slot=slot):
+                    for k in metric_funcs:
+                        slot[k] = v
+
+                batched_units.append(
+                    {
+                        "fixed_sim": sim_fixed,
+                        "moving_sim": sim_moving,
+                        "p_moving": edge["transforms"][q],
+                        "output_sp": output_sp,
+                        "planes": intersection.halfspaces,
+                        "store": store,
+                    }
+                )
+            continue
+
         sim_fixed_t = transformation.transform_sim(
             sim_fixed.astype(np.float32),
             p=np.eye(ndim + 1),
@@ -316,7 +488,6 @@ def tile_pair_image_metrics(
             cval=np.nan,
         )
 
-        computed[(fixed_idx, moving_idx)] = {}
         for q in candidate_keys:
             p_moving = edge["transforms"][q]
             sim_moving_t = transformation.transform_sim(
@@ -333,6 +504,9 @@ def tile_pair_image_metrics(
                     intersection.halfspaces,
                 )
             )
+
+    if batched_units:
+        _batched_ncc_metrics(batched_units, spatial_dims)
 
     for e in g_metrics.edges():
         g_metrics.edges[e]["metrics"] = computed[e]

@@ -147,3 +147,42 @@ class TestMvDeconv:
         out = fused.to_numpy()
         assert out.shape == full.shape
         assert out.max() > 0
+
+
+def test_batched_ncc_matches_host_loop():
+    """The shape-bucketed device NCC path equals the per-edge host loop."""
+    from multiview_stitcher_tpu import sample_data
+
+    sims = sample_data.generate_tiled_dataset(
+        ndim=2, N_c=1, N_t=1, tile_size=40, tiles_x=3, tiles_y=2,
+        overlap=10, zoom=3, shift_scale=1.0, drift_scale=0.0,
+    )
+    msims = [msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims]
+
+    res_batched = metrics.tile_pair_image_metrics(
+        msims,
+        base_transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        query_transform_keys=[si_utils.DEFAULT_TRANSFORM_KEY],
+    )
+    # a non-identity wrapper forces the generic host loop
+    res_host = metrics.tile_pair_image_metrics(
+        msims,
+        base_transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        query_transform_keys=[si_utils.DEFAULT_TRANSFORM_KEY],
+        metric_funcs={
+            "ncc": lambda a, b: metrics.normalized_cross_correlation(a, b)
+        },
+    )
+    q = si_utils.DEFAULT_TRANSFORM_KEY
+    assert set(res_batched["pairs"]) == set(res_host["pairs"])
+    for e in res_batched["pairs"]:
+        np.testing.assert_allclose(
+            res_batched["pairs"][e][q]["ncc"],
+            res_host["pairs"][e][q]["ncc"],
+            atol=1e-4,
+        )
+    np.testing.assert_allclose(
+        res_batched["summary"][q]["ncc"],
+        res_host["summary"][q]["ncc"],
+        atol=1e-4,
+    )
