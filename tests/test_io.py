@@ -145,3 +145,47 @@ def test_msim_transform_persistence(tmp_path):
     # reopen from disk fresh
     again = ngff_utils.read_msim_from_ome_zarr(url)
     np.testing.assert_allclose(again.transforms["registered"].squeeze(), aff)
+
+
+def test_streaming_fusion_3d_zarr_backed(tmp_path):
+    """3D zarr-backed tiles stream through the whole-tiles device tier
+    (Pallas by default) into a zarr output."""
+    from multiview_stitcher_tpu import fusion
+
+    rng = np.random.default_rng(2)
+    tile, overlap = 24, 8
+    step = tile - overlap
+    sims = []
+    for iy in range(2):
+        for ix in range(2):
+            url = str(tmp_path / f"t{iy}{ix}.zarr")
+            arr = zarr_backend.create_zarr_array(
+                url, shape=(tile,) * 3, dtype="uint16", chunks=(tile,) * 3
+            )
+            data = rng.integers(0, 1000, (tile,) * 3).astype(np.uint16)
+            arr[...] = data
+            sims.append(
+                si_utils.get_sim_from_array(
+                    zarr_backend.open_zarr_array(url),
+                    dims=("z", "y", "x"),
+                    translation={
+                        "z": 0.0, "y": float(iy * step), "x": float(ix * step)
+                    },
+                )
+            )
+    out_url = str(tmp_path / "fused3d.zarr")
+    fused = fusion.fuse(
+        sims,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_chunksize=16,
+        output_zarr_url=out_url,
+        zarr_options={"ome_zarr": False},
+    )
+    assert fused.shape == (tile, 2 * step + overlap, 2 * step + overlap)
+    out = fused.to_numpy()
+    # interior of tile 0 passes through up to blending quantization
+    first = np.asarray(sims[0].data)
+    np.testing.assert_allclose(
+        out[:, :4, :4].astype(float), first[:, :4, :4].astype(float), atol=1
+    )
+    assert out.max() > 0
