@@ -189,3 +189,35 @@ def test_streaming_fusion_3d_zarr_backed(tmp_path):
         out[:, :4, :4].astype(float), first[:, :4, :4].astype(float), atol=1
     )
     assert out.max() > 0
+
+
+def test_streaming_fusion_ngff05_output(tmp_path):
+    """Streaming fuse writes a zarr-v3 NGFF 0.5 store when requested."""
+    import json
+
+    from multiview_stitcher_tpu import fusion
+
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 1000, (32, 48)).astype(np.uint16)
+    sims = [
+        si_utils.get_sim_from_array(
+            data[:, :30], translation={"y": 0.0, "x": 0.0}
+        ),
+        si_utils.get_sim_from_array(
+            data[:, 18:], translation={"y": 0.0, "x": 18.0}
+        ),
+    ]
+    out_url = str(tmp_path / "fused.ome.zarr")
+    fused = fusion.fuse(
+        sims,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_chunksize=16,
+        output_zarr_url=out_url,
+        zarr_options={"ngff_version": "0.5"},
+    )
+    assert fused.shape == data.shape
+    meta = json.loads((tmp_path / "fused.ome.zarr" / "zarr.json").read_text())
+    assert meta["zarr_format"] == 3
+    out = fused.to_numpy()
+    err = np.abs(out[2:-2, 2:-2].astype(float) - data[2:-2, 2:-2])
+    assert np.median(err) == 0
