@@ -310,6 +310,16 @@ def main():
             )
         except Exception as e:  # noqa: BLE001
             log(f"large zarr bench failed: {e}")
+        try:
+            e2e_rate, n_edges = register_grid_rate(
+                n=32, tile=200, overlap=40, repeats=1
+            )
+            log(
+                f"1024-tile register(): {n_edges} edges at "
+                f"{e2e_rate:.1f} edges/sec (warm)"
+            )
+        except Exception as e:  # noqa: BLE001
+            log(f"1024-tile register bench failed: {e}")
 
     try:
         reg_rate = pairwise_reg_rate()
