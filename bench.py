@@ -204,6 +204,53 @@ def register_grid_rate(n=6, tile=200, overlap=40, repeats=2):
     return n_edges / min(times), n_edges
 
 
+def pallas_kernel_rate(repeats=5):
+    """Device-side fused-kernel throughput with resident tiles (4x4 grid of
+    128^3 uint16 tiles): isolates the kernel from tunnel transfers."""
+    import jax
+    import jax.numpy as jnp
+
+    from multiview_stitcher_tpu.ops import pallas_fusion
+
+    rng = np.random.default_rng(0)
+    V, K = 16, 8
+    tiles = jnp.asarray(
+        rng.integers(0, 1000, (V, 128, 128, 128)).astype(np.uint16)
+    )
+    _ = np.asarray(tiles[0, 0, 0, :2])  # force upload
+    out_shape = (128, 440, 440)
+    tile_shape = (8, 128, 256)
+    n_t = [-(-out_shape[d] // tile_shape[d]) for d in range(3)]
+    step = 104.0
+    offs = np.zeros((V, 3), np.float32)
+    for iy in range(4):
+        for ix in range(4):
+            offs[iy * 4 + ix] = [0.0, -iy * step, -ix * step]
+    view_idx = np.full(tuple(n_t) + (K,), -1, np.int32)
+    view_idx[..., :K] = np.arange(K, dtype=np.int32)
+    extents = np.full((V, 3), 128.0, np.float32)
+    wdiags = np.full((V, 3), 0.02, np.float32)
+    woffs = np.zeros((V, 3), np.float32)
+    wgrids = np.ones((V, 5, 5, 5), np.float32)
+
+    def call():
+        return pallas_fusion.fuse_translation_3d(
+            tiles, view_idx, offs, extents, wdiags, woffs, wgrids,
+            out_shape=out_shape, tile_shape=tile_shape, K=K,
+            out_dtype=np.dtype(np.uint16),
+        )
+
+    out = call()
+    _ = np.asarray(out[0, 0, :2])
+    times = []
+    for _i in range(repeats):
+        t0 = time.perf_counter()
+        out = call()
+        _ = np.asarray(out[0, 0, :2])  # force, fetch tiny
+        times.append(time.perf_counter() - t0)
+    return int(np.prod(out_shape)) / min(times)
+
+
 def pairwise_reg_rate(n_pairs=512, crop=(128, 128), repeats=3):
     import jax
     import jax.numpy as jnp
@@ -320,6 +367,15 @@ def main():
             )
         except Exception as e:  # noqa: BLE001
             log(f"1024-tile register bench failed: {e}")
+
+    try:
+        krate = pallas_kernel_rate()
+        log(
+            f"3D Pallas fused kernel, tiles resident (4x4x128^3): "
+            f"{krate / 1e6:.0f} Mvox/s device-side"
+        )
+    except Exception as e:  # noqa: BLE001
+        log(f"kernel bench failed: {e}")
 
     try:
         reg_rate = pairwise_reg_rate()
