@@ -1670,16 +1670,26 @@ def _execute_fusion_plan(
         and _os.environ.get("MVS_TPU_PALLAS", "1") != "0"
         and mesh is None
     ):
-        return _execute_fusion_plan_pallas(
-            plan,
-            field_sims,
-            output_stack_properties,
-            sdims,
-            blending_widths=blending_widths,
-            shrink_distance=shrink_distance,
-            out_dtype=out_dtype,
-            out_sink=out_sink,
-        )
+        try:
+            return _execute_fusion_plan_pallas(
+                plan,
+                field_sims,
+                output_stack_properties,
+                sdims,
+                blending_widths=blending_widths,
+                shrink_distance=shrink_distance,
+                out_dtype=out_dtype,
+                out_sink=out_sink,
+            )
+        except Exception as e:  # noqa: BLE001
+            # Mosaic limits (e.g. scalar-prefetch size on extreme tile
+            # grids) fall back to the XLA tiers instead of failing fuse()
+            warnings.warn(
+                f"Pallas fusion tier failed ({type(e).__name__}: {e}); "
+                "falling back to the XLA execution tiers.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     if (
         builtin_mode is not None
         and weights_func is None
