@@ -348,3 +348,27 @@ def test_fusion_reads_only_needed_windows(monkeypatch):
                 assert span <= 32 + 2 * overlap + 8, (
                     f"window read too large: {idx}"
                 )
+
+
+def test_pallas_tier_failure_falls_back(monkeypatch):
+    """A failing Pallas tier reroutes to the XLA tiers with a warning."""
+    from multiview_stitcher_tpu.fusion import _core
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("synthetic Mosaic failure")
+
+    monkeypatch.setattr(_core, "_execute_fusion_plan_pallas", boom)
+    rng = np.random.default_rng(2)
+    sims = [
+        si_utils.get_sim_from_array(
+            rng.integers(0, 1000, (32, 32)).astype(np.uint16),
+            translation={"y": 0.0, "x": float(24 * i)},
+        )
+        for i in range(2)
+    ]
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        fused = fusion.fuse(
+            sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY
+        )
+    assert fused.shape == (32, 56)
+    assert fused.to_numpy().max() > 0
