@@ -204,6 +204,51 @@ def register_grid_rate(n=6, tile=200, overlap=40, repeats=2):
     return n_edges / min(times), n_edges
 
 
+def pallas_kernel_rate_2d(repeats=5):
+    """Device-side 2D fused-kernel throughput (4x4 grid of 2048^2 tiles)."""
+    import jax.numpy as jnp
+
+    from multiview_stitcher_tpu.ops import pallas_fusion
+
+    rng = np.random.default_rng(0)
+    V, K = 16, 4
+    tiles = jnp.asarray(
+        rng.integers(0, 1000, (V, 2048, 2048)).astype(np.uint16)
+    )
+    _ = np.asarray(tiles[0, 0, :2])
+    step = 1664.0
+    out_shape = (3 * 1664 + 2048,) * 2
+    tile_shape = (256, 256)
+    n_t = [-(-out_shape[d] // tile_shape[d]) for d in range(2)]
+    offs = np.zeros((V, 2), np.float32)
+    for iy in range(4):
+        for ix in range(4):
+            offs[iy * 4 + ix] = [-iy * step, -ix * step]
+    view_idx = np.full(tuple(n_t) + (K,), -1, np.int32)
+    view_idx[..., :K] = np.arange(K, dtype=np.int32)
+    extents = np.full((V, 2), 2048.0, np.float32)
+    wdiags = np.full((V, 2), 0.002, np.float32)
+    woffs = np.zeros((V, 2), np.float32)
+    wgrids = np.ones((V, 5, 5), np.float32)
+
+    def call():
+        return pallas_fusion.fuse_translation_2d(
+            tiles, view_idx, offs, extents, wdiags, woffs, wgrids,
+            out_shape=out_shape, tile_shape=tile_shape, K=K,
+            out_dtype=np.dtype(np.uint16),
+        )
+
+    out = call()
+    _ = np.asarray(out[0, :2])
+    times = []
+    for _i in range(repeats):
+        t0 = time.perf_counter()
+        out = call()
+        _ = np.asarray(out[0, :2])
+        times.append(time.perf_counter() - t0)
+    return int(np.prod(out_shape)) / min(times)
+
+
 def pallas_kernel_rate(repeats=5):
     """Device-side fused-kernel throughput with resident tiles (4x4 grid of
     128^3 uint16 tiles): isolates the kernel from tunnel transfers."""
@@ -373,6 +418,11 @@ def main():
         log(
             f"3D Pallas fused kernel, tiles resident (4x4x128^3): "
             f"{krate / 1e6:.0f} Mvox/s device-side"
+        )
+        krate2 = pallas_kernel_rate_2d()
+        log(
+            f"2D Pallas fused kernel, tiles resident (4x4x2048^2): "
+            f"{krate2 / 1e6:.0f} Mvox/s device-side"
         )
     except Exception as e:  # noqa: BLE001
         log(f"kernel bench failed: {e}")
