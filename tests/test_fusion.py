@@ -372,3 +372,36 @@ def test_pallas_tier_failure_falls_back(monkeypatch):
         )
     assert fused.shape == (32, 56)
     assert fused.to_numpy().max() > 0
+
+
+def test_fuse_custom_output_grid():
+    """output_spacing / output_origin / output_shape kwargs define the
+    output grid (reference fuse API)."""
+    full, sims = _two_tile_sims(shape=(40, 60), overlap=20)
+
+    # 2x coarser grid: shape halves (pixel-center convention)
+    coarse = fusion.fuse(
+        sims,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_spacing={"y": 2.0, "x": 2.0},
+    )
+    assert coarse.spacing == {"y": 2.0, "x": 2.0}
+    assert abs(coarse.sizes["y"] - 20) <= 1
+    assert abs(coarse.sizes["x"] - 50) <= 1
+    # coarse grid samples the original at every other pixel
+    np.testing.assert_allclose(
+        coarse.to_numpy()[2:8, 2:8], full[4:16:2, 4:16:2], atol=1e-3
+    )
+
+    # explicit origin + shape crops the output window
+    window = fusion.fuse(
+        sims,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_origin={"y": 10.0, "x": 20.0},
+        output_shape={"y": 16, "x": 30},
+    )
+    assert window.shape == (16, 30)
+    assert window.origin == {"y": 10.0, "x": 20.0}
+    np.testing.assert_allclose(
+        window.to_numpy(), full[10:26, 20:50], atol=1e-3
+    )
