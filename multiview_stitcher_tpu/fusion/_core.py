@@ -1168,6 +1168,7 @@ def fuse(
             out_dtype=out_dtype,
             out_sink=_PrefixedSink(output_array, ns_idx),
             mesh=mesh,
+            output_chunksize=output_chunksize,
         )
 
     if streaming:
@@ -1256,6 +1257,17 @@ def _fuse_chunk_batch_kernel(
     return jax.vmap(one)(slabs, mats, offs, wgrids, wmats, woffs, view_valid)
 
 
+def _kernel_tile_shape(ndim: int):
+    """Pallas output-tile shape: (256, 256) 2D / (8, 128, 256) 3D, or the
+    MVS_TPU_PALLAS_TILE_{2D,3D} env override (comma-separated)."""
+    import os as _os
+
+    env = _os.environ.get(f"MVS_TPU_PALLAS_TILE_{ndim}D")
+    if env:
+        return tuple(int(x) for x in env.split(","))
+    return (256, 256) if ndim == 2 else (8, 128, 256)
+
+
 def _plan_is_translation(sparams, ndim) -> bool:
     for p in sparams:
         lin = np.asarray(p)[:ndim, :ndim]
@@ -1296,7 +1308,7 @@ def _execute_fusion_plan_pallas(
 
     ndim = len(sdims)
     if tile_shape is None:
-        tile_shape = (256, 256) if ndim == 2 else (8, 128, 256)
+        tile_shape = _kernel_tile_shape(ndim)
     out_shape_full = tuple(
         int(output_stack_properties["shape"][d]) for d in sdims
     )
@@ -1860,6 +1872,7 @@ def _execute_fusion_plan(
     out_dtype,
     out_sink=None,
     mesh=None,
+    output_chunksize=None,
 ):
     """Run the per-chunk fused kernel over the plan, assembling the output."""
     builtin_mode = _BUILTIN_FUSION_MODES.get(fusion_func)
@@ -1887,7 +1900,7 @@ def _execute_fusion_plan(
         <= int(_os.environ.get("MVS_TPU_TILES_MAX_BYTES", 2 << 30))
     )
 
-    if (
+    pallas_base_eligible = (
         builtin_mode == "weighted_average"
         and weights_func is None
         and not (fusion_func_kwargs or {})
@@ -1899,14 +1912,59 @@ def _execute_fusion_plan(
             )
         )
         and len(tile_shapes) == 1
-        and tiles_fit_on_device
         and _plan_is_translation(plan["sparams"], ndim)
         and _views_match_output_grid(
             field_sims, output_stack_properties, sdims
         )
         and _os.environ.get("MVS_TPU_PALLAS", "1") != "0"
         and mesh is None
-    ):
+    )
+    if pallas_base_eligible:
+        # large or lazy inputs: banded streaming pipeline (upload || kernel
+        # || download; sliding view window, so inputs may exceed HBM)
+        stream_threshold = int(
+            _os.environ.get("MVS_TPU_STREAM_BYTES", 192 << 20)
+        )
+        stream_worthy = (
+            _os.environ.get("MVS_TPU_STREAM", "1") != "0"
+            and (
+                not tiles_in_memory
+                or not tiles_fit_on_device
+                or (
+                    total_tile_bytes is not None
+                    and total_tile_bytes > stream_threshold
+                )
+            )
+        )
+        if stream_worthy:
+            from multiview_stitcher_tpu.fusion import _streaming
+
+            try:
+                res = _streaming.execute_streaming(
+                    plan,
+                    field_sims,
+                    output_stack_properties,
+                    sdims,
+                    blending_widths=blending_widths,
+                    shrink_distance=shrink_distance,
+                    out_dtype=out_dtype,
+                    out_sink=out_sink,
+                    output_chunksize=output_chunksize,
+                    is_zarr_sink=(
+                        isinstance(out_sink, _PrefixedSink)
+                        and not isinstance(out_sink.array, np.ndarray)
+                    ),
+                )
+                if res is not None:
+                    return res
+            except Exception as e:  # noqa: BLE001
+                warnings.warn(
+                    f"Streaming fusion tier failed ({type(e).__name__}: "
+                    f"{e}); falling back.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+    if pallas_base_eligible and tiles_fit_on_device:
         try:
             return _execute_fusion_plan_pallas(
                 plan,

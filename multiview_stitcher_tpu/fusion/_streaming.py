@@ -1,0 +1,359 @@
+"""Banded streaming execution for translation-grid fusion.
+
+One-shot large fusions (the north-star scenario: a 1000+-tile 3D zarr grid
+streamed to a zarr store, BASELINE.md; reference fusion/_core.py:2044 chunk
+parallelism) are bound by the host<->device link: upload of every input
+tile plus download of every output voxel. The monolithic Pallas tier
+serializes upload -> kernel -> download; this driver splits the output into
+bands along one axis and runs a software pipeline
+
+    read+pack+upload view batch i+1  ||  kernel band i  ||  fetch band i-1
+
+so steady-state wall time approaches max(upload bytes, download bytes) /
+link bandwidth instead of their sum. Views are kept on device only while a
+band needs them (sliding window), so inputs larger than HBM stream through.
+
+Applicability: same as the Pallas translation tier (pure translation,
+view spacing == output spacing, uniform tile shapes) with enough views
+along one axis to form >= 3 bands with distinct view subsets.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multiview_stitcher_tpu import si_utils, weights
+from multiview_stitcher_tpu.ops import link_codec
+from multiview_stitcher_tpu.ops import resample as resample_ops
+
+# prefetch depth (view batches ahead of the kernel) and max fused bands in
+# flight (device + fetch); 2-3 keeps the pipe full without hoarding HBM
+_PREFETCH_BATCHES = 3
+_MAX_INFLIGHT_BANDS = 3
+
+
+@partial(jax.jit, static_argnames=("NV",))
+def _assemble_window(batches, start, NV):
+    """Concatenate upload batches and slice the band's NV-view window."""
+    cat = jnp.concatenate(batches, axis=0)
+    return jax.lax.dynamic_slice_in_dim(cat, start, NV, axis=0)
+
+
+def plan_bands(offs, extents, out_shape_full, tile_shape, axis_chunk=None):
+    """Choose a band axis + height; return band table or None.
+
+    ``offs``: (V, ndim) output-pixel -> view-pixel translations (so a view
+    occupies output coords [-off, -off + extent) along each axis).
+    ``axis_chunk``: optional per-axis output chunk size for write-alignment
+    (zarr sinks: bands must not share output chunks across concurrent
+    writers).
+    """
+    V, ndim = offs.shape
+    best = None
+    for a in range(ndim):
+        E = float(extents[0, a])
+        if not np.allclose(extents[:, a], E):
+            continue  # uniform extents required along the band axis
+        T = tile_shape[a]
+        H = max(T, int(-(-int(E) // T)) * T)
+        if axis_chunk is not None:
+            c = int(axis_chunk[a])
+            g = np.gcd(H, c)
+            H = H * c // g  # lcm: band boundaries align to output chunks
+        B = -(-out_shape_full[a] // H)
+        if B < 3:
+            continue
+        m = -offs[:, a]
+        order = np.argsort(m, kind="stable")
+        ms = m[order]
+        pad = 2.0  # interpolation + rounding margin (pixels)
+        lo = np.searchsorted(ms, np.arange(B) * H - pad - E, side="right")
+        hi = np.searchsorted(ms, (np.arange(B) + 1) * H + pad, side="left")
+        NV = int(np.max(hi - lo))
+        if NV <= 0 or NV >= V:
+            continue
+        if best is None or B > best["B"]:
+            best = {
+                "axis": a, "H": H, "B": B, "order": order,
+                "lo": lo.astype(int), "hi": hi.astype(int), "NV": NV,
+            }
+    return best
+
+
+def execute_streaming(
+    plan,
+    field_sims,
+    output_stack_properties,
+    sdims,
+    *,
+    blending_widths,
+    shrink_distance,
+    out_dtype,
+    out_sink=None,
+    tile_shape=None,
+    output_chunksize=None,
+    is_zarr_sink=False,
+):
+    """Run the banded pipeline; returns the output sink/array, or None if
+    the layout does not band usefully (caller falls back to monolithic)."""
+    from multiview_stitcher_tpu.fusion import _core
+    from multiview_stitcher_tpu.ops import pallas_fusion
+
+    ndim = len(sdims)
+    if tile_shape is None:
+        tile_shape = _core._kernel_tile_shape(ndim)
+    out_shape_full = tuple(
+        int(output_stack_properties["shape"][d]) for d in sdims
+    )
+    V = len(field_sims)
+    views_bb = [si_utils.get_stack_properties_from_sim(s) for s in field_sims]
+    osp_origin = np.array(
+        [output_stack_properties["origin"][d] for d in sdims]
+    )
+    osp_spacing = np.array(
+        [output_stack_properties["spacing"][d] for d in sdims]
+    )
+
+    # per-view kernel params (original order)
+    offs = np.zeros((V, ndim), dtype=np.float32)
+    extents = np.zeros((V, ndim), dtype=np.float32)
+    wdiags = np.zeros((V, ndim), dtype=np.float32)
+    woffs = np.zeros((V, ndim), dtype=np.float32)
+    wgrids = np.zeros((V,) + (5,) * ndim, dtype=np.float32)
+    for v in range(V):
+        pm = plan["sparams"][v]
+        _m, o = resample_ops.physical_to_pixel_params(
+            np.linalg.inv(pm),
+            input_spacing=np.array([views_bb[v]["spacing"][d] for d in sdims]),
+            input_origin=np.array([views_bb[v]["origin"][d] for d in sdims]),
+            output_spacing=osp_spacing,
+            output_origin=osp_origin,
+        )
+        offs[v] = o
+        extents[v] = [views_bb[v]["shape"][d] for d in sdims]
+        g, wm, wo = weights.blending_weights_pixel_params(
+            output_stack_properties,
+            views_bb[v],
+            pm,
+            blending_widths=blending_widths,
+            shrink_distance=shrink_distance,
+        )
+        wgrids[v] = g
+        wdiags[v] = np.diag(wm)
+        woffs[v] = wo
+
+    axis_chunk = None
+    if is_zarr_sink and output_chunksize is not None:
+        # concurrent band writes must not share an output chunk
+        axis_chunk = [int(output_chunksize[d]) for d in sdims]
+    bands = plan_bands(offs, extents, out_shape_full, tile_shape, axis_chunk)
+    if bands is None:
+        return None
+    a, H, B = bands["axis"], bands["H"], bands["B"]
+    order, lo, hi, NV = bands["order"], bands["lo"], bands["hi"], bands["NV"]
+
+    # sorted-view tables, padded by NV rows so every [lo_b, lo_b + NV) slice
+    # is in range (pad rows are never referenced: view_idx has no slot)
+    def pad_rows(arr):
+        return np.concatenate(
+            [arr, np.zeros((NV,) + arr.shape[1:], arr.dtype)]
+        )
+
+    offs_s = pad_rows(offs[order])
+    extents_s = pad_rows(extents[order])
+    wdiags_s = pad_rows(wdiags[order])
+    woffs_s = pad_rows(woffs[order])
+    wgrids_s = pad_rows(wgrids[order])
+    sims_s = [field_sims[i] for i in order]
+
+    # global kernel-tile view lists (sorted ids), grid padded along the band
+    # axis to a whole number of bands
+    from itertools import product as _product
+
+    n_t = [-(-out_shape_full[d] // tile_shape[d]) for d in range(ndim)]
+    tpb = H // tile_shape[a]  # kernel tiles per band along the band axis
+    n_t_padded = list(n_t)
+    n_t_padded[a] = B * tpb
+    tile_lists = {}
+    for v in range(V):
+        vlo = -offs_s[v] - 1
+        vhi = -offs_s[v] + extents_s[v]
+        ranges = []
+        empty = False
+        for d in range(ndim):
+            a0 = max(0, int(np.floor(vlo[d] / tile_shape[d])))
+            a1 = min(n_t[d] - 1, int(np.floor(vhi[d] / tile_shape[d])))
+            if a0 > a1:
+                empty = True
+                break
+            ranges.append(range(a0, a1 + 1))
+        if empty:
+            continue
+        for idx in _product(*ranges):
+            tile_lists.setdefault(idx, []).append(v)
+    K = max(1, max((len(v) for v in tile_lists.values()), default=1))
+    view_idx_g = np.full(tuple(n_t_padded) + (K,), -1, dtype=np.int32)
+    for idx, vs in tile_lists.items():
+        for s, v in enumerate(vs):
+            view_idx_g[idx + (s,)] = v
+
+    # upload batching: >= ~8 MB of raw tile bytes per put_packed call, all
+    # batches the same static shape (zero-pad the tail)
+    tile = tuple(int(s) for s in sims_s[0].data.shape)
+    dtype_in = np.dtype(sims_s[0].data.dtype)
+    tile_bytes = int(np.prod(tile)) * dtype_in.itemsize
+    U = max(1, -(-(8 << 20) // tile_bytes))
+    n_batches = -(-V // U)
+    NB = -(-NV // U) + 1  # batches per assembly window
+    packable = link_codec.is_packable(dtype_in)
+
+    def upload_batch(bi):
+        vs = list(range(bi * U, min((bi + 1) * U, V)))
+        arr = _core._materialize_tiles([sims_s[v] for v in vs])
+        if np.issubdtype(arr.dtype, np.floating):
+            arr = np.nan_to_num(arr)
+        bmax = int(arr.max(initial=0)) if packable else 0
+        bneg = (
+            int(arr.min(initial=0)) < 0
+            if packable and np.issubdtype(arr.dtype, np.signedinteger)
+            else False
+        )
+        if len(vs) < U:
+            arr = np.concatenate(
+                [arr, np.zeros((U - len(vs),) + tile, arr.dtype)]
+            )
+        nb = 16 if (not packable or bneg) else link_codec.nbits_for_max(bmax)
+        dev = link_codec.put_packed(arr, nbits=nb)
+        return dev, bmax
+
+    zero_batch = None  # lazy: only needed when a window overruns the tail
+
+    interpret = jax.devices()[0].platform == "cpu"
+    fuse_fn = (
+        pallas_fusion.fuse_translation_2d
+        if ndim == 2
+        else pallas_fusion.fuse_translation_3d
+    )
+    out = out_sink if out_sink is not None else np.zeros(
+        out_shape_full, dtype=out_dtype
+    )
+
+    band_out_shape = list(out_shape_full)
+    band_out_shape[a] = H
+    band_out_shape = tuple(band_out_shape)
+
+    inflight = threading.Semaphore(_MAX_INFLIGHT_BANDS)
+    errors = []
+
+    def fetch_and_write(b, fused_band, nbits, h_true):
+        try:
+            buf = np.empty(
+                tuple(
+                    h_true if d == a else out_shape_full[d]
+                    for d in range(ndim)
+                ),
+                dtype=out_dtype,
+            )
+            link_codec.fetch_packed(fused_band, out=buf, nbits=nbits)
+            sl = tuple(
+                slice(b * H, b * H + h_true) if d == a else slice(None)
+                for d in range(ndim)
+            )
+            out[sl] = buf
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+        finally:
+            inflight.release()
+
+    max_seen = 0
+    with ThreadPoolExecutor(2) as up_pool, ThreadPoolExecutor(3) as dl_pool:
+        futs = {}
+        next_submit = 0
+
+        def ensure_batches(through_bi, prefetch=_PREFETCH_BATCHES):
+            # monotone submission: dropped (consumed) batches never resubmit
+            nonlocal next_submit
+            target = min(through_bi + prefetch, n_batches - 1)
+            while next_submit <= target:
+                futs[next_submit] = up_pool.submit(upload_batch, next_submit)
+                next_submit += 1
+
+        fetch_futs = []
+        for b in range(B):
+            lo_b, hi_b = int(lo[b]), int(hi[b])
+            bi0 = lo_b // U
+            need_hi_bi = max(bi0, (max(hi_b - 1, lo_b)) // U)
+            ensure_batches(need_hi_bi)
+            window = []
+            for bi in range(bi0, bi0 + NB):
+                if bi < n_batches:
+                    dev, bmax = futs[bi].result()
+                    max_seen = max(max_seen, bmax)
+                    window.append(dev)
+                else:
+                    if zero_batch is None:
+                        zero_batch = jnp.zeros((U,) + tile, dtype_in)
+                    window.append(zero_batch)
+            band_tiles = _assemble_window(
+                tuple(window), np.int32(lo_b - bi0 * U), NV
+            )
+
+            # band origin is passed to the kernel as an integer shift so the
+            # per-pixel math is bitwise identical to a monolithic call
+            y0 = b * H
+            origin = np.zeros((ndim,), np.int32)
+            origin[a] = y0
+            g_sl = tuple(
+                slice(b * tpb, (b + 1) * tpb) if d == a else slice(None)
+                for d in range(ndim)
+            )
+            vi_g = view_idx_g[g_sl]
+            vi_b = np.where(
+                (vi_g >= lo_b) & (vi_g < lo_b + NV), vi_g - lo_b, -1
+            ).astype(np.int32)
+
+            inflight.acquire()
+            if errors:
+                inflight.release()
+                break
+            fused = fuse_fn(
+                band_tiles, vi_b,
+                offs_s[lo_b : lo_b + NV],
+                extents_s[lo_b : lo_b + NV],
+                wdiags_s[lo_b : lo_b + NV],
+                woffs_s[lo_b : lo_b + NV],
+                wgrids_s[lo_b : lo_b + NV],
+                out_shape=band_out_shape,
+                tile_shape=tuple(tile_shape),
+                K=K,
+                interpret=interpret,
+                out_dtype=np.dtype(out_dtype),
+                origin=origin,
+            )
+            h_true = min(H, out_shape_full[a] - y0)
+            if h_true < H:
+                fused = jax.lax.slice_in_dim(fused, 0, h_true, axis=a)
+            nbits = (
+                link_codec.nbits_for_max(max_seen) if packable else None
+            )
+            fetch_futs.append(
+                dl_pool.submit(fetch_and_write, b, fused, nbits, h_true)
+            )
+
+            # drop device batches no longer reachable by future bands
+            if b + 1 < B:
+                keep_from = int(lo[b + 1]) // U
+                for bi in [k for k in futs if k < keep_from]:
+                    del futs[bi]
+
+        for f in fetch_futs:
+            f.result()
+    if errors:
+        raise errors[0]
+    return out

@@ -1,20 +1,27 @@
-"""Pallas TPU kernel: fused multi-view translation resample + blend (2D).
+"""Pallas TPU kernels: fused multi-view translation resample + blend.
 
 The fusion hot loop for translation tile layouts (the dominant stitching
 case), written as a single-pass Pallas kernel: for each output tile, every
 contributing view's window is DMA'd from HBM into VMEM, bilinearly sampled at
 the (per-view scalar) fractional offset on the VPU, weighted by the analytic
-cosine blending profile — evaluated in-register from the 5x5 EDT-proxy grid
-via hat-function expansion (25 fused multiply-adds; no gathers) — and
+cosine blending profile — evaluated in-register from the 5^ndim EDT-proxy
+grid via hat-function expansion (fused multiply-adds; no gathers) — and
 accumulated. Unlike the XLA path (which materializes (K, *chunk) resampled
-views and weights in HBM), this kernel keeps a single (TY, TX) accumulator in
-VMEM: HBM traffic is one read per contributing input pixel + one write per
+views and weights in HBM), this kernel keeps a single output-tile accumulator
+in VMEM: HBM traffic is one read per contributing input pixel + one write per
 output pixel.
 
-Inputs are tiles padded by one output-tile extent of zeros on every side so
-window DMAs never clamp; validity is tracked analytically from the true
-(unpadded) coordinates, matching the NaN-outside-domain semantics of the
-reference pipeline (fusion/_core.py:1513).
+Views live in a single zero-padded ATLAS: the (V, *tile) stack is packed into
+a dense grid (one XLA transpose+reshape at HBM bandwidth) padded only at the
+atlas borders. Window DMAs that cross into a neighboring view read garbage
+that the per-pixel extent-validity mask zeroes out — the analytic validity
+coordinates are view-local while window starts are atlas coordinates (two
+scalar offset tables). Compared to padding each view separately by a window
+extent (which inflates small tiles 10-60x and put a 1024x64^3 problem at
+128 GB), the atlas holds any layout at ~#views x tile bytes (f32).
+
+Matches the NaN-outside-domain semantics of the reference pipeline
+(/root/reference/src/multiview_stitcher/fusion/_core.py:1513).
 """
 
 from __future__ import annotations
@@ -29,32 +36,97 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _atlas_grid(V: int, tile: Tuple[int, ...], pads: Tuple[int, ...]):
+    """Grid factorization (G0..Gn) minimizing padded atlas volume."""
+    ndim = len(tile)
+    if ndim == 2:
+        best, best_vol = None, None
+        for gy in range(1, V + 1):
+            gx = -(-V // gy)
+            vol = (gy * tile[0] + 2 * pads[0]) * (gx * tile[1] + 2 * pads[1])
+            if best_vol is None or vol < best_vol:
+                best, best_vol = (gy, gx), vol
+        return best
+    best, best_vol = None, None
+    for gz in range(1, V + 1):
+        rem = -(-V // gz)
+        for gy in range(1, rem + 1):
+            gx = -(-rem // gy)
+            vol = (
+                (gz * tile[0] + 2 * pads[0])
+                * (gy * tile[1] + 2 * pads[1])
+                * (gx * tile[2] + 2 * pads[2])
+            )
+            if best_vol is None or vol < best_vol:
+                best, best_vol = (gz, gy, gx), vol
+    return best
+
+
+def _build_atlas(tiles_f32, grid, pads):
+    """Pack (V, *tile) into one zero-padded atlas via transpose+reshape."""
+    V = tiles_f32.shape[0]
+    tile = tiles_f32.shape[1:]
+    ndim = len(tile)
+    total = int(np.prod(grid))
+    if total > V:
+        tiles_f32 = jnp.concatenate(
+            [tiles_f32, jnp.zeros((total - V,) + tile, tiles_f32.dtype)]
+        )
+    stacked = tiles_f32.reshape(tuple(grid) + tile)
+    if ndim == 2:
+        atlas = stacked.transpose(0, 2, 1, 3).reshape(
+            grid[0] * tile[0], grid[1] * tile[1]
+        )
+    else:
+        atlas = stacked.transpose(0, 3, 1, 4, 2, 5).reshape(
+            grid[0] * tile[0], grid[1] * tile[1], grid[2] * tile[2]
+        )
+    return jnp.pad(atlas, tuple((p, p) for p in pads))
+
+
+def _atlas_origins(V, grid, tile, pads):
+    """(V, ndim) float32 origin of each view inside the padded atlas."""
+    idx = np.stack(
+        np.unravel_index(np.arange(V), grid), axis=1
+    ).astype(np.float32)
+    return idx * np.asarray(tile, np.float32) + np.asarray(pads, np.float32)
+
+
+# ---------------------------------------------------------------------------
+# 2D kernel
+# ---------------------------------------------------------------------------
+
+
 def _fuse_tile_kernel(
     # scalar prefetch
     view_idx_ref,   # (n_ty, n_tx, K) int32 — per-tile view slots (-1 empty)
-    offs_ref,       # (V, 2) f32 — output pixel -> tile pixel translation
+    origin_ref,     # (2,) int32 — output-pixel origin of this call's grid
+    offs_ref,       # (V, 2) f32 — output pixel -> view-local tile pixel
+    aoffs_ref,      # (V, 2) f32 — output pixel -> padded-atlas pixel
     extents_ref,    # (V, 2) f32 — valid tile extents (pixels) per view
     wdiags_ref,     # (V, 2) f32 — output pixel -> weight-grid pixel diag
     woffs_ref,      # (V, 2) f32 — ... offset
     # tensor inputs
-    tiles_ref,      # (V, HP, WP) f32 in ANY/HBM, zero-padded by (PADY, PADX)
-    wgrids_ref,     # (V, 8, 128) f32 in VMEM (5x5 grids padded)
+    atlas_ref,      # (HA, WA) f32 in ANY/HBM — zero-padded packed views
+    wgrids_ref,     # (V, 8, 128) f32 in ANY/HBM (5x5 grids padded)
     # output
     out_ref,        # (TY, TX) f32
     # scratch
     win_ref,        # (TY + 16, TX + 256) f32 VMEM window
+    wg_ref,         # (8, 128) f32 VMEM weight grid
     sem,            # DMA semaphore
+    wsem,           # DMA semaphore (weight grid)
     *,
     K: int,
     TY: int,
     TX: int,
-    PADY: int,
-    PADX: int,
 ):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
-    oy0 = ty * TY
-    ox0 = tx * TX
+    # integer origin shift keeps banded/streaming calls bitwise identical
+    # to a monolithic call over the full output grid
+    oy0 = ty * TY + origin_ref[0]
+    ox0 = tx * TX + origin_ref[1]
 
     row_ids = (
         jax.lax.broadcasted_iota(jnp.int32, (TY, TX), 0) + oy0
@@ -73,20 +145,19 @@ def _fuse_tile_kernel(
         off_y = offs_ref[vi, 0]
         off_x = offs_ref[vi, 1]
 
-        # tile-pixel coordinates of this output tile's origin
-        cy0 = off_y + jnp.float32(oy0)
-        cx0 = off_x + jnp.float32(ox0)
+        # atlas-pixel coordinates of this output tile's origin
+        cy0 = aoffs_ref[vi, 0] + jnp.float32(oy0)
+        cx0 = aoffs_ref[vi, 1] + jnp.float32(ox0)
         iy0 = jnp.floor(cy0)
         ix0 = jnp.floor(cx0)
         fy = cy0 - iy0
         fx = cx0 - ix0
-        # window start in the PADDED tile (pad offset = PADY/PADX);
         # DMA starts must be aligned to the (8, 128) tiling, so copy from the
         # aligned floor and shift the residual inside VMEM
-        wy = iy0.astype(jnp.int32) + PADY
-        wx = ix0.astype(jnp.int32) + PADX
-        hp = tiles_ref.shape[1]
-        wp = tiles_ref.shape[2]
+        wy = iy0.astype(jnp.int32)
+        wx = ix0.astype(jnp.int32)
+        hp = atlas_ref.shape[0]
+        wp = atlas_ref.shape[1]
         wy = jnp.clip(wy, 0, hp - (TY + 16))
         wx = jnp.clip(wx, 0, wp - (TX + 256))
         wy_al = pl.multiple_of((wy // 8) * 8, 8)
@@ -95,12 +166,15 @@ def _fuse_tile_kernel(
         rx = wx - wx_al
 
         copy = pltpu.make_async_copy(
-            tiles_ref.at[vi, pl.ds(wy_al, TY + 16), pl.ds(wx_al, TX + 256)],
+            atlas_ref.at[pl.ds(wy_al, TY + 16), pl.ds(wx_al, TX + 256)],
             win_ref,
             sem,
         )
+        wcopy = pltpu.make_async_copy(wgrids_ref.at[vi], wg_ref, wsem)
         copy.start()
+        wcopy.start()
         copy.wait()
+        wcopy.wait()
 
         # residual integer shift + bilinear fraction folded into 2-banded
         # lerp matrices, applied as MXU matmuls (dynamic VMEM offsets are not
@@ -127,7 +201,7 @@ def _fuse_tile_kernel(
             preferred_element_type=jnp.float32,
         )
 
-        # validity: true tile coordinates within [0, extent-1]
+        # validity: true view-local coordinates within [0, extent-1]
         cy = row_ids + off_y
         cx = col_ids + off_x
         valid = (
@@ -146,7 +220,7 @@ def _fuse_tile_kernel(
             hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(gy - gi))
             for gj in range(5):
                 hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(gx - gj))
-                w = w + wgrids_ref[vi, gi, gj] * hat_y * hat_x
+                w = w + wg_ref[gi, gj] * hat_y * hat_x
         # cosine taper of values < 1 (reference weights.py:502-509)
         w = jnp.where(w < 1.0, (jnp.cos((1.0 - w) * np.pi) + 1.0) / 2.0, w)
         w = jnp.clip(w, 0.0, 1.0)
@@ -163,7 +237,7 @@ def _fuse_tile_kernel(
     static_argnames=("out_shape", "tile_shape", "K", "interpret", "out_dtype"),
 )
 def fuse_translation_2d(
-    tiles,          # (V, H, W) any dtype — padded + cast to f32 on device
+    tiles,          # (V, H, W) any dtype — packed + cast to f32 on device
     view_idx,       # (n_ty, n_tx, K) int32, -1 for empty slots
     offs,           # (V, 2) f32
     extents,        # (V, 2) f32 — true tile extents
@@ -175,97 +249,113 @@ def fuse_translation_2d(
     K: int = 4,
     interpret: bool = False,
     out_dtype=jnp.float32,
+    origin=None,    # (2,) int32 — output-pixel origin (banded calls)
 ):
     """Fuse a full 2D output from translation-placed tiles (weighted average
     with cosine blending), single pass in VMEM with per-tile view lists.
 
-    Tiles are zero-padded by one window extent per side ON DEVICE (an XLA
-    pad at HBM bandwidth) so the host->device transfer carries only the raw
-    tile bytes — the clamp-free window padding inflates the array severalfold
-    and must never ride the host link.
+    Tiles are packed into a zero-padded atlas ON DEVICE (XLA transpose at
+    HBM bandwidth) so the host->device transfer carries only the raw tile
+    bytes and device memory stays ~V x tile bytes regardless of tile size.
     """
     TY, TX = tile_shape
     OY, OX = out_shape
     n_ty = -(-OY // TY)
     n_tx = -(-OX // TX)
     PADY, PADX = TY + 16, TX + 256
-    tiles_padded = jnp.pad(
-        tiles.astype(jnp.float32),
-        ((0, 0), (PADY, PADY), (PADX, PADX)),
+    V = tiles.shape[0]
+    tile = tuple(tiles.shape[1:])
+    grid = _atlas_grid(V, tile, (PADY, PADX))
+    atlas = _build_atlas(tiles.astype(jnp.float32), grid, (PADY, PADX))
+    aoffs = jnp.asarray(offs, jnp.float32) + jnp.asarray(
+        _atlas_origins(V, grid, tile, (PADY, PADX))
     )
 
-    # pad the weight grids into a VMEM-friendly (K, 8, 128) layout
-    wgrids_padded = jnp.zeros((wgrids.shape[0], 8, 128), dtype=jnp.float32)
+    # pad the weight grids into a DMA-friendly (V, 8, 128) layout
+    wgrids_padded = jnp.zeros((V, 8, 128), dtype=jnp.float32)
     wgrids_padded = wgrids_padded.at[:, :5, :5].set(
         wgrids.astype(jnp.float32)
     )
 
+    if origin is None:
+        origin = jnp.zeros((2,), jnp.int32)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=7,
         grid=(n_ty, n_tx),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),        # tiles stay in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # weight grids
+            pl.BlockSpec(memory_space=pl.ANY),        # atlas stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),        # weight grids in HBM
         ],
         out_specs=pl.BlockSpec(
             (TY, TX), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((TY + 16, TX + 256), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
 
     out = pl.pallas_call(
-        partial(
-            _fuse_tile_kernel, K=K, TY=TY, TX=TX, PADY=PADY, PADX=PADX
-        ),
+        partial(_fuse_tile_kernel, K=K, TY=TY, TX=TX),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_ty * TY, n_tx * TX), jnp.float32),
         interpret=interpret,
     )(
         jnp.asarray(view_idx, dtype=jnp.int32),
+        jnp.asarray(origin, dtype=jnp.int32),
         jnp.asarray(offs, dtype=jnp.float32),
+        aoffs,
         jnp.asarray(extents, dtype=jnp.float32),
         jnp.asarray(wdiags, dtype=jnp.float32),
         jnp.asarray(woffs, dtype=jnp.float32),
-        tiles_padded,
+        atlas,
         wgrids_padded,
     )
-    # cast on device: halves the host-link bytes for uint16 outputs
+    # cast on device: halves (or better) the host-link bytes for uint16
     return jnp.nan_to_num(out[:OY, :OX]).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# 3D kernel
+# ---------------------------------------------------------------------------
 
 
 def _fuse_tile_kernel_3d(
     # scalar prefetch
     view_idx_ref,   # (n_tz, n_ty, n_tx, K) int32, -1 empty
-    offs_ref,       # (V, 3) f32 — output pixel -> tile pixel translation
+    origin_ref,     # (3,) int32 — output-pixel origin of this call's grid
+    offs_ref,       # (V, 3) f32 — output pixel -> view-local tile pixel
+    aoffs_ref,      # (V, 3) f32 — output pixel -> padded-atlas pixel
     extents_ref,    # (V, 3) f32
     wdiags_ref,     # (V, 3) f32
     woffs_ref,      # (V, 3) f32
     # tensor inputs
-    tiles_ref,      # (V, DP, HP, WP) f32 in ANY/HBM, zero-padded
-    wgrids_ref,     # (V, 5, 8, 128) f32 in VMEM (5x5x5 grids padded)
+    atlas_ref,      # (DA, HA, WA) f32 in ANY/HBM — zero-padded packed views
+    wgrids_ref,     # (V, 5, 8, 128) f32 in ANY/HBM (5x5x5 grids padded)
     # output
     out_ref,        # (TZ, TY, TX) f32
     # scratch
     win_ref,        # (TZ + 1, TY + 16, TX + 256) f32
+    wg_ref,         # (5, 8, 128) f32
     sem,
+    wsem,
     *,
     K: int,
     TZ: int,
     TY: int,
     TX: int,
-    PADZ: int,
-    PADY: int,
-    PADX: int,
 ):
     tz = pl.program_id(0)
     ty = pl.program_id(1)
     tx = pl.program_id(2)
-    oz0 = tz * TZ
-    oy0 = ty * TY
-    ox0 = tx * TX
+    # integer origin shift keeps banded/streaming calls bitwise identical
+    # to a monolithic call over the full output grid
+    oz0 = tz * TZ + origin_ref[0]
+    oy0 = ty * TY + origin_ref[1]
+    ox0 = tx * TX + origin_ref[2]
 
     # broadcast index vectors (2D iota then squeeze patterns are TPU-safe)
     z_ids = (
@@ -287,9 +377,9 @@ def _fuse_tile_kernel_3d(
         vi = jnp.maximum(slot, 0)
         off = [offs_ref[vi, d] for d in range(3)]
 
-        cz0 = off[0] + jnp.float32(oz0)
-        cy0 = off[1] + jnp.float32(oy0)
-        cx0 = off[2] + jnp.float32(ox0)
+        cz0 = aoffs_ref[vi, 0] + jnp.float32(oz0)
+        cy0 = aoffs_ref[vi, 1] + jnp.float32(oy0)
+        cx0 = aoffs_ref[vi, 2] + jnp.float32(ox0)
         iz0 = jnp.floor(cz0)
         iy0 = jnp.floor(cy0)
         ix0 = jnp.floor(cx0)
@@ -297,12 +387,12 @@ def _fuse_tile_kernel_3d(
         fy = cy0 - iy0
         fx = cx0 - ix0
 
-        wz = iz0.astype(jnp.int32) + PADZ
-        wy = iy0.astype(jnp.int32) + PADY
-        wx = ix0.astype(jnp.int32) + PADX
-        dp = tiles_ref.shape[1]
-        hp = tiles_ref.shape[2]
-        wp = tiles_ref.shape[3]
+        wz = iz0.astype(jnp.int32)
+        wy = iy0.astype(jnp.int32)
+        wx = ix0.astype(jnp.int32)
+        dp = atlas_ref.shape[0]
+        hp = atlas_ref.shape[1]
+        wp = atlas_ref.shape[2]
         wz = jnp.clip(wz, 0, dp - (TZ + 1))
         wy = jnp.clip(wy, 0, hp - (TY + 16))
         wx = jnp.clip(wx, 0, wp - (TX + 256))
@@ -313,8 +403,7 @@ def _fuse_tile_kernel_3d(
         rx = wx - wx_al
 
         copy = pltpu.make_async_copy(
-            tiles_ref.at[
-                vi,
+            atlas_ref.at[
                 pl.ds(wz, TZ + 1),
                 pl.ds(wy_al, TY + 16),
                 pl.ds(wx_al, TX + 256),
@@ -322,8 +411,11 @@ def _fuse_tile_kernel_3d(
             win_ref,
             sem,
         )
+        wcopy = pltpu.make_async_copy(wgrids_ref.at[vi], wg_ref, wsem)
         copy.start()
+        wcopy.start()
         copy.wait()
+        wcopy.wait()
 
         # z lerp: window starts exactly at floor(cz0) -> static slices
         wlerp = (1.0 - fz) * win_ref[0:TZ, :, :] + fz * win_ref[1:TZ + 1, :, :]
@@ -346,7 +438,7 @@ def _fuse_tile_kernel_3d(
             col_i == col_j + sx_i, 1.0 - sx_f, 0.0
         ) + jnp.where(col_i == col_j + sx_i + 1, sx_f, 0.0)
 
-        # (TZ, TY+16, TX+256) x (TY, TY+16) -> (TZ, TY, TX+256)
+        # (TZ, TY+16, TX+256) x (TY, TY+16) -> (TZ, TX+256, TY)
         val = jax.lax.dot_general(
             wlerp, Sy,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -358,7 +450,7 @@ def _fuse_tile_kernel_3d(
             preferred_element_type=jnp.float32,
         )  # (TZ, TY, TX)
 
-        # validity from true tile coordinates
+        # validity from true view-local coordinates
         cz = z_ids + off[0]
         cy = y_ids + off[1]
         cx = x_ids + off[2]
@@ -383,7 +475,7 @@ def _fuse_tile_kernel_3d(
                 inner_x = jnp.zeros((1, 1, TX), dtype=jnp.float32)
                 for gk in range(5):
                     hx = jnp.maximum(0.0, 1.0 - jnp.abs(gx - gk))
-                    inner_x = inner_x + wgrids_ref[vi, gi, gj, gk] * hx
+                    inner_x = inner_x + wg_ref[gi, gj, gk] * hx
                 inner_y = inner_y + hy * inner_x
             w = w + hz * inner_y
         w = jnp.where(w < 1.0, (jnp.cos((1.0 - w) * np.pi) + 1.0) / 2.0, w)
@@ -401,7 +493,7 @@ def _fuse_tile_kernel_3d(
     static_argnames=("out_shape", "tile_shape", "K", "interpret", "out_dtype"),
 )
 def fuse_translation_3d(
-    tiles,          # (V, D, H, W) any dtype — padded + cast to f32 on device
+    tiles,          # (V, D, H, W) any dtype — packed + cast to f32 on device
     view_idx,       # (n_tz, n_ty, n_tx, K) int32
     offs,           # (V, 3) f32
     extents,        # (V, 3) f32
@@ -413,12 +505,12 @@ def fuse_translation_3d(
     K: int = 4,
     interpret: bool = False,
     out_dtype=jnp.float32,
+    origin=None,    # (3,) int32 — output-pixel origin (banded calls)
 ):
     """Fuse a full 3D output from translation-placed tiles, single pass.
 
-    Like the 2D variant, the clamp-free window padding (which inflates
-    128-cube tiles >10x) is applied on device so only raw tile bytes cross
-    the host link.
+    Views are packed into a single zero-padded atlas on device (see module
+    docstring), keeping memory ~V x tile bytes for any tile size.
     """
     TZ, TY, TX = tile_shape
     OZ, OY, OX = out_shape
@@ -426,24 +518,28 @@ def fuse_translation_3d(
     n_ty = -(-OY // TY)
     n_tx = -(-OX // TX)
     PADZ, PADY, PADX = TZ + 1, TY + 16, TX + 256
-    tiles_padded = jnp.pad(
-        tiles.astype(jnp.float32),
-        ((0, 0), (PADZ, PADZ), (PADY, PADY), (PADX, PADX)),
+    V = tiles.shape[0]
+    tile = tuple(tiles.shape[1:])
+    grid = _atlas_grid(V, tile, (PADZ, PADY, PADX))
+    atlas = _build_atlas(tiles.astype(jnp.float32), grid, (PADZ, PADY, PADX))
+    aoffs = jnp.asarray(offs, jnp.float32) + jnp.asarray(
+        _atlas_origins(V, grid, tile, (PADZ, PADY, PADX))
     )
 
-    wgrids_padded = jnp.zeros(
-        (wgrids.shape[0], 5, 8, 128), dtype=jnp.float32
-    )
+    wgrids_padded = jnp.zeros((V, 5, 8, 128), dtype=jnp.float32)
     wgrids_padded = wgrids_padded.at[:, :, :5, :5].set(
         jnp.asarray(wgrids, dtype=jnp.float32)
     )
 
+    if origin is None:
+        origin = jnp.zeros((3,), jnp.int32)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=7,
         grid=(n_tz, n_ty, n_tx),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (TZ, TY, TX), lambda i, j, k, *_: (i, j, k),
@@ -451,15 +547,14 @@ def fuse_translation_3d(
         ),
         scratch_shapes=[
             pltpu.VMEM((TZ + 1, TY + 16, TX + 256), jnp.float32),
+            pltpu.VMEM((5, 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
 
     out = pl.pallas_call(
-        partial(
-            _fuse_tile_kernel_3d, K=K, TZ=TZ, TY=TY, TX=TX,
-            PADZ=PADZ, PADY=PADY, PADX=PADX,
-        ),
+        partial(_fuse_tile_kernel_3d, K=K, TZ=TZ, TY=TY, TX=TX),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_tz * TZ, n_ty * TY, n_tx * TX), jnp.float32
@@ -467,11 +562,13 @@ def fuse_translation_3d(
         interpret=interpret,
     )(
         jnp.asarray(view_idx, dtype=jnp.int32),
+        jnp.asarray(origin, dtype=jnp.int32),
         jnp.asarray(offs, dtype=jnp.float32),
+        aoffs,
         jnp.asarray(extents, dtype=jnp.float32),
         jnp.asarray(wdiags, dtype=jnp.float32),
         jnp.asarray(woffs, dtype=jnp.float32),
-        tiles_padded,
+        atlas,
         wgrids_padded,
     )
     return jnp.nan_to_num(out[:OZ, :OY, :OX]).astype(out_dtype)

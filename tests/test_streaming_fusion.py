@@ -1,0 +1,152 @@
+"""Banded streaming fusion tier: parity with the monolithic tiers.
+
+The streaming driver (fusion/_streaming.py) pipelines view-batch uploads,
+band kernels, and band downloads; these tests force it on small grids
+(MVS_TPU_STREAM_BYTES=0) and compare bit-exactly against the default path.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from multiview_stitcher_tpu import fusion, si_utils
+from multiview_stitcher_tpu.fusion import _core, _streaming
+
+
+def _grid_sims(n=5, tile=48, overlap=12, ndim=2, dtype=np.uint16, seed=0):
+    rng = np.random.default_rng(seed)
+    sdims = ["z", "y", "x"][-ndim:]
+    step = tile - overlap
+    grid = (1, n, n) if ndim == 3 else (n, n)
+    sims = []
+    for idx in np.ndindex(grid):
+        data = rng.integers(0, 3000, (tile,) * ndim).astype(dtype)
+        sims.append(
+            si_utils.get_sim_from_array(
+                data,
+                dims=sdims,
+                translation={
+                    d: float(idx[i] * step) for i, d in enumerate(sdims)
+                },
+            )
+        )
+    return sims
+
+
+@pytest.fixture
+def force_streaming(monkeypatch):
+    monkeypatch.setenv("MVS_TPU_STREAM_BYTES", "0")
+    # small kernel tiles so test-sized grids form >= 3 bands
+    monkeypatch.setenv("MVS_TPU_PALLAS_TILE_2D", "64,64")
+    monkeypatch.setenv("MVS_TPU_PALLAS_TILE_3D", "8,32,64")
+    _core.clear_device_tile_cache()
+    yield
+    _core.clear_device_tile_cache()
+
+
+@pytest.mark.parametrize("ndim", [2, 3])
+def test_streaming_matches_monolithic(ndim, force_streaming, monkeypatch):
+    tk = si_utils.DEFAULT_TRANSFORM_KEY
+    n = 6 if ndim == 2 else 5
+    sims = _grid_sims(n=n, tile=48, overlap=12, ndim=ndim)
+
+    called = {}
+    orig = _streaming.execute_streaming
+
+    def spy(*a, **k):
+        res = orig(*a, **k)
+        called["streaming"] = res is not None
+        return res
+
+    monkeypatch.setattr(_streaming, "execute_streaming", spy)
+    out_s = np.asarray(
+        fusion.fuse(sims, transform_key=tk, output_chunksize=64).data
+    )
+    assert called.get("streaming"), "streaming tier did not run"
+
+    monkeypatch.setenv("MVS_TPU_STREAM", "0")
+    _core.clear_device_tile_cache()
+    out_m = np.asarray(
+        fusion.fuse(sims, transform_key=tk, output_chunksize=64).data
+    )
+    np.testing.assert_array_equal(out_s, out_m)
+
+
+def test_streaming_zarr_inputs_and_sink(tmp_path, force_streaming, monkeypatch):
+    """Lazy zarr tiles -> streaming fuse -> zarr store, vs in-memory fuse."""
+    from multiview_stitcher_tpu.io import zarr_backend
+
+    called = {}
+    orig = _streaming.execute_streaming
+
+    def spy(*a, **k):
+        res = orig(*a, **k)
+        called["streaming"] = res is not None
+        return res
+
+    monkeypatch.setattr(_streaming, "execute_streaming", spy)
+
+    tk = si_utils.DEFAULT_TRANSFORM_KEY
+    sims_mem = _grid_sims(n=5, tile=40, overlap=10, ndim=3)
+    sims_lazy = []
+    for i, s in enumerate(sims_mem):
+        url = str(tmp_path / f"tile_{i}.zarr")
+        arr = zarr_backend.create_zarr_array(
+            url, shape=s.data.shape, dtype=str(s.data.dtype),
+            chunks=s.data.shape,
+        )
+        arr[...] = np.asarray(s.data)
+        lazy = zarr_backend.open_zarr_array(url)
+        sims_lazy.append(
+            si_utils.get_sim_from_array(
+                lazy, dims=("z", "y", "x"),
+                translation={
+                    d: float(si_utils.get_origin_from_sim(s)[d])
+                    for d in ("z", "y", "x")
+                },
+            )
+        )
+    out_url = str(tmp_path / "fused.zarr")
+    out_lazy = fusion.fuse(
+        sims_lazy, transform_key=tk, output_chunksize=64,
+        output_zarr_url=out_url,
+    )
+    assert called.get("streaming"), "streaming tier did not run"
+    os.environ["MVS_TPU_STREAM"] = "0"
+    try:
+        _core.clear_device_tile_cache()
+        out_mem = fusion.fuse(sims_mem, transform_key=tk, output_chunksize=64)
+    finally:
+        os.environ.pop("MVS_TPU_STREAM")
+    np.testing.assert_array_equal(
+        np.asarray(out_lazy.data).squeeze(), np.asarray(out_mem.data)
+    )
+
+
+def test_plan_bands_rejects_degenerate():
+    # all views at the same position: no axis can form >= 3 bands
+    offs = np.zeros((4, 2), np.float32)
+    extents = np.full((4, 2), 64.0, np.float32)
+    assert _streaming.plan_bands(offs, extents, (64, 64), (16, 16)) is None
+
+
+def test_plan_bands_grid_layout():
+    # 8 views in a column, 32 px step, 64 px extent
+    offs = np.zeros((8, 2), np.float32)
+    offs[:, 0] = -np.arange(8) * 32.0
+    extents = np.full((8, 2), 64.0, np.float32)
+    bands = _streaming.plan_bands(offs, extents, (288, 64), (16, 16))
+    assert bands is not None
+    assert bands["axis"] == 0
+    B, H = bands["B"], bands["H"]
+    assert B >= 3 and H % 16 == 0
+    # every band's view range covers the views overlapping it
+    for b in range(B):
+        y0, y1 = b * H, (b + 1) * H
+        expect = {
+            v for v in range(8)
+            if (v * 32 < y1 + 2) and (v * 32 + 64 > y0 - 2)
+        }
+        got = set(range(int(bands["lo"][b]), int(bands["hi"][b])))
+        assert expect <= got
