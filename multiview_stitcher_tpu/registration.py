@@ -785,10 +785,17 @@ def _select_and_crop_pair(
     registration_binning=None,
     reg_res_level=None,
     overlap_tolerance=None,
+    bin_cache=None,
+    cache_keys=(None, None),
 ):
     """Level/binning selection + overlap crop shared by the per-pair and
     batched pairwise paths. Returns (sim1, sim2, reg_sims_b, lowers, uppers,
-    overlap_tolerance)."""
+    overlap_tolerance).
+
+    ``bin_cache``/``cache_keys``: optional dict + per-view identity keys so
+    batched callers bin each FULL view once per register() call instead of
+    once per edge it participates in (a view on a grid joins ~2*ndim edges;
+    re-binning it per edge dominated end-to-end planning time)."""
     spatial_dims = msi_utils.get_spatial_dims(msim1)
 
     if overlap_tolerance is None:
@@ -849,8 +856,19 @@ def _select_and_crop_pair(
             for d in spatial_dims
         }
 
+    def bin_cached(sim, key):
+        if bin_cache is None or key is None:
+            return _bin_sim(sim, registration_binning)
+        # id(sim.data) disambiguates the selected scale level; the caller
+        # key identifies (view, timepoint)
+        ck = (key, id(sim.data), tuple(sorted(registration_binning.items())))
+        if ck not in bin_cache:
+            bin_cache[ck] = _bin_sim(sim, registration_binning)
+        return bin_cache[ck]
+
     reg_sims_b = [
-        _bin_sim(sim, registration_binning) for sim in [sim1, sim2]
+        bin_cached(sim, key)
+        for sim, key in zip([sim1, sim2], cache_keys)
     ]
 
     overlap_dict = _get_overlap_bboxes(
@@ -1392,22 +1410,31 @@ def _try_batched_phase_correlation(msims, edges, register_kwargs, mesh=None):
         else [None]
     )
 
-    # per (edge, t) work units: host planning + one device resample each
+    # per (edge, t) work units: host planning + one device resample each.
+    # (view, t) selections and binned full views are cached across edges —
+    # each view joins ~2*ndim edges and re-binning per edge dominated the
+    # end-to-end planning rate.
     units = []  # (edge_idx, t_idx, im0, im1, sims_px, bbox) or precomputed
     results_direct = {}
     bboxes = {}
-    for ei, (i, j) in enumerate(edges):
-        for ti, t in enumerate(t_coords):
-            m1 = (
+    msim_sel_cache = {}
+    bin_cache = {}
+
+    def msim_at(i, t):
+        key = (i, None if t is None else float(t))
+        if key not in msim_sel_cache:
+            msim_sel_cache[key] = (
                 msi_utils.multiscale_sel_coords(msims[i], {"t": t})
                 if t is not None
                 else msims[i]
             )
-            m2 = (
-                msi_utils.multiscale_sel_coords(msims[j], {"t": t})
-                if t is not None
-                else msims[j]
-            )
+        return msim_sel_cache[key]
+
+    for ei, (i, j) in enumerate(edges):
+        for ti, t in enumerate(t_coords):
+            tkey = None if t is None else float(t)
+            m1 = msim_at(i, t)
+            m2 = msim_at(j, t)
             sim1, sim2, reg_sims_b, lowers, uppers, otol = (
                 _select_and_crop_pair(
                     m1,
@@ -1416,6 +1443,8 @@ def _try_batched_phase_correlation(msims, edges, register_kwargs, mesh=None):
                     registration_binning=registration_binning,
                     reg_res_level=reg_res_level,
                     overlap_tolerance=overlap_tolerance,
+                    bin_cache=bin_cache,
+                    cache_keys=((i, tkey), (j, tkey)),
                 )
             )
             if ei not in bboxes:
