@@ -13,8 +13,11 @@ subblock reads) plus the mosaic/multi-view metadata logic:
   (DBSCAN-group views by y, rotate each around y through its own center,
   re-center onto the group mean; reference czi_utils.py:638-737)
 
-Compressed CZIs raise NotImplementedError (install-free environments cannot
-decode JPEG-XR); the metadata/affine logic is file-format independent.
+Subblock compression support: uncompressed, ZSTD0 and ZSTD1 (first-party
+zstd decode). JPEG and JPEG-XR subblocks raise NotImplementedError with a
+clear message (the reference decodes them via the optional czifile /
+imagecodecs stack, czi_utils.py:252; see PARITY.md); the metadata/affine
+logic is file-format independent.
 """
 
 from __future__ import annotations

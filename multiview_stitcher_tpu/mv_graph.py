@@ -15,7 +15,6 @@ Graph data contract (SURVEY.md §2.2): nodes carry ``stack_props``; edges carry
 
 from __future__ import annotations
 
-import copy
 import logging
 import warnings
 from itertools import chain, product
@@ -373,41 +372,47 @@ def get_node_with_maximal_edge_weight_sum_from_graph(g, weight_key):
 
 
 def prune_graph_to_alternating_colors(g, n_colors=2, return_colors=True):
-    """Drop low-overlap edges until a greedy coloring fits in n_colors."""
-    if not len(g.edges):
-        return (g, {n: 0 for n in g.nodes}) if return_colors else g
+    """Thin the adjacency graph until a greedy coloring uses <= n_colors.
 
-    g_pruned = copy.deepcopy(g)
+    Grid-like mosaics register best when views split into alternating
+    groups (fix one color, register the other against it); diagonal /
+    redundant overlaps break that structure. Edges are ranked by overlap
+    area — with normalized edge-betweenness added as a tiebreak, scaled
+    into half the smallest overlap so it can only reorder near-ties — and
+    removed rank by rank (never isolating a node) until a greedy coloring
+    of the remaining graph fits.
+
+    Behavior-parity rewrite of reference mv_graph.py:664.
+    """
+    if not g.edges:
+        return (g, dict.fromkeys(g.nodes, 0)) if return_colors else g
+
+    overlaps = nx.get_edge_attributes(g, "overlap")
+    tiebreak_span = 0.5 * min(overlaps.values())
     centrality = nx.edge_betweenness_centrality(g)
-    max_c, min_c = max(centrality.values()), min(centrality.values())
-    edges = list(g_pruned.edges(data=True))
-    min_overlap = min(e[2]["overlap"] for e in edges)
-    if max_c > min_c:
-        centrality = {
-            e: (centrality[e] - min_c) / (max_c - min_c) * 0.5 * min_overlap
-            for e in centrality
-        }
-    edge_vals = {
-        tuple(e[:2]): centrality[tuple(e[:2])] + e[2]["overlap"] for e in edges
+    c_lo, c_hi = min(centrality.values()), max(centrality.values())
+    c_scale = tiebreak_span / (c_hi - c_lo) if c_hi > c_lo else 0.0
+    rank = {
+        e: overlaps[e] + (centrality[e] - c_lo) * c_scale for e in overlaps
     }
-    sorted_unique_vals = sorted(np.unique(list(edge_vals.values())))
 
-    thresh_ind = 0
-    while True:
-        colors = nx.coloring.greedy_color(g_pruned)
+    pruned = g.copy()
+    colors = nx.coloring.greedy_color(pruned)
+    for threshold in sorted(set(rank.values())):
         if len(set(colors.values())) <= n_colors:
             break
-        g_pruned.remove_edges_from(
-            [
-                (a, b)
-                for a, b, attrs in g_pruned.edges(data=True)
-                if edge_vals[(a, b)] <= sorted_unique_vals[thresh_ind]
-                and min(len(g_pruned.edges(n)) for n in (a, b)) > 1
-            ]
-        )
-        thresh_ind += 1
+        # degree guard evaluated against the pre-removal graph: a batch
+        # may drop a node to degree 1 but never to 0
+        batch = [
+            e
+            for e in pruned.edges
+            if rank[tuple(e)] <= threshold
+            and min(pruned.degree(e[0]), pruned.degree(e[1])) > 1
+        ]
+        pruned.remove_edges_from(batch)
+        colors = nx.coloring.greedy_color(pruned)
 
-    return (g_pruned, colors) if return_colors else g_pruned
+    return (pruned, colors) if return_colors else pruned
 
 
 def get_greedy_colors(sims, n_colors=2, transform_key=None):
@@ -423,38 +428,48 @@ def get_greedy_colors(sims, n_colors=2, transform_key=None):
 
 
 def prune_to_shortest_weighted_paths(g) -> nx.Graph:
-    """Keep only edges on overlap-weighted shortest paths to a central node."""
-    g_reg = copy.deepcopy(g)
-    g_reg.remove_edges_from(list(g_reg.edges))
+    """Keep only edges lying on overlap-weighted shortest paths from each
+    component's best-connected view.
 
-    ccs = list(nx.connected_components(g))
-    if np.max([len(cc) for cc in ccs]) < 2:
-        raise NotEnoughOverlapError("No overlap between views/tiles.")
-    if np.min([len(cc) for cc in ccs]) < 2:
+    Per connected component, the view with the largest summed edge overlap
+    anchors a Dijkstra tree under the weight ``1 / (overlap + 1)`` (large
+    overlaps = cheap hops); the union of tree edges is the pruned
+    registration graph — every view keeps exactly the high-overlap chain
+    that links it to the anchor.
+
+    Behavior-parity rewrite of reference mv_graph.py:744.
+    """
+    components = list(nx.connected_components(g))
+    if not any(len(cc) > 1 for cc in components):
+        raise NotEnoughOverlapError(
+            "No view/tile in the adjacency graph overlaps any other."
+        )
+    isolated = sorted(
+        chain.from_iterable(cc for cc in components if len(cc) == 1)
+    )
+    if isolated:
         warnings.warn(
-            "The following views/tiles have no links with other views:\n%s"
-            % list(chain(*[cc for cc in ccs if len(cc) == 1])),
+            f"Views/tiles without any overlap link: {isolated}",
             UserWarning,
             stacklevel=1,
         )
 
-    for e in g.edges:
-        g.edges[e]["overlap_inv"] = 1 / (g.edges[e]["overlap"] + 1)
+    for _u, _v, attrs in g.edges(data=True):
+        attrs["overlap_inv"] = 1.0 / (attrs["overlap"] + 1)
 
-    for cc in ccs:
-        subgraph = g.subgraph(list(cc))
-        ref_node = get_node_with_maximal_edge_weight_sum_from_graph(
-            subgraph, weight_key="overlap"
+    g_reg = nx.Graph()
+    g_reg.add_nodes_from((n, dict(d)) for n, d in g.nodes(data=True))
+    for cc in components:
+        anchor = get_node_with_maximal_edge_weight_sum_from_graph(
+            g.subgraph(cc), weight_key="overlap"
         )
-        paths = {
-            n: nx.shortest_path(g, target=n, source=ref_node, weight="overlap_inv")
-            for n in cc
-        }
-        for sp in paths.values():
-            for i in range(len(sp) - 1):
-                g_reg.add_edge(
-                    sp[i], sp[i + 1], overlap=g[sp[i]][sp[i + 1]]["overlap"]
-                )
+        tree_paths = nx.single_source_dijkstra_path(
+            g, anchor, weight="overlap_inv"
+        )
+        for node in cc:
+            path = tree_paths[node]
+            for a, b in zip(path, path[1:]):
+                g_reg.add_edge(a, b, overlap=g[a][b]["overlap"])
     return g_reg
 
 

@@ -191,9 +191,13 @@ def fuse_block_subset(
     n_workers: int,
     output_chunksize=None,
     create_output: bool = False,
+    create_only: bool = False,
     **fuse_kwargs,
 ):
     """Fuse this worker's disjoint chunk subset into a shared output store.
+
+    ``create_only=True`` creates the output array and returns immediately
+    (multi-host driver: host 0 creates, all hosts barrier, everyone fuses).
 
     Worker 0 (or any single caller with ``create_output=True``) creates the
     output array; every other worker attaches. Mirrors the reference's
@@ -246,6 +250,8 @@ def fuse_block_subset(
             zarr_format=2,
             overwrite=True,
         )
+    if create_only:
+        return 0
     out_arr = zarr_backend.attach_zarr_array(output_zarr_url)
 
     for bi in sorted(my_blocks):

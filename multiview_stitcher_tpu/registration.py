@@ -66,49 +66,37 @@ def get_optimal_registration_binning(
     max_total_pixels_per_stack=400**3,
     overlap_tolerance=None,
 ):
-    """Double the binning of the finest-spaced dims (x/y tied) until the
-    overlap stack fits under ``max_total_pixels_per_stack``."""
-    spatial_dims = si_utils.get_spatial_dims_from_sim(sim1)
-    ndim = len(spatial_dims)
-    input_spacings = [
-        si_utils.get_spacing_from_sim(sim, asarray=False) for sim in [sim1, sim2]
-    ]
+    """Per-dim binning factors that bring a pairwise registration stack
+    under ``max_total_pixels_per_stack`` voxels.
+
+    Grow the binning of whichever dim currently has the finest effective
+    spacing — x and y always grow together (in-plane isotropy), z grows
+    alone — until the (upper-bound) overlap stack fits. Behavior-parity
+    rewrite of reference registration.py:114.
+    """
     if overlap_tolerance is not None:
         raise NotImplementedError("overlap_tolerance")
-
-    overlap = {
-        d: max(sim1.sizes[d], sim2.sizes[d]) for d in spatial_dims
-    }
-    registration_binning = {d: 1 for d in spatial_dims}
-    spacings = input_spacings
-    while (
-        max(
-            np.prod(
-                [overlap[d] / registration_binning[d] for d in spatial_dims]
-            )
-            for _ in range(2)
+    spatial_dims = si_utils.get_spatial_dims_from_sim(sim1)
+    spacing = {
+        d: min(
+            si_utils.get_spacing_from_sim(s, asarray=False)[d]
+            for s in (sim1, sim2)
         )
+        for d in spatial_dims
+    }
+    # upper bound on the overlap extent: the larger of the two sizes per dim
+    extent = {d: max(sim1.sizes[d], sim2.sizes[d]) for d in spatial_dims}
+
+    binning = {d: 1 for d in spatial_dims}
+    while (
+        np.prod([extent[d] / binning[d] for d in spatial_dims])
         >= max_total_pixels_per_stack
     ):
-        dim_to_bin = np.argmin(
-            [
-                min(spacings[isim][d] for isim in range(2))
-                for d in spatial_dims
-            ]
-        )
-        if ndim == 3 and dim_to_bin == 0:
-            registration_binning["z"] += 1
-        else:
-            for d in ["x", "y"]:
-                registration_binning[d] += 1
-        spacings = [
-            {
-                d: input_spacings[isim][d] * registration_binning[d]
-                for d in spatial_dims
-            }
-            for isim in range(2)
-        ]
-    return registration_binning
+        finest = min(spatial_dims, key=lambda d: spacing[d] * binning[d])
+        grow = ["z"] if finest == "z" else ["y", "x"]
+        for d in grow:
+            binning[d] += 1
+    return binning
 
 
 # ---------------------------------------------------------------------------
