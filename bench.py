@@ -297,24 +297,35 @@ def pallas_kernel_rate(repeats=5):
     return int(np.prod(out_shape)) / min(times)
 
 
-def pairwise_reg_rate(n_pairs=512, crop=(128, 128), repeats=3):
-    import jax
+def pairwise_reg_rate(n_pairs=128, crop=(128, 128), repeats=3):
+    """Full pairwise-registration core (3 PCC proposals + candidate SSIM
+    disambiguation + Spearman quality) per second, device-resident crops.
+
+    Results are fetched (np.asarray) to force execution — under tunneled
+    accelerators block_until_ready is a no-op and would time dispatch only.
+    """
     import jax.numpy as jnp
 
-    from multiview_stitcher_tpu.ops import phase_correlation as pc_ops
+    from multiview_stitcher_tpu import registration
 
     rng = np.random.default_rng(3)
-    fixed = rng.random((n_pairs,) + crop).astype(np.float32)
-    moving = rng.random((n_pairs,) + crop).astype(np.float32)
-    f = jnp.asarray(fixed)
-    m = jnp.asarray(moving)
-    out = pc_ops.phase_cross_correlation_batch(f, m, upsample_factor=10)
-    jax.block_until_ready(out)
+    f = jnp.asarray(rng.random((n_pairs,) + crop).astype(np.float32))
+    m = jnp.asarray(rng.random((n_pairs,) + crop).astype(np.float32))
+    _ = np.asarray(f[0, 0, :2])
+
+    def run(mv):
+        shifts, quals = registration._pcc_register_core_batch(
+            f, mv, upsample_factor=10
+        )
+        return np.asarray(shifts), np.asarray(quals)
+
+    run(m)
     times = []
-    for _ in range(repeats):
+    for rep in range(repeats):
+        mv = m + np.float32(rep)
+        _ = np.asarray(mv[0, 0, :2])
         t0 = time.perf_counter()
-        out = pc_ops.phase_cross_correlation_batch(f, m, upsample_factor=10)
-        jax.block_until_ready(out)
+        run(mv)
         times.append(time.perf_counter() - t0)
     return n_pairs / min(times)
 

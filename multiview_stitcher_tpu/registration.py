@@ -216,6 +216,10 @@ def link_quality_metric_func(im0, im1t):
     )
 
 
+# candidate-scoring parallelism inside _pcc_register_core (1 = sequential)
+_CAND_CHUNK = 8
+
+
 @partial(jax.jit, static_argnames=("upsample_factor", "region_mode"))
 def _pcc_register_core(im0_raw, im1_raw, upsample_factor: int,
                        region_mode: Optional[str] = None):
@@ -366,7 +370,29 @@ def _pcc_register_core(im0_raw, im1_raw, upsample_factor: int,
         ssim_val = jnp.where(frac_ok & valid, ssim_val, -jnp.inf)
         return ssim_val
 
-    ssim_vals = jax.lax.map(score_candidate, (t_candidates, cand_valid))
+    # chunked vmap: 8 candidates scored in parallel per map step (a plain
+    # lax.map is sequential and leaves the chip idle between tiny ops; full
+    # vmap over all 4^ndim*3 candidates would blow transient memory when
+    # the caller vmaps over a pair batch)
+    CAND_CHUNK = _CAND_CHUNK
+    n_c = t_candidates.shape[0]
+    pad = (-n_c) % CAND_CHUNK
+    if pad:
+        t_candidates_p = jnp.concatenate(
+            [t_candidates, jnp.zeros((pad, ndim), t_candidates.dtype)]
+        )
+        cand_valid_p = jnp.concatenate(
+            [cand_valid, jnp.zeros((pad,), bool)]
+        )
+    else:
+        t_candidates_p, cand_valid_p = t_candidates, cand_valid
+    ssim_vals = jax.lax.map(
+        jax.vmap(score_candidate),
+        (
+            t_candidates_p.reshape(-1, CAND_CHUNK, ndim),
+            cand_valid_p.reshape(-1, CAND_CHUNK),
+        ),
+    ).reshape(-1)[:n_c]
     best = jnp.argmax(ssim_vals)
     any_valid = jnp.any(jnp.isfinite(ssim_vals))
     t_best = jnp.where(any_valid, t_candidates[best], jnp.zeros(ndim))

@@ -186,3 +186,27 @@ def test_batched_ncc_matches_host_loop():
         res_host["summary"][q]["ncc"],
         atol=1e-4,
     )
+
+
+def test_masked_spearman_matches_scipy():
+    """Tie-averaged ranks vs scipy.stats.spearmanr, including the all-True
+    mask (regression: the scan sentinel once broke the final tie run)."""
+    from scipy import stats
+
+    from multiview_stitcher_tpu.ops import image_metrics as im
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(5, 80))
+        a = rng.integers(0, int(rng.integers(2, 15)), n).astype(np.float32)
+        b = rng.integers(0, int(rng.integers(2, 15)), n).astype(np.float32)
+        mask = (
+            np.ones(n, bool)
+            if trial % 2 == 0
+            else rng.random(n) > 0.4
+        )
+        if mask.sum() < 3 or len(set(a[mask])) < 2 or len(set(b[mask])) < 2:
+            continue
+        ref = stats.spearmanr(a[mask], b[mask]).statistic
+        got = float(im.masked_spearman(a, b, mask))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
