@@ -815,6 +815,12 @@ def _tiles_to_device(field_sims):
     (:mod:`multiview_stitcher_tpu.ops.link_codec`) in parallel streams; the
     resulting device array is cached across ``fuse()`` calls keyed on the
     source arrays.
+
+    Mixed tile shapes are supported: views are grouped by shape, each group
+    uploaded raw, then zero-padded to the common maximum shape ON DEVICE
+    (host-side padding would inflate the transferred bytes) and reassembled
+    in view order. Per-view validity stays exact through the kernels'
+    ``extents`` arrays.
     """
     from multiview_stitcher_tpu.ops import link_codec
 
@@ -823,19 +829,58 @@ def _tiles_to_device(field_sims):
     if hit is not None:
         return hit["dev"], hit["nbits"]
 
-    tiles = _materialize_tiles(field_sims)
-    if np.issubdtype(tiles.dtype, np.floating):
-        tiles = np.nan_to_num(tiles)
-    nbits = None
-    if link_codec.is_packable(tiles.dtype):
-        mx = int(tiles.max(initial=0))
-        mn = int(tiles.min(initial=0)) if np.issubdtype(
-            tiles.dtype, np.signedinteger
-        ) else 0
-        nbits = 16 if mn < 0 else link_codec.nbits_for_max(mx)
-        tiles_dev = link_codec.put_packed(tiles, nbits=nbits)
+    shapes = [tuple(int(x) for x in s.data.shape) for s in field_sims]
+    uniform = len(set(shapes)) == 1
+
+    def put(arr):
+        if np.issubdtype(arr.dtype, np.floating):
+            arr = np.nan_to_num(arr)
+        nbits = None
+        if link_codec.is_packable(arr.dtype):
+            mx = int(arr.max(initial=0))
+            mn = int(arr.min(initial=0)) if np.issubdtype(
+                arr.dtype, np.signedinteger
+            ) else 0
+            nbits = 16 if mn < 0 else link_codec.nbits_for_max(mx)
+            return link_codec.put_packed(arr, nbits=nbits), nbits
+        return jax.device_put(arr), None
+
+    if uniform:
+        tiles_dev, nbits = put(_materialize_tiles(field_sims))
     else:
-        tiles_dev = jax.device_put(tiles)
+        max_shape = tuple(
+            max(s[i] for s in shapes) for i in range(len(shapes[0]))
+        )
+        groups: dict = {}
+        for i, shp in enumerate(shapes):
+            groups.setdefault(shp, []).append(i)
+        parts, nbits = {}, None
+        for shp, idxs in groups.items():
+            dev, nb = put(
+                _materialize_tiles([field_sims[i] for i in idxs])
+            )
+            for slot, i in enumerate(idxs):
+                parts[i] = (dev, slot)
+            if nb is not None:
+                nbits = nb if nbits is None else max(nbits, nb)
+
+        @partial(jax.jit, static_argnames=("max_shape",))
+        def pad_stack(views, max_shape):
+            padded = [
+                jnp.pad(
+                    v,
+                    tuple(
+                        (0, m - s) for s, m in zip(v.shape, max_shape)
+                    ),
+                )
+                for v in views
+            ]
+            return jnp.stack(padded)
+
+        tiles_dev = pad_stack(
+            tuple(parts[i][0][parts[i][1]] for i in range(len(field_sims))),
+            max_shape=max_shape,
+        )
     pins = [s.data for s in field_sims if isinstance(s.data, np.ndarray)]
     _device_tile_cache.put(key, tiles_dev, nbits, pins)
     return tiles_dev, nbits
@@ -1900,6 +1945,9 @@ def _execute_fusion_plan(
         <= int(_os.environ.get("MVS_TPU_TILES_MAX_BYTES", 2 << 30))
     )
 
+    # mixed tile shapes are fine for the Pallas tier: _tiles_to_device pads
+    # each view to the common max shape ON DEVICE and the kernels mask by
+    # the true per-view extents arrays
     pallas_base_eligible = (
         builtin_mode == "weighted_average"
         and weights_func is None
@@ -1911,7 +1959,6 @@ def _execute_fusion_plan(
                 and _os.environ.get("MVS_TPU_PALLAS_3D", "1") != "0"
             )
         )
-        and len(tile_shapes) == 1
         and _plan_is_translation(plan["sparams"], ndim)
         and _views_match_output_grid(
             field_sims, output_stack_properties, sdims
@@ -1927,6 +1974,7 @@ def _execute_fusion_plan(
         )
         stream_worthy = (
             _os.environ.get("MVS_TPU_STREAM", "1") != "0"
+            and len(tile_shapes) == 1  # band planner assumes uniform tiles
             and (
                 not tiles_in_memory
                 or not tiles_fit_on_device

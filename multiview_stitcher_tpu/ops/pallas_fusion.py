@@ -195,10 +195,19 @@ def _fuse_tile_kernel(
         SxT = jnp.where(
             col_i == col_j + sx_i, 1.0 - sx_f, 0.0
         ) + jnp.where(col_i == col_j + sx_i + 1, sx_f, 0.0)
+        # HIGHEST keeps the shift matmuls in true f32 on the MXU — the
+        # default TPU precision rounds the tile VALUES through bf16
+        # (observed ~2-count error at 900-count scale on v5e)
         val = jnp.dot(
-            jnp.dot(Sy, win_ref[:, :], preferred_element_type=jnp.float32),
+            jnp.dot(
+                Sy,
+                win_ref[:, :],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ),
             SxT,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
         # validity: true view-local coordinates within [0, extent-1]
@@ -302,6 +311,10 @@ def fuse_translation_2d(
         partial(_fuse_tile_kernel, K=K, TY=TY, TX=TX),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_ty * TY, n_tx * TX), jnp.float32),
+        # headroom for the f32-exact (HIGHEST) shift matmuls (see 3D call)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         jnp.asarray(view_idx, dtype=jnp.int32),
@@ -439,15 +452,19 @@ def _fuse_tile_kernel_3d(
         ) + jnp.where(col_i == col_j + sx_i + 1, sx_f, 0.0)
 
         # (TZ, TY+16, TX+256) x (TY, TY+16) -> (TZ, TX+256, TY)
+        # HIGHEST: default TPU matmul precision would round the tile
+        # values through bf16 (see 2D kernel note)
         val = jax.lax.dot_general(
             wlerp, Sy,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (TZ, TX+256, TY)
         val = jax.lax.dot_general(
             val, SxT,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (TZ, TY, TX)
 
         # validity from true view-local coordinates
@@ -558,6 +575,11 @@ def fuse_translation_3d(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_tz * TZ, n_ty * TY, n_tx * TX), jnp.float32
+        ),
+        # the f32-exact (HIGHEST) shift matmuls need ~0.5 MB more scoped
+        # VMEM than the 16 MB default; v5e has 128 MiB physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
         ),
         interpret=interpret,
     )(

@@ -405,3 +405,70 @@ def test_fuse_custom_output_grid():
     np.testing.assert_allclose(
         window.to_numpy(), full[10:26, 20:50], atol=1e-3
     )
+
+
+def _mixed_shape_sims(dtype=np.float32, seed=7):
+    """Three translation-placed tiles of DIFFERENT shapes cut from one
+    ground-truth image (reference supports heterogeneous mosaics,
+    fusion/_core.py:96 takes arbitrary per-view stack properties)."""
+    rng = np.random.default_rng(seed)
+    full = (rng.random((48, 100)) * 900).astype(dtype)
+    cuts = [
+        ((0, 40), (0, 44), {"y": 0.0, "x": 0.0}),
+        ((0, 48), (36, 80), {"y": 0.0, "x": 36.0}),
+        ((8, 48), (72, 100), {"y": 8.0, "x": 72.0}),
+    ]
+    sims = [
+        si_utils.get_sim_from_array(
+            full[y0:y1, x0:x1].copy(), translation=tr
+        )
+        for (y0, y1), (x0, x1), tr in cuts
+    ]
+    return full, sims
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.uint16])
+def test_mixed_tile_shapes_pallas_tier_matches_fallback(
+    dtype, monkeypatch
+):
+    """Mixed tile shapes run through the Pallas tier (device-side padding
+    to the common max shape + true per-view extents) and match the batched
+    XLA tier bit-for-bit in the exact regions."""
+    from multiview_stitcher_tpu.fusion import _core
+
+    full, sims = _mixed_shape_sims(dtype=dtype)
+
+    called = {"pallas": 0}
+    orig = _core._execute_fusion_plan_pallas
+
+    def spy(*args, **kwargs):
+        called["pallas"] += 1
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(_core, "_execute_fusion_plan_pallas", spy)
+    fused = fusion.fuse(sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY)
+    assert called["pallas"] == 1
+    out = fused.to_numpy()
+    assert out.shape == full.shape
+
+    _core.clear_device_tile_cache()
+    monkeypatch.setenv("MVS_TPU_PALLAS", "0")
+    ref = fusion.fuse(
+        sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY
+    ).to_numpy()
+    # integer outputs may differ by 1 count between tiers (float blend
+    # rounds on cast)
+    np.testing.assert_allclose(
+        out.astype(np.float64), ref.astype(np.float64),
+        atol=1.0 if np.issubdtype(dtype, np.integer) else 1e-2,
+    )
+    # every ground-truth pixel covered by some view must be reconstructed
+    covered = np.zeros(full.shape, dtype=bool)
+    covered[0:40, 0:44] = True
+    covered[0:48, 36:80] = True
+    covered[8:48, 72:100] = True
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float64)[covered],
+        np.asarray(full, dtype=np.float64)[covered],
+        atol=1.0 if dtype == np.uint16 else 1e-3,
+    )
