@@ -297,6 +297,55 @@ def pallas_kernel_rate(repeats=5):
     return int(np.prod(out_shape)) / min(times)
 
 
+def affine_kernel_rate(repeats=5):
+    """Device-side throughput of the general-affine gather tier
+    (fusion/_core._fuse_chunk_batch_kernel) on a rotated 3D layout with
+    resident slabs: the fallback tier for non-translation params."""
+    import jax.numpy as jnp
+
+    from multiview_stitcher_tpu.fusion import _core
+
+    rng = np.random.default_rng(0)
+    C, K = 8, 4
+    out_shape = (32, 128, 128)
+    slab = (40, 136, 136)
+    slabs = jnp.asarray(
+        rng.random((C, K) + slab, dtype=np.float32) * 1000
+    )
+    _ = np.asarray(slabs[0, 0, 0, 0, :2])  # force upload
+    # small rotation about z + per-view offsets: a genuine affine layout
+    th = 0.05
+    rot = np.array(
+        [[1, 0, 0], [0, np.cos(th), -np.sin(th)], [0, np.sin(th), np.cos(th)]],
+        np.float32,
+    )
+    mats = np.broadcast_to(rot, (C, K, 3, 3)).copy()
+    offs = rng.random((C, K, 3)).astype(np.float32) * 4
+    wgrids = np.ones((C, K, 5, 5, 5), np.float32)
+    wmats = np.broadcast_to(
+        np.diag([0.1, 0.03, 0.03]).astype(np.float32), (C, K, 3, 3)
+    ).copy()
+    woffs = np.zeros((C, K, 3), np.float32)
+    valid = np.ones((C, K), bool)
+
+    def call():
+        return _core._fuse_chunk_batch_kernel(
+            slabs, jnp.asarray(mats), jnp.asarray(offs),
+            jnp.asarray(wgrids), jnp.asarray(wmats), jnp.asarray(woffs),
+            jnp.asarray(valid), out_shape, "weighted_average", True,
+        )
+
+    out = call()
+    _ = np.asarray(out[0, 0, 0, :2])
+    times = []
+    for _i in range(repeats):
+        t0 = time.perf_counter()
+        out = call()
+        _ = np.asarray(out[0, 0, 0, :2])
+        times.append(time.perf_counter() - t0)
+    return C * int(np.prod(out_shape)) / min(times)
+
+
 def pairwise_reg_rate(n_pairs=128, crop=(128, 128), repeats=3):
     """Full pairwise-registration core (3 PCC proposals + candidate SSIM
     disambiguation + Spearman quality) per second, device-resident crops.
@@ -457,6 +506,16 @@ def main():
         extras["kernel_2d_mvox_s"] = round(krate2 / 1e6, 1)
     except Exception as e:  # noqa: BLE001
         log(f"kernel bench failed: {e}")
+
+    try:
+        arate = affine_kernel_rate()
+        log(
+            f"3D affine gather tier, slabs resident (rotated layout): "
+            f"{arate / 1e6:.0f} Mvox/s device-side"
+        )
+        extras["kernel_affine_3d_mvox_s"] = round(arate / 1e6, 1)
+    except Exception as e:  # noqa: BLE001
+        log(f"affine kernel bench failed: {e}")
 
     try:
         reg_rate = pairwise_reg_rate()

@@ -1335,6 +1335,75 @@ def _views_match_output_grid(field_sims, output_stack_properties, sdims):
     return True
 
 
+def _pallas_fused_sharded(
+    tiles_dev, view_idx, offs, extents, wdiags, woffs, wgrids,
+    out_shape_full, tile_shape, K, interpret, out_dtype, mesh,
+):
+    """Multi-chip Pallas tier (SURVEY.md §2.4 P2): the output is band-split
+    along the leading spatial dim over the mesh's leading axis; every device
+    runs the translation kernel on its band via the kernel's integer
+    ``origin`` support (tiles replicated, zero cross-device traffic — the
+    same embarrassingly-parallel decomposition as the sharded XLA tiles
+    tier)."""
+    from jax.sharding import PartitionSpec as P
+
+    from multiview_stitcher_tpu.ops import pallas_fusion
+
+    ndim = len(out_shape_full)
+    axis = mesh.axis_names[0]
+    N = int(mesh.shape[axis])
+    T0 = tile_shape[0]
+    n_t0 = view_idx.shape[0]
+    pad_t0 = (-n_t0) % N
+    if pad_t0:
+        view_idx = np.concatenate(
+            [
+                view_idx,
+                np.full(
+                    (pad_t0,) + view_idx.shape[1:], -1, dtype=np.int32
+                ),
+            ]
+        )
+    b_t0 = (n_t0 + pad_t0) // N
+    band_shape = (b_t0 * T0,) + tuple(
+        -(-int(out_shape_full[d]) // tile_shape[d]) * tile_shape[d]
+        for d in range(1, ndim)
+    )
+    origins = np.zeros((N, ndim), dtype=np.int32)
+    origins[:, 0] = np.arange(N) * b_t0 * T0
+    fuse_fn = (
+        pallas_fusion.fuse_translation_2d
+        if ndim == 2
+        else pallas_fusion.fuse_translation_3d
+    )
+
+    def body(tiles, vi, org, offs_, exts, wd, wo, wg):
+        return fuse_fn(
+            tiles, vi, offs_, exts, wd, wo, wg,
+            out_shape=band_shape, tile_shape=tile_shape, K=K,
+            interpret=interpret, out_dtype=out_dtype,
+            origin=org[0],
+        )
+
+    fused = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)) + (P(),) * 5,
+        out_specs=P(axis),
+        check_vma=False,
+    )(
+        tiles_dev,
+        jnp.asarray(view_idx, dtype=jnp.int32),
+        jnp.asarray(origins),
+        jnp.asarray(offs, dtype=jnp.float32),
+        jnp.asarray(extents, dtype=jnp.float32),
+        jnp.asarray(wdiags, dtype=jnp.float32),
+        jnp.asarray(woffs, dtype=jnp.float32),
+        jnp.asarray(wgrids, dtype=jnp.float32),
+    )
+    return fused[tuple(slice(0, int(s)) for s in out_shape_full)]
+
+
 def _execute_fusion_plan_pallas(
     plan,
     field_sims,
@@ -1346,6 +1415,7 @@ def _execute_fusion_plan_pallas(
     out_dtype,
     out_sink=None,
     tile_shape=None,
+    mesh=None,
 ):
     """Translation layouts on TPU: the whole output in ONE Pallas kernel
     call with per-tile view lists (see ops/pallas_fusion; 2D and 3D)."""
@@ -1448,18 +1518,25 @@ def _execute_fusion_plan_pallas(
     tiles_dev, nbits = _tiles_to_device(field_sims)
 
     interpret = jax.devices()[0].platform == "cpu"
-    fuse_fn = (
-        pallas_fusion.fuse_translation_2d
-        if ndim == 2
-        else pallas_fusion.fuse_translation_3d
-    )
-    fused = fuse_fn(
-        tiles_dev, view_idx, offs, extents,
-        wdiags, woffs, wgrids,
-        out_shape=out_shape_full, tile_shape=tile_shape, K=K,
-        interpret=interpret,
-        out_dtype=np.dtype(out_dtype),
-    )
+    if mesh is not None and mesh.size > 1:
+        fused = _pallas_fused_sharded(
+            tiles_dev, view_idx, offs, extents, wdiags, woffs, wgrids,
+            out_shape_full, tile_shape, K, interpret,
+            np.dtype(out_dtype), mesh,
+        )
+    else:
+        fuse_fn = (
+            pallas_fusion.fuse_translation_2d
+            if ndim == 2
+            else pallas_fusion.fuse_translation_3d
+        )
+        fused = fuse_fn(
+            tiles_dev, view_idx, offs, extents,
+            wdiags, woffs, wgrids,
+            out_shape=out_shape_full, tile_shape=tile_shape, K=K,
+            interpret=interpret,
+            out_dtype=np.dtype(out_dtype),
+        )
     # fetch through the packing codec in parallel bands; the fused output of
     # every builtin mode is bounded by the input maximum, so the cached
     # input nbits applies and no device-side max probe is needed
@@ -1964,7 +2041,6 @@ def _execute_fusion_plan(
             field_sims, output_stack_properties, sdims
         )
         and _os.environ.get("MVS_TPU_PALLAS", "1") != "0"
-        and mesh is None
     )
     if pallas_base_eligible:
         # large or lazy inputs: banded streaming pipeline (upload || kernel
@@ -1974,6 +2050,7 @@ def _execute_fusion_plan(
         )
         stream_worthy = (
             _os.environ.get("MVS_TPU_STREAM", "1") != "0"
+            and mesh is None  # banded pipeline is single-device
             and len(tile_shapes) == 1  # band planner assumes uniform tiles
             and (
                 not tiles_in_memory
@@ -2023,6 +2100,7 @@ def _execute_fusion_plan(
                 shrink_distance=shrink_distance,
                 out_dtype=out_dtype,
                 out_sink=out_sink,
+                mesh=mesh,
             )
         except Exception as e:  # noqa: BLE001
             # Mosaic limits (e.g. scalar-prefetch size on extreme tile

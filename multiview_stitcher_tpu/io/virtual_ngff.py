@@ -270,3 +270,26 @@ def serve_virtual_ome_zarrs(
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server
+
+
+def serve_virtual_plate(
+    sims_by_well,
+    port: int = 8000,
+    name: str = "plate.ome.zarr",
+):
+    """Serve a dict of ``{"row/col": sim}`` as a virtual OME-Zarr HCS plate
+    at ``/{name}`` (reference serves fused wells the same way,
+    browser/session.py plate export; NGFF plate layout ngff_utils.py:619).
+
+    Returns the server; call ``server.shutdown()`` when done.
+    """
+    handler_cls = type(
+        "PlateHandler",
+        (_VirtualHandler,),
+        {"stores": {name: VirtualOMEZarrPlate(sims_by_well)}},
+    )
+    server = socketserver.ThreadingTCPServer(("127.0.0.1", port), handler_cls)
+    server.daemon_threads = True
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server

@@ -200,3 +200,46 @@ def test_fuse_with_odd_mesh_size(monkeypatch):
         output_chunksize=18, mesh=mesh,
     ).to_numpy()
     np.testing.assert_array_equal(out, ref)
+
+
+def test_fuse_with_mesh_pallas_tier(monkeypatch):
+    """The Pallas translation tier runs under a device mesh: the output is
+    band-split over the mesh's leading axis (kernel ``origin`` support) and
+    must match the single-device Pallas result bit-for-bit."""
+    import jax
+
+    from multiview_stitcher_tpu import fusion, si_utils
+    from multiview_stitcher_tpu.fusion import _core
+    from multiview_stitcher_tpu.parallel import mesh as mesh_utils
+
+    rng = np.random.default_rng(9)
+    n, tile, overlap = 3, 40, 10
+    step = tile - overlap
+    sims = [
+        si_utils.get_sim_from_array(
+            rng.integers(0, 1000, (tile, tile)).astype(np.uint16),
+            translation={"y": float(iy * step), "x": float(ix * step)},
+        )
+        for iy in range(n)
+        for ix in range(n)
+    ]
+    # small kernel tiles so the band split over 8 devices is non-trivial
+    monkeypatch.setenv("MVS_TPU_PALLAS_TILE_2D", "8,128")
+    called = {"sharded": 0}
+    orig = _core._pallas_fused_sharded
+
+    def spy(*args, **kwargs):
+        called["sharded"] += 1
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(_core, "_pallas_fused_sharded", spy)
+    ref = fusion.fuse(
+        sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY
+    ).to_numpy()
+    assert called["sharded"] == 0
+    mesh = mesh_utils.get_mesh(len(jax.devices()))
+    out = fusion.fuse(
+        sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY, mesh=mesh,
+    ).to_numpy()
+    assert called["sharded"] == 1
+    np.testing.assert_array_equal(out, ref)

@@ -472,3 +472,65 @@ def test_mixed_tile_shapes_pallas_tier_matches_fallback(
         np.asarray(full, dtype=np.float64)[covered],
         atol=1.0 if dtype == np.uint16 else 1e-3,
     )
+
+
+def test_fuse_per_timepoint_transforms_end_to_end():
+    """Views whose REGISTERED transforms differ per timepoint fuse with the
+    correct per-t geometry (reference drift-recovery scenario,
+    test_registration.py:262; t-aware output geometry in
+    fusion/_core.py:188-207)."""
+    rng = np.random.default_rng(11)
+    T, H, W, overlap = 3, 36, 60, 16
+    full = (rng.random((T, H, 2 * W - overlap)) * 100).astype(np.float32)
+    drifts = [0, 2, 5]  # tile1's metadata is off by this many x pixels at t
+
+    tile0 = full[:, :, :W]
+    tile1 = np.stack(
+        [
+            full[t, :, W - overlap - drifts[t] : 2 * W - overlap - drifts[t]]
+            for t in range(T)
+        ]
+    )
+    sim0 = si_utils.get_sim_from_array(
+        tile0, dims=("t", "y", "x"), translation={"y": 0.0, "x": 0.0}
+    )
+    sim1 = si_utils.get_sim_from_array(
+        tile1,
+        dims=("t", "y", "x"),
+        translation={"y": 0.0, "x": float(W - overlap)},
+    )
+    # per-t registration result: shift tile1 by -drift[t] in x
+    t_coords = np.arange(T)
+    si_utils.set_sim_affine(
+        sim0,
+        param_utils.identity_transform(2, t_coords=t_coords),
+        transform_key="registered",
+    )
+    si_utils.set_sim_affine(
+        sim1,
+        param_utils.XAffine(
+            np.stack(
+                [
+                    param_utils.affine_from_translation([0.0, -float(d)])
+                    for d in drifts
+                ]
+            ),
+            t_coords=t_coords,
+        ),
+        transform_key="registered",
+    )
+    fused = fusion.fuse([sim0, sim1], transform_key="registered")
+    out = fused.to_numpy()
+    assert out.shape[0] == T
+    for t in range(T):
+        # the union grid may extend past the drifting tile; compare on the
+        # region both the output and ground truth cover
+        w = min(out.shape[2], full.shape[2] - drifts[t])
+        np.testing.assert_allclose(
+            out[t, :, :w],
+            full[t, :, drifts[t] : drifts[t] + w]
+            if out.shape[2] < full.shape[2]
+            else full[t, :, :w],
+            atol=1e-3,
+            err_msg=f"timepoint {t} fused with wrong transform",
+        )

@@ -287,3 +287,40 @@ def test_fused_core_fuzz_random_subpixel_shifts(seed):
         np.asarray(t_best), list(true_shift), atol=0.1
     )
     assert float(quality) > 0.9
+
+
+def test_fused_core_matches_host_path_nan_heavy():
+    """Fused vs host registration paths agree on crops with large NaN
+    regions (reference masks invalid mosaic borders as NaN,
+    registration.py:1025; VERDICT r1 test gap)."""
+    shift = (2.0, -3.0)
+    sim0, sim1 = _shifted_tile_pair(shift, seed=13)
+    # carve NaN borders + an interior NaN block into both tiles
+    d0 = sim0.to_numpy().copy()
+    d1 = sim1.to_numpy().copy()
+    d0[:4, :] = np.nan
+    d0[:, -6:] = np.nan
+    d0[20:32, 10:30] = np.nan
+    d1[-5:, :] = np.nan
+    d1[:, :3] = np.nan
+    d1[10:22, 40:60] = np.nan
+    sim0.data = d0
+    sim1.data = d1
+    m0 = msi_utils.get_msim_from_sim(sim0, scale_factors=[])
+    m1 = msi_utils.get_msim_from_sim(sim1, scale_factors=[])
+    kwargs = dict(transform_key=si_utils.DEFAULT_TRANSFORM_KEY)
+    res_fused = registration.register_pair_of_msims(m0, m1, **kwargs)
+    res_host = registration.register_pair_of_msims(
+        m0, m1, pairwise_reg_func_kwargs={"use_fused_core": False}, **kwargs
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_fused["transform"].squeeze()),
+        np.asarray(res_host["transform"].squeeze()),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        res_fused["quality"], res_host["quality"], atol=1e-5
+    )
+    # and the recovered shift still cancels the metadata error
+    aff = np.asarray(res_fused["transform"].squeeze())
+    np.testing.assert_allclose(aff[:2, 2], shift, atol=0.5)
