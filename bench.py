@@ -430,10 +430,53 @@ def large_zarr_to_zarr_rate(n=32, tile=64, overlap=12, chunksize=128,
     return best, n * n
 
 
+_state = {"extras": None, "cpu_rate": None, "tpu_rate": 0.0, "done": False}
+
+
+def _emit():
+    """Print the single JSON result line from whatever has been measured
+    so far (also called from the SIGTERM handler so an outer timeout still
+    yields a recorded result)."""
+    if _state["done"] or _state["extras"] is None:
+        return
+    _state["done"] = True
+    cpu_rate = _state["cpu_rate"] or 1.0
+    tpu_rate = _state["tpu_rate"]
+    print(
+        json.dumps(
+            {
+                "metric": "fused_voxel_throughput",
+                "value": round(tpu_rate / 1e6, 3),
+                "unit": "Mvox/s/chip",
+                "vs_baseline": round(tpu_rate / cpu_rate, 3),
+                **_state["extras"],
+            }
+        ),
+        flush=True,
+    )
+
+
+def _install_term_handler():
+    import signal
+
+    def handler(signum, frame):
+        log(f"signal {signum}: emitting partial results")
+        _emit()
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, handler)
+        except Exception:  # noqa: BLE001
+            pass
+
+
 def main():
     from multiview_stitcher_tpu import si_utils
 
     extras = {}
+    _state["extras"] = extras
+    _install_term_handler()
     transform_key = si_utils.DEFAULT_TRANSFORM_KEY
     log("generating 3x3 grid of 100^3 tiles (20 px overlap)...")
     sims = make_grid_sims(n=3, tile=100, overlap=20, ndim=3)
@@ -445,14 +488,32 @@ def main():
     )
     log(f"cpu baseline: {cpu_rate / 1e6:.2f} Mvox/s")
     extras["cpu_baseline_mvox_s"] = round(cpu_rate / 1e6, 3)
+    _state["cpu_rate"] = cpu_rate
+
+    # north-star scenario (BASELINE.md) FIRST: 1024-tile 3D zarr->zarr
+    # streaming — the headline number must survive an outer time budget
+    log("timing 1024-tile 3D zarr->zarr streaming fuse (north star)...")
+    tpu_rate = 0.0
+    try:
+        rate, n_tiles = large_zarr_to_zarr_rate()
+        log(
+            f"1024-tile 3D zarr->zarr streaming fuse: "
+            f"{rate / 1e6:.2f} Mvox/s ({n_tiles} tiles)"
+        )
+        extras["zarr_to_zarr_1024_mvox_s"] = round(rate / 1e6, 3)
+        tpu_rate = max(tpu_rate, rate)
+        _state["tpu_rate"] = tpu_rate
+    except Exception as e:  # noqa: BLE001
+        log(f"large zarr bench failed: {e}")
 
     log("timing TPU fuse() on the 3x3x100^3 grid...")
     try:
-        tpu_rate = tpu_fuse_rate(sims, transform_key)
-        log(f"tpu fuse (3x3): {tpu_rate / 1e6:.2f} Mvox/s")
+        r = tpu_fuse_rate(sims, transform_key)
+        log(f"tpu fuse (3x3): {r / 1e6:.2f} Mvox/s")
+        tpu_rate = max(tpu_rate, r)
+        _state["tpu_rate"] = tpu_rate
     except Exception as e:  # noqa: BLE001
         log(f"3x3 fuse bench failed: {e}")
-        tpu_rate = 0.0
 
     # larger grid amortizes fixed per-call costs (the production regime)
     log("timing TPU fuse() on a 4x4 grid of 128^3 tiles...")
@@ -462,21 +523,9 @@ def main():
         log(f"tpu fuse (4x4x128^3): {tpu_rate_big / 1e6:.2f} Mvox/s")
         extras["fuse_4x4_128_mvox_s"] = round(tpu_rate_big / 1e6, 3)
         tpu_rate = max(tpu_rate, tpu_rate_big)
+        _state["tpu_rate"] = tpu_rate
     except Exception as e:  # noqa: BLE001
         log(f"large-grid fuse bench failed: {e}")
-
-    # north-star scenario (BASELINE.md): 1024-tile 3D zarr->zarr streaming
-    log("timing 1024-tile 3D zarr->zarr streaming fuse (north star)...")
-    try:
-        rate, n_tiles = large_zarr_to_zarr_rate()
-        log(
-            f"1024-tile 3D zarr->zarr streaming fuse: "
-            f"{rate / 1e6:.2f} Mvox/s ({n_tiles} tiles)"
-        )
-        extras["zarr_to_zarr_1024_mvox_s"] = round(rate / 1e6, 3)
-        tpu_rate = max(tpu_rate, rate)
-    except Exception as e:  # noqa: BLE001
-        log(f"large zarr bench failed: {e}")
 
     if os.environ.get("MVS_BENCH_LARGE") == "1":
         try:
@@ -534,17 +583,8 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"register bench failed: {e}")
 
-    print(
-        json.dumps(
-            {
-                "metric": "fused_voxel_throughput",
-                "value": round(tpu_rate / 1e6, 3),
-                "unit": "Mvox/s/chip",
-                "vs_baseline": round(tpu_rate / cpu_rate, 3),
-                **extras,
-            }
-        )
-    )
+    _state["tpu_rate"] = tpu_rate
+    _emit()
 
 
 if __name__ == "__main__":

@@ -808,6 +808,20 @@ def clear_device_tile_cache():
     _plan_cache.clear()
 
 
+@partial(jax.jit, static_argnames=("max_shape",))
+def _pad_stack(views, max_shape):
+    """Zero-pad views to a common shape and stack, on device (module-level
+    jit so repeated mixed-shape uploads don't retrace)."""
+    padded = [
+        jnp.pad(
+            v,
+            tuple((0, m - s) for s, m in zip(v.shape, max_shape)),
+        )
+        for v in views
+    ]
+    return jnp.stack(padded)
+
+
 def _tiles_to_device(field_sims):
     """(device tile stack, nbits of the data or None) with caching.
 
@@ -864,20 +878,7 @@ def _tiles_to_device(field_sims):
             if nb is not None:
                 nbits = nb if nbits is None else max(nbits, nb)
 
-        @partial(jax.jit, static_argnames=("max_shape",))
-        def pad_stack(views, max_shape):
-            padded = [
-                jnp.pad(
-                    v,
-                    tuple(
-                        (0, m - s) for s, m in zip(v.shape, max_shape)
-                    ),
-                )
-                for v in views
-            ]
-            return jnp.stack(padded)
-
-        tiles_dev = pad_stack(
+        tiles_dev = _pad_stack(
             tuple(parts[i][0][parts[i][1]] for i in range(len(field_sims))),
             max_shape=max_shape,
         )
@@ -1321,23 +1322,40 @@ def _plan_is_translation(sparams, ndim) -> bool:
     return True
 
 
-def _views_match_output_grid(field_sims, output_stack_properties, sdims):
-    """True when every view's spacing equals the output spacing, i.e. the
-    output-pixel -> tile-pixel map is a pure (unit-scale) translation — the
-    assumption baked into the Pallas translation kernels."""
+def _views_output_scale(field_sims, output_stack_properties, sdims):
+    """Per-dim static output-pixel -> view-pixel scale for the Pallas
+    translation kernels, or None when ineligible.
+
+    Eligible when every view shares one spacing (the kernels take a single
+    static per-dim scale; mixed-resolution mosaics fall to the XLA tiers),
+    the scale is <= 8 per dim (VMEM window grows ~linearly with scale) and,
+    in 3D, the z scale is an integer (keeps the kernel's z lerp a static
+    strided slice)."""
     osp = np.array(
         [float(output_stack_properties["spacing"][d]) for d in sdims]
     )
-    for s in field_sims:
+    sp0 = si_utils.get_spacing_from_sim(field_sims[0])
+    sp0 = np.array([float(sp0[d]) for d in sdims])
+    for s in field_sims[1:]:
         sp = si_utils.get_spacing_from_sim(s)
-        if not np.allclose([sp[d] for d in sdims], osp, rtol=1e-6):
-            return False
-    return True
+        if not np.allclose([sp[d] for d in sdims], sp0, rtol=1e-6):
+            return None
+    scale = osp / sp0
+    # snap near-unit / near-integer scales so the common cases hit the
+    # specialized (faster, exact) kernel paths
+    scale = np.where(np.abs(scale - np.round(scale)) < 1e-9,
+                     np.round(scale), scale)
+    if np.any(scale > 8.0) or np.any(scale <= 0.0):
+        return None
+    if len(sdims) == 3 and float(scale[0]) != int(scale[0]):
+        return None
+    return tuple(float(x) for x in scale)
 
 
 def _pallas_fused_sharded(
     tiles_dev, view_idx, offs, extents, wdiags, woffs, wgrids,
     out_shape_full, tile_shape, K, interpret, out_dtype, mesh,
+    scale=None,
 ):
     """Multi-chip Pallas tier (SURVEY.md §2.4 P2): the output is band-split
     along the leading spatial dim over the mesh's leading axis; every device
@@ -1377,12 +1395,15 @@ def _pallas_fused_sharded(
         else pallas_fusion.fuse_translation_3d
     )
 
+    if scale is None:
+        scale = (1,) * ndim if ndim == 3 else (1.0,) * ndim
+
     def body(tiles, vi, org, offs_, exts, wd, wo, wg):
         return fuse_fn(
             tiles, vi, offs_, exts, wd, wo, wg,
             out_shape=band_shape, tile_shape=tile_shape, K=K,
             interpret=interpret, out_dtype=out_dtype,
-            origin=org[0],
+            origin=org[0], scale=scale,
         )
 
     fused = jax.shard_map(
@@ -1416,9 +1437,12 @@ def _execute_fusion_plan_pallas(
     out_sink=None,
     tile_shape=None,
     mesh=None,
+    scale=None,
 ):
     """Translation layouts on TPU: the whole output in ONE Pallas kernel
-    call with per-tile view lists (see ops/pallas_fusion; 2D and 3D)."""
+    call with per-tile view lists (see ops/pallas_fusion; 2D and 3D).
+    ``scale`` is the static per-dim output-pixel -> view-pixel scale
+    (non-unit when fusing at a coarser/finer output spacing)."""
     from multiview_stitcher_tpu.ops import pallas_fusion
 
     ndim = len(sdims)
@@ -1435,11 +1459,20 @@ def _execute_fusion_plan_pallas(
     osp_spacing = np.array(
         [output_stack_properties["spacing"][d] for d in sdims]
     )
+    if scale is None:
+        scale = _views_output_scale(
+            field_sims, output_stack_properties, sdims
+        )
+        if scale is None:
+            raise ValueError(
+                "Pallas tier needs a uniform view->output scale"
+            )
+    scale_arr = np.asarray(scale, dtype=np.float64)
 
     # prepared kernel inputs are cached on the plan (geometry-keyed): a
     # repeated fuse() over the same plan skips this entire host loop
     prep_key = (
-        "prep:pallas", tuple(tile_shape),
+        "prep:pallas", tuple(tile_shape), tuple(scale),
         json.dumps(blending_widths, sort_keys=True, default=float),
         json.dumps(shrink_distance, sort_keys=True, default=float),
     )
@@ -1464,6 +1497,11 @@ def _execute_fusion_plan_pallas(
                 output_spacing=osp_spacing,
                 output_origin=osp_origin,
             )
+            if not np.allclose(np.diag(m), scale_arr, rtol=1e-6):
+                raise ValueError(
+                    "per-view pixel map diag disagrees with the uniform "
+                    "scale; falling back to the XLA tiers"
+                )
             offs[v] = o
             extents[v] = [views_bb[v]["shape"][d] for d in sdims]
             g, wm, wo = weights.blending_weights_pixel_params(
@@ -1483,8 +1521,9 @@ def _execute_fusion_plan_pallas(
         ]
         tile_lists = {}
         for v in range(V):
-            lo = -offs[v] - 1
-            hi = -offs[v] + extents[v]
+            # view v covers output pixels o with 0 <= scale*o + off <= ext-1
+            lo = -offs[v] / scale_arr - 1
+            hi = (extents[v] - offs[v]) / scale_arr + 1
             ranges = []
             empty = False
             for d in range(ndim):
@@ -1518,11 +1557,14 @@ def _execute_fusion_plan_pallas(
     tiles_dev, nbits = _tiles_to_device(field_sims)
 
     interpret = jax.devices()[0].platform == "cpu"
+    kscale = tuple(scale)
+    if ndim == 3:
+        kscale = (int(kscale[0]),) + kscale[1:]
     if mesh is not None and mesh.size > 1:
         fused = _pallas_fused_sharded(
             tiles_dev, view_idx, offs, extents, wdiags, woffs, wgrids,
             out_shape_full, tile_shape, K, interpret,
-            np.dtype(out_dtype), mesh,
+            np.dtype(out_dtype), mesh, kscale,
         )
     else:
         fuse_fn = (
@@ -1536,6 +1578,7 @@ def _execute_fusion_plan_pallas(
             out_shape=out_shape_full, tile_shape=tile_shape, K=K,
             interpret=interpret,
             out_dtype=np.dtype(out_dtype),
+            scale=kscale,
         )
     # fetch through the packing codec in parallel bands; the fused output of
     # every builtin mode is bounded by the input maximum, so the cached
@@ -2025,6 +2068,9 @@ def _execute_fusion_plan(
     # mixed tile shapes are fine for the Pallas tier: _tiles_to_device pads
     # each view to the common max shape ON DEVICE and the kernels mask by
     # the true per-view extents arrays
+    pallas_scale = _views_output_scale(
+        field_sims, output_stack_properties, sdims
+    )
     pallas_base_eligible = (
         builtin_mode == "weighted_average"
         and weights_func is None
@@ -2037,9 +2083,7 @@ def _execute_fusion_plan(
             )
         )
         and _plan_is_translation(plan["sparams"], ndim)
-        and _views_match_output_grid(
-            field_sims, output_stack_properties, sdims
-        )
+        and pallas_scale is not None
         and _os.environ.get("MVS_TPU_PALLAS", "1") != "0"
     )
     if pallas_base_eligible:
@@ -2052,6 +2096,7 @@ def _execute_fusion_plan(
             _os.environ.get("MVS_TPU_STREAM", "1") != "0"
             and mesh is None  # banded pipeline is single-device
             and len(tile_shapes) == 1  # band planner assumes uniform tiles
+            and all(s == 1.0 for s in pallas_scale)  # unit-scale bands only
             and (
                 not tiles_in_memory
                 or not tiles_fit_on_device
@@ -2101,6 +2146,7 @@ def _execute_fusion_plan(
                 out_dtype=out_dtype,
                 out_sink=out_sink,
                 mesh=mesh,
+                scale=pallas_scale,
             )
         except Exception as e:  # noqa: BLE001
             # Mosaic limits (e.g. scalar-prefetch size on extreme tile

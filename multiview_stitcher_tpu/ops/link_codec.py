@@ -226,15 +226,33 @@ def put_packed(
 
     part_counts = tuple(int(bounds[i + 1] - bounds[i]) for i in range(n_streams))
 
-    @partial(jax.jit, static_argnames=("nbits", "counts", "shape", "dtype"))
-    def assemble(parts, nbits, counts, shape, dtype):
-        vals = [unpack_jax(p, nbits, c, dtype) for p, c in zip(parts, counts)]
-        return jnp.concatenate(vals).reshape(shape)
-
-    return assemble(
+    return _assemble_streams(
         parts_dev, nbits=nbits, counts=part_counts,
         shape=arr.shape, dtype=np.dtype(arr.dtype).name,
     )
+
+
+@partial(jax.jit, static_argnames=("nbits", "counts", "shape", "dtype"))
+def _assemble_streams(parts, nbits, counts, shape, dtype):
+    """Unpack + concatenate uploaded byte streams on device (module-level
+    jit: a closure re-defined per call would retrace and pay a remote
+    compile-cache round trip every transfer)."""
+    vals = [unpack_jax(p, nbits, c, dtype) for p, c in zip(parts, counts)]
+    return jnp.concatenate(vals).reshape(shape)
+
+
+@partial(jax.jit, static_argnames=("nbits", "counts"))
+def _pack_bands(x, nbits, counts):
+    """Pack a device array into independent contiguous byte bands
+    (module-level jit — see _assemble_streams)."""
+    flat = x.reshape(-1)
+    parts, o = [], 0
+    for c in counts:
+        parts.append(
+            pack_jax(jax.lax.dynamic_slice(flat, (o,), (c,)), nbits)
+        )
+        o += c
+    return parts
 
 
 def fetch_packed(
@@ -286,16 +304,7 @@ def fetch_packed(
     n_streams = len(bounds) - 1
     part_counts = tuple(int(bounds[i + 1] - bounds[i]) for i in range(n_streams))
 
-    @partial(jax.jit, static_argnames=("nbits", "counts"))
-    def pack_bands(x, nbits, counts):
-        flat = x.reshape(-1)
-        parts, o = [], 0
-        for c in counts:
-            parts.append(pack_jax(jax.lax.dynamic_slice(flat, (o,), (c,)), nbits))
-            o += c
-        return parts
-
-    bands = pack_bands(arr, nbits=nbits, counts=part_counts)
+    bands = _pack_bands(arr, nbits=nbits, counts=part_counts)
 
     if out is None:
         out = np.empty(arr.shape, dtype=dtype)

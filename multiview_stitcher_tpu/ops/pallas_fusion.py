@@ -112,7 +112,7 @@ def _fuse_tile_kernel(
     # output
     out_ref,        # (TY, TX) f32
     # scratch
-    win_ref,        # (TY + 16, TX + 256) f32 VMEM window
+    win_ref,        # (HW, WW) f32 VMEM window
     wg_ref,         # (8, 128) f32 VMEM weight grid
     sem,            # DMA semaphore
     wsem,           # DMA semaphore (weight grid)
@@ -120,7 +120,15 @@ def _fuse_tile_kernel(
     K: int,
     TY: int,
     TX: int,
+    SY_SC: float = 1.0,   # output-pixel -> view-pixel scale (y)
+    SX_SC: float = 1.0,   # ... (x); uniform across views, static
+    HW: int = None,       # VMEM window rows (ceil(SY_SC*TY) + margin)
+    WW: int = None,       # VMEM window cols
 ):
+    if HW is None:
+        HW = TY + 16
+    if WW is None:
+        WW = TX + 256
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     # integer origin shift keeps banded/streaming calls bitwise identical
@@ -146,8 +154,8 @@ def _fuse_tile_kernel(
         off_x = offs_ref[vi, 1]
 
         # atlas-pixel coordinates of this output tile's origin
-        cy0 = aoffs_ref[vi, 0] + jnp.float32(oy0)
-        cx0 = aoffs_ref[vi, 1] + jnp.float32(ox0)
+        cy0 = aoffs_ref[vi, 0] + jnp.float32(SY_SC) * jnp.float32(oy0)
+        cx0 = aoffs_ref[vi, 1] + jnp.float32(SX_SC) * jnp.float32(ox0)
         iy0 = jnp.floor(cy0)
         ix0 = jnp.floor(cx0)
         fy = cy0 - iy0
@@ -158,15 +166,15 @@ def _fuse_tile_kernel(
         wx = ix0.astype(jnp.int32)
         hp = atlas_ref.shape[0]
         wp = atlas_ref.shape[1]
-        wy = jnp.clip(wy, 0, hp - (TY + 16))
-        wx = jnp.clip(wx, 0, wp - (TX + 256))
+        wy = jnp.clip(wy, 0, hp - HW)
+        wx = jnp.clip(wx, 0, wp - WW)
         wy_al = pl.multiple_of((wy // 8) * 8, 8)
         wx_al = pl.multiple_of((wx // 128) * 128, 128)
         ry = wy - wy_al
         rx = wx - wx_al
 
         copy = pltpu.make_async_copy(
-            atlas_ref.at[pl.ds(wy_al, TY + 16), pl.ds(wx_al, TX + 256)],
+            atlas_ref.at[pl.ds(wy_al, HW), pl.ds(wx_al, WW)],
             win_ref,
             sem,
         )
@@ -176,25 +184,29 @@ def _fuse_tile_kernel(
         copy.wait()
         wcopy.wait()
 
-        # residual integer shift + bilinear fraction folded into 2-banded
-        # lerp matrices, applied as MXU matmuls (dynamic VMEM offsets are not
-        # supported; matmul shifts are)
+        # residual integer shift + scale + bilinear fraction folded into
+        # 2-banded lerp matrices, applied as MXU matmuls (dynamic VMEM
+        # offsets are not supported; matmul shifts are). Output row i maps
+        # to window row SY_SC*i + sy; the band position varies per row for
+        # non-unit scale.
         sy = ry.astype(jnp.float32) + fy
         sx = rx.astype(jnp.float32) + fx
-        row_i = jax.lax.broadcasted_iota(jnp.int32, (TY, TY + 16), 0)
-        row_j = jax.lax.broadcasted_iota(jnp.int32, (TY, TY + 16), 1)
-        sy_i = jnp.floor(sy).astype(jnp.int32)
-        sy_f = sy - jnp.floor(sy)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (TY, HW), 0)
+        row_j = jax.lax.broadcasted_iota(jnp.int32, (TY, HW), 1)
+        ty_pos = jnp.float32(SY_SC) * row_i.astype(jnp.float32) + sy
+        ty_i = jnp.floor(ty_pos).astype(jnp.int32)
+        ty_f = ty_pos - jnp.floor(ty_pos)
         Sy = jnp.where(
-            row_j == row_i + sy_i, 1.0 - sy_f, 0.0
-        ) + jnp.where(row_j == row_i + sy_i + 1, sy_f, 0.0)
-        col_i = jax.lax.broadcasted_iota(jnp.int32, (TX + 256, TX), 0)
-        col_j = jax.lax.broadcasted_iota(jnp.int32, (TX + 256, TX), 1)
-        sx_i = jnp.floor(sx).astype(jnp.int32)
-        sx_f = sx - jnp.floor(sx)
+            row_j == ty_i, 1.0 - ty_f, 0.0
+        ) + jnp.where(row_j == ty_i + 1, ty_f, 0.0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (WW, TX), 0)
+        col_j = jax.lax.broadcasted_iota(jnp.int32, (WW, TX), 1)
+        tx_pos = jnp.float32(SX_SC) * col_j.astype(jnp.float32) + sx
+        tx_i = jnp.floor(tx_pos).astype(jnp.int32)
+        tx_f = tx_pos - jnp.floor(tx_pos)
         SxT = jnp.where(
-            col_i == col_j + sx_i, 1.0 - sx_f, 0.0
-        ) + jnp.where(col_i == col_j + sx_i + 1, sx_f, 0.0)
+            col_i == tx_i, 1.0 - tx_f, 0.0
+        ) + jnp.where(col_i == tx_i + 1, tx_f, 0.0)
         # HIGHEST keeps the shift matmuls in true f32 on the MXU — the
         # default TPU precision rounds the tile VALUES through bf16
         # (observed ~2-count error at 900-count scale on v5e)
@@ -211,8 +223,8 @@ def _fuse_tile_kernel(
         )
 
         # validity: true view-local coordinates within [0, extent-1]
-        cy = row_ids + off_y
-        cx = col_ids + off_x
+        cy = jnp.float32(SY_SC) * row_ids + off_y
+        cx = jnp.float32(SX_SC) * col_ids + off_x
         valid = (
             (cy >= 0)
             & (cy <= extents_ref[vi, 0] - 1)
@@ -243,7 +255,9 @@ def _fuse_tile_kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("out_shape", "tile_shape", "K", "interpret", "out_dtype"),
+    static_argnames=(
+        "out_shape", "tile_shape", "K", "interpret", "out_dtype", "scale"
+    ),
 )
 def fuse_translation_2d(
     tiles,          # (V, H, W) any dtype — packed + cast to f32 on device
@@ -259,6 +273,7 @@ def fuse_translation_2d(
     interpret: bool = False,
     out_dtype=jnp.float32,
     origin=None,    # (2,) int32 — output-pixel origin (banded calls)
+    scale: Tuple[float, float] = (1.0, 1.0),  # out-pixel -> view-pixel
 ):
     """Fuse a full 2D output from translation-placed tiles (weighted average
     with cosine blending), single pass in VMEM with per-tile view lists.
@@ -266,12 +281,19 @@ def fuse_translation_2d(
     Tiles are packed into a zero-padded atlas ON DEVICE (XLA transpose at
     HBM bandwidth) so the host->device transfer carries only the raw tile
     bytes and device memory stays ~V x tile bytes regardless of tile size.
+
+    ``scale`` supports a uniform (per-dim static) non-unit output-pixel ->
+    view-pixel map — e.g. fusing at a coarser output spacing (reference
+    fuses any output grid through its general resample path,
+    transformation.py:15); the VMEM window grows by ~scale.
     """
     TY, TX = tile_shape
     OY, OX = out_shape
     n_ty = -(-OY // TY)
     n_tx = -(-OX // TX)
-    PADY, PADX = TY + 16, TX + 256
+    HW = int(-(-(int(np.ceil(scale[0] * TY)) + 16) // 8) * 8)
+    WW = int(-(-(int(np.ceil(scale[1] * TX)) + 256) // 128) * 128)
+    PADY, PADX = HW, WW
     V = tiles.shape[0]
     tile = tuple(tiles.shape[1:])
     grid = _atlas_grid(V, tile, (PADY, PADX))
@@ -300,7 +322,7 @@ def fuse_translation_2d(
             (TY, TX), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((TY + 16, TX + 256), jnp.float32),
+            pltpu.VMEM((HW, WW), jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -308,7 +330,10 @@ def fuse_translation_2d(
     )
 
     out = pl.pallas_call(
-        partial(_fuse_tile_kernel, K=K, TY=TY, TX=TX),
+        partial(
+            _fuse_tile_kernel, K=K, TY=TY, TX=TX,
+            SY_SC=float(scale[0]), SX_SC=float(scale[1]), HW=HW, WW=WW,
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_ty * TY, n_tx * TX), jnp.float32),
         # headroom for the f32-exact (HIGHEST) shift matmuls (see 3D call)
@@ -351,7 +376,7 @@ def _fuse_tile_kernel_3d(
     # output
     out_ref,        # (TZ, TY, TX) f32
     # scratch
-    win_ref,        # (TZ + 1, TY + 16, TX + 256) f32
+    win_ref,        # (DW, HW, WW) f32
     wg_ref,         # (5, 8, 128) f32
     sem,
     wsem,
@@ -360,7 +385,20 @@ def _fuse_tile_kernel_3d(
     TZ: int,
     TY: int,
     TX: int,
+    SZ_SC: int = 1,       # output-pixel -> view-pixel z scale (INTEGER:
+    #                       keeps the z lerp a static strided slice)
+    SY_SC: float = 1.0,
+    SX_SC: float = 1.0,
+    DW: int = None,       # VMEM window depth (SZ_SC*TZ + 1)
+    HW: int = None,
+    WW: int = None,
 ):
+    if DW is None:
+        DW = TZ + 1
+    if HW is None:
+        HW = TY + 16
+    if WW is None:
+        WW = TX + 256
     tz = pl.program_id(0)
     ty = pl.program_id(1)
     tx = pl.program_id(2)
@@ -390,9 +428,9 @@ def _fuse_tile_kernel_3d(
         vi = jnp.maximum(slot, 0)
         off = [offs_ref[vi, d] for d in range(3)]
 
-        cz0 = aoffs_ref[vi, 0] + jnp.float32(oz0)
-        cy0 = aoffs_ref[vi, 1] + jnp.float32(oy0)
-        cx0 = aoffs_ref[vi, 2] + jnp.float32(ox0)
+        cz0 = aoffs_ref[vi, 0] + jnp.float32(SZ_SC) * jnp.float32(oz0)
+        cy0 = aoffs_ref[vi, 1] + jnp.float32(SY_SC) * jnp.float32(oy0)
+        cx0 = aoffs_ref[vi, 2] + jnp.float32(SX_SC) * jnp.float32(ox0)
         iz0 = jnp.floor(cz0)
         iy0 = jnp.floor(cy0)
         ix0 = jnp.floor(cx0)
@@ -406,9 +444,9 @@ def _fuse_tile_kernel_3d(
         dp = atlas_ref.shape[0]
         hp = atlas_ref.shape[1]
         wp = atlas_ref.shape[2]
-        wz = jnp.clip(wz, 0, dp - (TZ + 1))
-        wy = jnp.clip(wy, 0, hp - (TY + 16))
-        wx = jnp.clip(wx, 0, wp - (TX + 256))
+        wz = jnp.clip(wz, 0, dp - DW)
+        wy = jnp.clip(wy, 0, hp - HW)
+        wx = jnp.clip(wx, 0, wp - WW)
         # z is an untiled dim: arbitrary start; y/x must be tiling-aligned
         wy_al = pl.multiple_of((wy // 8) * 8, 8)
         wx_al = pl.multiple_of((wx // 128) * 128, 128)
@@ -417,9 +455,9 @@ def _fuse_tile_kernel_3d(
 
         copy = pltpu.make_async_copy(
             atlas_ref.at[
-                pl.ds(wz, TZ + 1),
-                pl.ds(wy_al, TY + 16),
-                pl.ds(wx_al, TX + 256),
+                pl.ds(wz, DW),
+                pl.ds(wy_al, HW),
+                pl.ds(wx_al, WW),
             ],
             win_ref,
             sem,
@@ -430,28 +468,36 @@ def _fuse_tile_kernel_3d(
         copy.wait()
         wcopy.wait()
 
-        # z lerp: window starts exactly at floor(cz0) -> static slices
-        wlerp = (1.0 - fz) * win_ref[0:TZ, :, :] + fz * win_ref[1:TZ + 1, :, :]
+        # z lerp: window starts exactly at floor(cz0); the integer z scale
+        # keeps the per-output-plane fraction constant, so the lerp stays a
+        # pair of static (strided) slices
+        wlerp = (
+            (1.0 - fz) * win_ref[0 : SZ_SC * TZ : SZ_SC, :, :]
+            + fz * win_ref[1 : SZ_SC * TZ + 1 : SZ_SC, :, :]
+        )
 
-        # y/x residual shift + fraction as banded matmuls (batched over z)
+        # y/x residual shift + scale + fraction as banded matmuls (batched
+        # over z); band position varies per row for non-unit scale
         sy = ry.astype(jnp.float32) + fy
         sx = rx.astype(jnp.float32) + fx
-        row_i = jax.lax.broadcasted_iota(jnp.int32, (TY, TY + 16), 0)
-        row_j = jax.lax.broadcasted_iota(jnp.int32, (TY, TY + 16), 1)
-        sy_i = jnp.floor(sy).astype(jnp.int32)
-        sy_f = sy - jnp.floor(sy)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (TY, HW), 0)
+        row_j = jax.lax.broadcasted_iota(jnp.int32, (TY, HW), 1)
+        ty_pos = jnp.float32(SY_SC) * row_i.astype(jnp.float32) + sy
+        ty_i = jnp.floor(ty_pos).astype(jnp.int32)
+        ty_f = ty_pos - jnp.floor(ty_pos)
         Sy = jnp.where(
-            row_j == row_i + sy_i, 1.0 - sy_f, 0.0
-        ) + jnp.where(row_j == row_i + sy_i + 1, sy_f, 0.0)
-        col_i = jax.lax.broadcasted_iota(jnp.int32, (TX + 256, TX), 0)
-        col_j = jax.lax.broadcasted_iota(jnp.int32, (TX + 256, TX), 1)
-        sx_i = jnp.floor(sx).astype(jnp.int32)
-        sx_f = sx - jnp.floor(sx)
+            row_j == ty_i, 1.0 - ty_f, 0.0
+        ) + jnp.where(row_j == ty_i + 1, ty_f, 0.0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (WW, TX), 0)
+        col_j = jax.lax.broadcasted_iota(jnp.int32, (WW, TX), 1)
+        tx_pos = jnp.float32(SX_SC) * col_j.astype(jnp.float32) + sx
+        tx_i = jnp.floor(tx_pos).astype(jnp.int32)
+        tx_f = tx_pos - jnp.floor(tx_pos)
         SxT = jnp.where(
-            col_i == col_j + sx_i, 1.0 - sx_f, 0.0
-        ) + jnp.where(col_i == col_j + sx_i + 1, sx_f, 0.0)
+            col_i == tx_i, 1.0 - tx_f, 0.0
+        ) + jnp.where(col_i == tx_i + 1, tx_f, 0.0)
 
-        # (TZ, TY+16, TX+256) x (TY, TY+16) -> (TZ, TX+256, TY)
+        # (TZ, HW, WW) x (TY, HW) -> (TZ, WW, TY)
         # HIGHEST: default TPU matmul precision would round the tile
         # values through bf16 (see 2D kernel note)
         val = jax.lax.dot_general(
@@ -459,7 +505,7 @@ def _fuse_tile_kernel_3d(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (TZ, TX+256, TY)
+        )  # (TZ, WW, TY)
         val = jax.lax.dot_general(
             val, SxT,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -468,9 +514,9 @@ def _fuse_tile_kernel_3d(
         )  # (TZ, TY, TX)
 
         # validity from true view-local coordinates
-        cz = z_ids + off[0]
-        cy = y_ids + off[1]
-        cx = x_ids + off[2]
+        cz = jnp.float32(SZ_SC) * z_ids + off[0]
+        cy = jnp.float32(SY_SC) * y_ids + off[1]
+        cx = jnp.float32(SX_SC) * x_ids + off[2]
         valid = (
             (cz >= 0) & (cz <= extents_ref[vi, 0] - 1)
             & (cy >= 0) & (cy <= extents_ref[vi, 1] - 1)
@@ -507,7 +553,9 @@ def _fuse_tile_kernel_3d(
 
 @partial(
     jax.jit,
-    static_argnames=("out_shape", "tile_shape", "K", "interpret", "out_dtype"),
+    static_argnames=(
+        "out_shape", "tile_shape", "K", "interpret", "out_dtype", "scale"
+    ),
 )
 def fuse_translation_3d(
     tiles,          # (V, D, H, W) any dtype — packed + cast to f32 on device
@@ -523,18 +571,29 @@ def fuse_translation_3d(
     interpret: bool = False,
     out_dtype=jnp.float32,
     origin=None,    # (3,) int32 — output-pixel origin (banded calls)
+    scale=(1, 1.0, 1.0),  # out-pixel -> view-pixel; z scale must be INTEGER
 ):
     """Fuse a full 3D output from translation-placed tiles, single pass.
 
     Views are packed into a single zero-padded atlas on device (see module
     docstring), keeping memory ~V x tile bytes for any tile size.
+
+    ``scale`` supports a uniform (per-dim static) non-unit output-pixel ->
+    view-pixel map; the z component must be an integer so the z lerp stays
+    a static strided slice.
     """
     TZ, TY, TX = tile_shape
     OZ, OY, OX = out_shape
+    if float(scale[0]) != int(scale[0]):
+        raise ValueError("3D Pallas fusion requires an integer z scale")
+    SZ = int(scale[0])
     n_tz = -(-OZ // TZ)
     n_ty = -(-OY // TY)
     n_tx = -(-OX // TX)
-    PADZ, PADY, PADX = TZ + 1, TY + 16, TX + 256
+    DW = SZ * TZ + 1
+    HW = int(-(-(int(np.ceil(scale[1] * TY)) + 16) // 8) * 8)
+    WW = int(-(-(int(np.ceil(scale[2] * TX)) + 256) // 128) * 128)
+    PADZ, PADY, PADX = DW, HW, WW
     V = tiles.shape[0]
     tile = tuple(tiles.shape[1:])
     grid = _atlas_grid(V, tile, (PADZ, PADY, PADX))
@@ -563,7 +622,7 @@ def fuse_translation_3d(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((TZ + 1, TY + 16, TX + 256), jnp.float32),
+            pltpu.VMEM((DW, HW, WW), jnp.float32),
             pltpu.VMEM((5, 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -571,7 +630,11 @@ def fuse_translation_3d(
     )
 
     out = pl.pallas_call(
-        partial(_fuse_tile_kernel_3d, K=K, TZ=TZ, TY=TY, TX=TX),
+        partial(
+            _fuse_tile_kernel_3d, K=K, TZ=TZ, TY=TY, TX=TX,
+            SZ_SC=SZ, SY_SC=float(scale[1]), SX_SC=float(scale[2]),
+            DW=DW, HW=HW, WW=WW,
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_tz * TZ, n_ty * TY, n_tx * TX), jnp.float32

@@ -534,3 +534,51 @@ def test_fuse_per_timepoint_transforms_end_to_end():
             atol=1e-3,
             err_msg=f"timepoint {t} fused with wrong transform",
         )
+
+
+@pytest.mark.parametrize("ndim", [2, 3])
+def test_coarse_output_spacing_uses_pallas_tier(ndim, monkeypatch):
+    """Non-unit (uniform) view->output scale runs through the Pallas tier
+    (scaled banded-lerp matmuls; integer z scale in 3D) and matches the
+    XLA tiers (reference fuses arbitrary output grids through its general
+    resample path, transformation.py:15)."""
+    from multiview_stitcher_tpu.fusion import _core
+
+    rng = np.random.default_rng(21)
+    if ndim == 2:
+        shape, tr = (48, 64), {"y": 0.0, "x": 44.0}
+        spacing = {"y": 2.0, "x": 2.0}
+    else:
+        shape, tr = (16, 32, 48), {"z": 0.0, "y": 0.0, "x": 32.0}
+        spacing = {"z": 2.0, "y": 2.0, "x": 2.0}
+    sims = [
+        si_utils.get_sim_from_array(
+            (rng.random(shape) * 900).astype(np.float32), translation={
+                k: 0.0 for k in tr
+            }
+        ),
+        si_utils.get_sim_from_array(
+            (rng.random(shape) * 900).astype(np.float32), translation=tr
+        ),
+    ]
+    called = {"pallas": 0}
+    orig = _core._execute_fusion_plan_pallas
+
+    def spy(*args, **kwargs):
+        called["pallas"] += 1
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(_core, "_execute_fusion_plan_pallas", spy)
+    out = fusion.fuse(
+        sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_spacing=spacing,
+    ).to_numpy()
+    assert called["pallas"] == 1
+    _core.clear_device_tile_cache()
+    monkeypatch.setenv("MVS_TPU_PALLAS", "0")
+    ref = fusion.fuse(
+        sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_spacing=spacing,
+    ).to_numpy()
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-2)
