@@ -38,15 +38,14 @@ def sharded_pairwise_shifts(
     """
     sharding = mesh_utils.batch_sharding(mesh)
 
-    fn = jax.jit(
-        lambda f, m: pc_ops.phase_cross_correlation_batch(
-            f, m, upsample_factor=upsample_factor, normalization=normalization
-        ),
-        in_shardings=(sharding, sharding),
-    )
-    return fn(
+    # the batched kernel is module-level jitted; input shardings propagate
+    # into its compilation (a per-call jax.jit wrapper here would retrace
+    # and pay a remote compile-cache round trip on every invocation)
+    return pc_ops.phase_cross_correlation_batch(
         jax.device_put(fixed_batch, sharding),
         jax.device_put(moving_batch, sharding),
+        upsample_factor=upsample_factor,
+        normalization=normalization,
     )
 
 
@@ -63,11 +62,8 @@ def sharded_fuse_chunks(
         jax.device_put(np.asarray(a), sharding)
         for a in (slabs, mats, offs, wgrids, wmats, woffs, valid)
     ]
-    fn = jax.jit(
-        lambda *a: _fuse_chunk_batch_kernel(*a, out_shape, mode, use_bw),
-        in_shardings=(sharding,) * 7,
-    )
-    return fn(*args)
+    # module-level jitted kernel; shardings propagate (see above)
+    return _fuse_chunk_batch_kernel(*args, out_shape, mode, use_bw)
 
 
 def register_and_fuse_step(

@@ -243,3 +243,48 @@ def test_fuse_with_mesh_pallas_tier(monkeypatch):
     ).to_numpy()
     assert called["sharded"] == 1
     np.testing.assert_array_equal(out, ref)
+
+
+def test_pipeline_sharded_helpers_match_unsharded():
+    """parallel.pipeline helpers (P1 pair batches / P2 chunk batches) match
+    the unsharded kernels on the virtual mesh."""
+    import jax
+
+    from multiview_stitcher_tpu.fusion._core import _fuse_chunk_batch_kernel
+    from multiview_stitcher_tpu.ops import phase_correlation as pc_ops
+    from multiview_stitcher_tpu.parallel import mesh as mesh_utils
+    from multiview_stitcher_tpu.parallel import pipeline
+
+    mesh = mesh_utils.get_mesh(len(jax.devices()))
+    rng = np.random.default_rng(4)
+    N = len(jax.devices()) * 2
+    f = rng.random((N, 32, 32)).astype(np.float32)
+    m = np.roll(f, 3, axis=2)
+    shifts, peaks = pipeline.sharded_pairwise_shifts(f, m, mesh)
+    ref_shifts, ref_peaks = pc_ops.phase_cross_correlation_batch(
+        f, m, upsample_factor=10
+    )
+    np.testing.assert_allclose(
+        np.asarray(shifts), np.asarray(ref_shifts), atol=1e-5
+    )
+
+    C, K, S = N, 2, (16, 16)
+    slabs = rng.random((C, K) + tuple(s + 4 for s in S)).astype(np.float32)
+    mats = np.broadcast_to(np.eye(2, dtype=np.float32), (C, K, 2, 2)).copy()
+    offs = np.zeros((C, K, 2), np.float32)
+    wgrids = np.ones((C, K, 5, 5), np.float32)
+    wmats = np.broadcast_to(
+        np.diag([0.25, 0.25]).astype(np.float32), (C, K, 2, 2)
+    ).copy()
+    woffs = np.zeros((C, K, 2), np.float32)
+    valid = np.ones((C, K), bool)
+    fused = pipeline.sharded_fuse_chunks(
+        slabs, mats, offs, wgrids, wmats, woffs, valid, S, mesh
+    )
+    ref = _fuse_chunk_batch_kernel(
+        slabs, mats, offs, wgrids, wmats, woffs,
+        valid, S, "weighted_average", True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), atol=1e-5
+    )
