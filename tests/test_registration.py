@@ -324,3 +324,64 @@ def test_fused_core_matches_host_path_nan_heavy():
     # and the recovered shift still cancels the metadata error
     aff = np.asarray(res_fused["transform"].squeeze())
     np.testing.assert_allclose(aff[:2, 2], shift, atol=0.5)
+
+
+@pytest.mark.parametrize(
+    "ndim,pruning,groupwise",
+    [
+        (2, "shortest_paths_overlap_weighted", "shortest_paths"),
+        (2, "otsu_threshold_on_overlap", "global_optimization"),
+        (2, "keep_axis_aligned", "global_optimization"),
+        (2, "alternating_pattern", "linear_two_pass"),
+        (3, None, "global_optimization"),
+    ],
+)
+def test_register_matrix_pruning_groupwise(ndim, pruning, groupwise):
+    """register() across pre-pruning x groupwise-resolution combinations
+    (reference test_registration.py:453 parametrized matrix): params are
+    finite, and a second registration pass on the registered key converges
+    to ~zero residual shifts."""
+    from multiview_stitcher_tpu import sample_data
+
+    sims = sample_data.generate_tiled_dataset(
+        ndim=ndim, N_c=1, N_t=1,
+        tile_size=40 if ndim == 2 else 24,
+        tiles_x=2, tiles_y=2, tiles_z=1,
+        overlap=10 if ndim == 2 else 8,
+        zoom=4, shift_scale=1.5, drift_scale=0.0,
+    )
+    msims = [msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims]
+    kwargs = dict(
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        reg_channel_index=0,
+        pre_registration_pruning_method=pruning,
+        groupwise_resolution_method=groupwise,
+        groupwise_resolution_kwargs=(
+            {"transform": "translation"}
+            if groupwise in ("global_optimization", "linear_two_pass")
+            else {}
+        ),
+        post_registration_do_quality_filter=True,
+        post_registration_quality_threshold=-1.0,
+    )
+    params = registration.register(
+        msims, new_transform_key="registered", **kwargs
+    )
+    assert len(params) == len(msims)
+    for p in params:
+        assert np.all(np.isfinite(np.asarray(p.squeeze())))
+    # convergence: re-registering on the registered key finds ~no residual
+    params2 = registration.register(
+        msims,
+        transform_key="registered",
+        reg_channel_index=0,
+        pre_registration_pruning_method=None,
+        groupwise_resolution_method=groupwise,
+        groupwise_resolution_kwargs=kwargs["groupwise_resolution_kwargs"],
+    )
+    for p in params2:
+        m = np.asarray(p.squeeze())
+        np.testing.assert_allclose(
+            m[:ndim, ndim], 0.0, atol=0.5,
+            err_msg=f"residual shift after {pruning}/{groupwise}",
+        )
