@@ -182,10 +182,19 @@ def _decompress_subblock(raw: bytes, compression: int, dtype) -> bytes:
             arr[1::2] = np.frombuffer(data[half:half * 2], np.uint8)
             data = arr.tobytes()
         return data
+    if compression == 1:
+        # baseline JPEG subblock: first-party decoder (io/jpeg.py); Zeiss
+        # writers emit 8-bit baseline sequential streams for this id
+        from multiview_stitcher_tpu.io.jpeg import decode_jpeg
+
+        img = decode_jpeg(raw)
+        return np.ascontiguousarray(img).astype(
+            np.dtype(dtype), copy=False
+        ).tobytes()
     raise NotImplementedError(
         f"CZI compression {compression} "
         f"({_CZI_COMPRESSION_NAMES.get(compression, 'unknown')}) is not "
-        "supported by the built-in reader (JPEG/JPEG-XR need external "
+        "supported by the built-in reader (JPEG-XR needs external "
         "codecs)."
     )
 

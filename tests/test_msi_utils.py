@@ -40,3 +40,83 @@ def test_msim_map_blocks_eager_and_lazy(tmp_path):
     # shape-changing funcs are rejected eagerly
     with pytest.raises(ValueError):
         msi_utils.sim_map_blocks(sim, lambda b: b[::2])
+
+
+def test_auto_scale_factors_and_downsampling():
+    """Automatic pyramid levels coarsen by mean with origin correction
+    (reference msi_utils.get_multiscale_spatial_image semantics)."""
+    data = np.arange(256 * 256, dtype=np.float32).reshape(256, 256)
+    sim = si_utils.get_sim_from_array(
+        data, scale={"y": 0.5, "x": 0.5}, translation={"y": 1.0, "x": 2.0}
+    )
+    msim = msi_utils.get_msim_from_sim(sim)
+    keys = msi_utils.get_sorted_scale_keys(msim)
+    assert keys[0] == "scale0"
+    assert len(keys) >= 2
+    s1 = msim.get_scale(keys[1])
+    assert s1.sizes["y"] == 128 and s1.sizes["x"] == 128
+    # coarsen-mean: 2x2 block means
+    np.testing.assert_allclose(
+        s1.to_numpy(),
+        data.reshape(128, 2, 128, 2).mean(axis=(1, 3)),
+        rtol=1e-6,
+    )
+    # below min_shape no further level is produced (reference min_shape=100)
+    small = msi_utils.get_msim_from_sim(
+        si_utils.get_sim_from_array(np.zeros((64, 64), np.float32))
+    )
+    assert msi_utils.get_sorted_scale_keys(small) == ["scale0"]
+    # pixel-center origin shifts by half the spacing increase
+    assert s1.spacing["y"] == pytest.approx(1.0)
+    assert s1.origin["y"] == pytest.approx(1.0 + 0.25)
+
+
+def test_multiscale_transform_propagation():
+    """Setting an affine on an msim reaches every scale and survives
+    selection by non-spatial coords."""
+    data = np.zeros((2, 16, 16), np.float32)
+    sim = si_utils.get_sim_from_array(
+        data, dims=("c", "y", "x"), c_coords=["a", "b"]
+    )
+    msim = msi_utils.get_msim_from_sim(
+        sim, scale_factors=[{"y": 2, "x": 2}]
+    )
+    aff = np.array([[1.0, 0, 5.0], [0, 1.0, -3.0], [0, 0, 1.0]])
+    msi_utils.set_affine_transform(msim, aff, transform_key="registered")
+    for key in msi_utils.get_sorted_scale_keys(msim):
+        got = np.asarray(
+            msi_utils.get_transform_from_msim(msim, "registered").squeeze()
+        )
+        np.testing.assert_allclose(got, aff)
+    sel = msi_utils.multiscale_sel_coords(msim, {"c": "b"})
+    np.testing.assert_allclose(
+        np.asarray(
+            msi_utils.get_transform_from_msim(sel, "registered").squeeze()
+        ),
+        aff,
+    )
+
+
+def test_get_msim_from_sims_groups_scales():
+    """A list of same-image-different-resolution sims becomes one msim
+    sorted fine->coarse."""
+    fine = si_utils.get_sim_from_array(
+        np.zeros((32, 32), np.float32), scale={"y": 1.0, "x": 1.0}
+    )
+    coarse = si_utils.get_sim_from_array(
+        np.zeros((16, 16), np.float32), scale={"y": 2.0, "x": 2.0}
+    )
+    msim = msi_utils.get_msim_from_sims([coarse, fine])
+    keys = msi_utils.get_sorted_scale_keys(msim)
+    assert msim.get_scale(keys[0]).sizes["y"] == 32
+    assert msim.get_scale(keys[1]).sizes["y"] == 16
+
+
+def test_point_set_roundtrip():
+    """Bead/marker point sets attach to an msim and persist selection."""
+    sim = si_utils.get_sim_from_array(np.zeros((8, 8), np.float32))
+    msim = msi_utils.get_msim_from_sim(sim, scale_factors=[])
+    pts = np.array([[1.0, 2.0], [3.0, 4.0]])
+    msi_utils.set_point_set(msim, pts, points_key="beads")
+    got = msi_utils.get_point_set(msim, points_key="beads")
+    np.testing.assert_allclose(np.asarray(got), pts)

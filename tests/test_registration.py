@@ -385,3 +385,75 @@ def test_register_matrix_pruning_groupwise(ndim, pruning, groupwise):
             m[:ndim, ndim], 0.0, atol=0.5,
             err_msg=f"residual shift after {pruning}/{groupwise}",
         )
+
+
+@pytest.mark.parametrize(
+    "groupwise", ["shortest_paths", "global_optimization", "linear_two_pass"]
+)
+def test_disconnected_components_register(groupwise):
+    """Views forming multiple connected components resolve per-CC with an
+    anchor each (reference test_param_resolution.py:477)."""
+    from multiview_stitcher_tpu import sample_data
+
+    sims = sample_data.generate_tiled_dataset(
+        ndim=2, N_t=2, N_c=2, tile_size=15, tiles_x=3, tiles_y=1,
+        overlap=5, zoom=2,
+    )
+    # detach the last tile into its own component
+    far = float(np.max(np.asarray(sims[2].coords.get(
+        "y", np.arange(sims[2].sizes["y"])
+    )))) if "y" in sims[2].coords else 0.0
+    sims[2].origin["y"] += far + sims[2].sizes["y"] + 50.0
+    msims = [msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims]
+    params = registration.register(
+        msims,
+        reg_channel_index=0,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        new_transform_key="affine_registered",
+        groupwise_resolution_method=groupwise,
+        groupwise_resolution_kwargs=(
+            {"transform": "translation"}
+            if groupwise in ("global_optimization", "linear_two_pass")
+            else {}
+        ),
+        pre_registration_pruning_method=None,
+    )
+    assert len(params) == 3
+    for p in params:
+        assert np.all(np.isfinite(np.asarray(p.squeeze())))
+
+
+@pytest.mark.parametrize(
+    "groupwise", ["shortest_paths", "global_optimization", "linear_two_pass"]
+)
+def test_manual_pairs_registration(groupwise):
+    """register(pairs=...) restricts the pairwise graph to the given
+    non-contiguous edges (reference test_param_resolution.py:524)."""
+    from multiview_stitcher_tpu import sample_data
+
+    sims = sample_data.generate_tiled_dataset(
+        ndim=2, N_t=2, N_c=2, tile_size=15, tiles_x=2, tiles_y=3,
+        overlap=5, zoom=2,
+    )
+    msims = [msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims]
+    pairs = [(1, 3), (3, 2), (2, 5)]
+    result = registration.register(
+        msims,
+        reg_channel_index=0,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        new_transform_key="affine_registered",
+        groupwise_resolution_method=groupwise,
+        groupwise_resolution_kwargs=(
+            {"transform": "translation"}
+            if groupwise in ("global_optimization", "linear_two_pass")
+            else {}
+        ),
+        pairs=pairs,
+        return_dict=True,
+    )
+    params = result["params"]
+    assert len(params) == 6
+    g = result["pairwise_registration"]["graph"]
+    assert set(map(tuple, map(sorted, g.edges()))) <= {
+        tuple(sorted(p)) for p in pairs
+    }
