@@ -256,7 +256,13 @@ def _reduce_views(data_t, bw, out_shape, mode: str, use_bw: bool):
     """NaN-aware reduction over the leading view axis."""
     if use_bw:
         bw = weights.cosine_weights(bw)
-        bw = bw * (~jnp.isnan(data_t))
+        valid = ~jnp.isnan(data_t)
+        bw = bw * valid
+        # zero total weight with valid data (cosine taper hits exactly 0 at
+        # the support border): fall back to the unweighted valid average so
+        # border pixels keep their values instead of dropping to 0
+        wsum = jnp.sum(bw, axis=0, keepdims=True)
+        bw = jnp.where(wsum > 0, bw, valid.astype(bw.dtype))
         bw = weights.normalize_weights(bw)
     if mode == "weighted_average":
         fused = jnp.nansum(data_t * bw, axis=0)
@@ -2097,6 +2103,11 @@ def _execute_fusion_plan(
             and mesh is None  # banded pipeline is single-device
             and len(tile_shapes) == 1  # band planner assumes uniform tiles
             and all(s == 1.0 for s in pallas_scale)  # unit-scale bands only
+            # tiles already resident (seeded by a previous streaming pass
+            # or monolithic upload): repeats skip streaming entirely
+            and _device_tile_cache.get(
+                _DeviceTileCache.key_for(field_sims)
+            ) is None
             and (
                 not tiles_in_memory
                 or not tiles_fit_on_device

@@ -45,6 +45,14 @@ def _assemble_window(batches, start, NV):
     return jax.lax.dynamic_slice_in_dim(cat, start, NV, axis=0)
 
 
+@partial(jax.jit, static_argnames=("inv", "V"))
+def _reorder_concat(stacks, inv, V):
+    """Concatenate retained upload batches and restore original view order
+    (device-side; seeds the tile cache after a streaming pass)."""
+    allv = jnp.concatenate(stacks, axis=0)[:V]
+    return allv[jnp.asarray(inv)]
+
+
 def plan_bands(offs, extents, out_shape_full, tile_shape, axis_chunk=None):
     """Choose a band axis + height; return band table or None.
 
@@ -209,6 +217,13 @@ def execute_streaming(
     dtype_in = np.dtype(sims_s[0].data.dtype)
     tile_bytes = int(np.prod(tile)) * dtype_in.itemsize
     U = max(1, -(-(8 << 20) // tile_bytes))
+    # retain uploaded batches when every tile fits the device tile cache:
+    # the pass then seeds the cache so repeat fuse() calls skip streaming
+    cache_key = _core._DeviceTileCache.key_for(field_sims)
+    retain_batches = (
+        cache_key is not None
+        and V * tile_bytes <= _core._device_tile_cache._budget()
+    )
     n_batches = -(-V // U)
     NB = -(-NV // U) + 1  # batches per assembly window
     packable = link_codec.is_packable(dtype_in)
@@ -347,7 +362,8 @@ def execute_streaming(
             )
 
             # drop device batches no longer reachable by future bands
-            if b + 1 < B:
+            # (unless we're retaining them to seed the device tile cache)
+            if not retain_batches and b + 1 < B:
                 keep_from = int(lo[b + 1]) // U
                 for bi in [k for k in futs if k < keep_from]:
                     del futs[bi]
@@ -356,4 +372,26 @@ def execute_streaming(
             f.result()
     if errors:
         raise errors[0]
+
+    if retain_batches and not errors:
+        # seed the device tile cache: repeated fuse() calls over the same
+        # inputs then skip streaming entirely and re-use resident tiles
+        # through the monolithic Pallas tier (download-only repeats)
+        try:
+            stacks = [futs[bi].result()[0] for bi in range(n_batches)]
+            inv = np.empty(V, dtype=np.int64)
+            inv[order] = np.arange(V)
+            tiles_dev = _reorder_concat(
+                tuple(stacks), tuple(int(i) for i in inv), V
+            )
+            nbits_all = (
+                link_codec.nbits_for_max(max_seen) if packable else None
+            )
+            _core._device_tile_cache.put(
+                cache_key, tiles_dev, nbits_all,
+                [s.data for s in field_sims
+                 if isinstance(s.data, np.ndarray)],
+            )
+        except Exception:  # noqa: BLE001
+            pass  # cache seeding is best-effort
     return out

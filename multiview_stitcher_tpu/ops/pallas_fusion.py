@@ -145,6 +145,10 @@ def _fuse_tile_kernel(
 
     acc = jnp.zeros((TY, TX), dtype=jnp.float32)
     wsum = jnp.zeros((TY, TX), dtype=jnp.float32)
+    # unweighted fallback accumulators: where the cosine taper hits exactly
+    # 0 for every valid view (support border), fuse the plain valid average
+    vacc = jnp.zeros((TY, TX), dtype=jnp.float32)
+    vcnt = jnp.zeros((TY, TX), dtype=jnp.float32)
 
     for k in range(K):
         slot = view_idx_ref[ty, tx, k]
@@ -249,8 +253,13 @@ def _fuse_tile_kernel(
 
         acc = acc + w * jnp.where(valid, val, 0.0)
         wsum = wsum + w
+        vacc = vacc + jnp.where(valid, val, 0.0)
+        vcnt = vcnt + valid.astype(jnp.float32)
 
-    out_ref[:, :] = acc / jnp.maximum(wsum, 1e-12)
+    fallback = vacc / jnp.maximum(vcnt, 1.0)
+    out_ref[:, :] = jnp.where(
+        wsum > 0.0, acc / jnp.maximum(wsum, 1e-12), fallback
+    )
 
 
 @partial(
@@ -421,6 +430,9 @@ def _fuse_tile_kernel_3d(
 
     acc = jnp.zeros((TZ, TY, TX), dtype=jnp.float32)
     wsum = jnp.zeros((TZ, TY, TX), dtype=jnp.float32)
+    # unweighted fallback accumulators (see 2D kernel)
+    vacc = jnp.zeros((TZ, TY, TX), dtype=jnp.float32)
+    vcnt = jnp.zeros((TZ, TY, TX), dtype=jnp.float32)
 
     for k in range(K):
         slot = view_idx_ref[tz, ty, tx, k]
@@ -547,8 +559,13 @@ def _fuse_tile_kernel_3d(
 
         acc = acc + w * jnp.where(valid, val, 0.0)
         wsum = wsum + w
+        vacc = vacc + jnp.where(valid, val, 0.0)
+        vcnt = vcnt + valid.astype(jnp.float32)
 
-    out_ref[:, :, :] = acc / jnp.maximum(wsum, 1e-12)
+    fallback = vacc / jnp.maximum(vcnt, 1.0)
+    out_ref[:, :, :] = jnp.where(
+        wsum > 0.0, acc / jnp.maximum(wsum, 1e-12), fallback
+    )
 
 
 @partial(

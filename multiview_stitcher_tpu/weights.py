@@ -78,15 +78,25 @@ def get_blending_support_grid(
         source_bb = _shrink_source_bb(source_bb, shrink_distance)
     ndim = len(sdims)
 
-    support_spacing = {
-        d: (source_bb["shape"][d] - 1) / 4 * source_bb["spacing"][d]
-        for d in sdims
-    }
+    # singleton dims can't taper (reference divides by shape-1 here and
+    # relies on numpy nan semantics, weights.py:441-457); give them a flat
+    # unit-weight profile instead
+    def _support(d):
+        n = source_bb["shape"][d]
+        if n <= 1:
+            return source_bb["spacing"][d]
+        return (n - 1) / 4 * source_bb["spacing"][d]
+
+    support_spacing = {d: _support(d) for d in sdims}
     # slight enlargement so the taper transitions smoothly at shared borders
     edt_support_spacing = {
-        d: support_spacing[d]
-        * (source_bb["shape"][d] - 1 + 2)
-        / (source_bb["shape"][d] - 1)
+        d: (
+            support_spacing[d]
+            * (source_bb["shape"][d] - 1 + 2)
+            / (source_bb["shape"][d] - 1)
+            if source_bb["shape"][d] > 1
+            else support_spacing[d]
+        )
         for d in sdims
     }
     edt_support_origin = {
@@ -94,7 +104,14 @@ def get_blending_support_grid(
     }
 
     sampling = np.array(
-        [edt_support_spacing[d] / blending_widths[d] for d in sdims]
+        [
+            # singleton dims contribute no border taper: their axis
+            # distance is made large so the min-reduce ignores them
+            1e6
+            if source_bb["shape"][d] <= 1
+            else edt_support_spacing[d] / blending_widths[d]
+            for d in sdims
+        ]
     )
     # closed-form EDT of the 5^ndim border-ring mask
     axis_dist = [

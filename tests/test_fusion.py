@@ -582,3 +582,61 @@ def test_coarse_output_spacing_uses_pallas_tier(ndim, monkeypatch):
     ).to_numpy()
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=1e-2)
+
+
+def test_3d_single_plane_fusion():
+    """3D input with z extent 1 fuses onto a taller z output grid
+    (reference test_fusion.py:990 — weight math must tolerate singleton
+    axes)."""
+    sim = si_utils.get_sim_from_array(
+        np.ones((1, 10, 10), np.float32), dims=("z", "y", "x")
+    )
+    fused = fusion.fuse(
+        [sim],
+        output_shape={"z": 2, "y": 10, "x": 10},
+        output_chunksize={"z": 1, "y": 10, "x": 10},
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+    )
+    out = fused.to_numpy()
+    assert out.shape == (2, 10, 10)
+    np.testing.assert_allclose(out[0], 1.0, atol=1e-5)
+
+
+def test_blending_widths_affect_result():
+    """blending_widths changes the overlap blend (reference
+    test_fusion.py:1011) — tiles carry DIFFERENT data so the blend profile
+    is visible."""
+    rng = np.random.default_rng(31)
+    a = (rng.random((40, 60)) * 100).astype(np.float32)
+    b = (rng.random((40, 60)) * 100).astype(np.float32)
+    sims = lambda: [
+        si_utils.get_sim_from_array(a.copy(), translation={"y": 0.0, "x": 0.0}),
+        si_utils.get_sim_from_array(b.copy(), translation={"y": 0.0, "x": 40.0}),
+    ]
+    small = fusion.fuse(
+        sims(), transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        blending_widths={"y": 0.001, "x": 0.001},
+    ).to_numpy()
+    large = fusion.fuse(
+        sims(), transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        blending_widths={"y": 10.0, "x": 10.0},
+    ).to_numpy()
+    assert not np.allclose(small, large)
+    # exclusive regions agree regardless of blending width
+    np.testing.assert_allclose(small[:, :40], large[:, :40], atol=1e-3)
+
+
+def test_large_shape_fusion_beyond_uint16_limit():
+    """Output extents larger than the uint16 limit fuse correctly
+    (reference test_fusion.py:1041)."""
+    sims = [
+        si_utils.get_sim_from_array(
+            np.ones((2, 50000), np.float32),
+            translation={"y": 0.0, "x": float(50000 * i)},
+        )
+        for i in range(2)
+    ]
+    fused = fusion.fuse(sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY)
+    assert fused.shape[-1] == 100000
+    out = fused.to_numpy()
+    np.testing.assert_allclose(out[:, ::1000], 1.0, atol=1e-5)

@@ -150,3 +150,37 @@ def test_plan_bands_grid_layout():
         }
         got = set(range(int(bands["lo"][b]), int(bands["hi"][b])))
         assert expect <= got
+
+
+def test_streaming_seeds_device_tile_cache(force_streaming):
+    """A streaming pass retains its uploaded batches and seeds the device
+    tile cache; the next fuse() over the same inputs skips streaming and
+    reuses resident tiles (download-only repeat), bit-identical."""
+    sims = _grid_sims(n=4)
+    _core.clear_device_tile_cache()
+    calls = {"stream": 0}
+    orig = _streaming.execute_streaming
+
+    def spy(*args, **kwargs):
+        calls["stream"] += 1
+        return orig(*args, **kwargs)
+
+    import multiview_stitcher_tpu.fusion._streaming as streaming_mod
+
+    old = streaming_mod.execute_streaming
+    streaming_mod.execute_streaming = spy
+    try:
+        first = fusion.fuse(
+            sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY
+        ).to_numpy()
+        assert calls["stream"] == 1
+        key = _core._DeviceTileCache.key_for(sims)
+        assert _core._device_tile_cache.get(key) is not None
+        second = fusion.fuse(
+            sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY
+        ).to_numpy()
+        assert calls["stream"] == 1  # streaming skipped on the repeat
+    finally:
+        streaming_mod.execute_streaming = old
+        _core.clear_device_tile_cache()
+    np.testing.assert_array_equal(first, second)
