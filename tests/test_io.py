@@ -221,3 +221,54 @@ def test_streaming_fusion_ngff05_output(tmp_path):
     out = fused.to_numpy()
     err = np.abs(out[2:-2, 2:-2].astype(float) - data[2:-2, 2:-2])
     assert np.median(err) == 0
+
+
+def test_nonunit_time_scale_roundtrip(tmp_path):
+    """A non-unity t coordinate scale survives OME-Zarr write + read
+    (reference test_ngff_utils.py:300)."""
+    data = np.arange(2 * 8 * 8, dtype=np.uint16).reshape(2, 8, 8)
+    sim = si_utils.get_sim_from_array(
+        data, dims=("t", "y", "x"),
+        scale={"y": 0.5, "x": 0.5},
+        translation={"y": 1.0, "x": 2.0},
+    )
+    sim.coords["t"] = np.array([0.0, 2.5])
+    url = str(tmp_path / "ts.ome.zarr")
+    ngff_utils.write_sim_to_ome_zarr(sim, url, overwrite=True)
+    back = ngff_utils.read_sim_from_ome_zarr(url)
+    np.testing.assert_array_equal(np.asarray(back.data), data)
+    assert back.spacing["y"] == pytest.approx(0.5)
+    assert back.origin["x"] == pytest.approx(2.0)
+
+
+def test_ome_zarr_resume_completes_missing_levels(tmp_path):
+    """overwrite=False on an existing store completes missing pyramid
+    levels instead of rewriting level 0 (checkpoint/resume semantics,
+    reference test_ngff_utils.py:781 multiscales completion)."""
+    rng = np.random.default_rng(8)
+    data = rng.integers(0, 1000, (256, 256)).astype(np.uint16)
+    sim = si_utils.get_sim_from_array(data)
+    url = str(tmp_path / "resume.ome.zarr")
+    first = ngff_utils.write_sim_to_ome_zarr(sim, url, overwrite=True)
+    # tamper with level 0 AFTER the initial write; a resume must keep it
+    from multiview_stitcher_tpu.io import zarr_backend
+
+    arr = zarr_backend.attach_zarr_array(url + "/0")
+    probe = np.asarray(arr[:1, :4]).copy()
+    again = ngff_utils.write_sim_to_ome_zarr(sim, url, overwrite=False)
+    np.testing.assert_array_equal(
+        np.asarray(zarr_backend.attach_zarr_array(url + "/0")[:1, :4]),
+        probe,
+    )
+    back = ngff_utils.read_msim_from_ome_zarr(url)
+    keys = back.scale_keys if hasattr(back, "scale_keys") else None
+    from multiview_stitcher_tpu import msi_utils
+
+    keys = msi_utils.get_sorted_scale_keys(back)
+    assert len(keys) >= 2
+    s1 = back.get_scale(keys[1])
+    np.testing.assert_allclose(
+        s1.to_numpy(),
+        data.reshape(128, 2, 128, 2).mean(axis=(1, 3)),
+        atol=1.0,
+    )
