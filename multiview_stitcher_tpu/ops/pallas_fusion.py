@@ -101,11 +101,11 @@ def _fuse_tile_kernel(
     # scalar prefetch
     view_idx_ref,   # (n_ty, n_tx, K) int32 — per-tile view slots (-1 empty)
     origin_ref,     # (2,) int32 — output-pixel origin of this call's grid
-    offs_ref,       # (V, 2) f32 — output pixel -> view-local tile pixel
-    aoffs_ref,      # (V, 2) f32 — output pixel -> padded-atlas pixel
-    extents_ref,    # (V, 2) f32 — valid tile extents (pixels) per view
-    wdiags_ref,     # (V, 2) f32 — output pixel -> weight-grid pixel diag
-    woffs_ref,      # (V, 2) f32 — ... offset
+    offs_ref,       # (2, V) f32 — output pixel -> view-local tile pixel
+    aoffs_ref,      # (2, V) f32 — output pixel -> padded-atlas pixel
+    extents_ref,    # (2, V) f32 — valid tile extents (pixels) per view
+    wdiags_ref,     # (2, V) f32 — output pixel -> weight-grid pixel diag
+    woffs_ref,      # (2, V) f32 — ... offset
     # tensor inputs
     atlas_ref,      # (HA, WA) f32 in ANY/HBM — zero-padded packed views
     wgrids_ref,     # (V, 8, 128) f32 in ANY/HBM (5x5 grids padded)
@@ -154,12 +154,12 @@ def _fuse_tile_kernel(
         slot = view_idx_ref[ty, tx, k]
         slot_valid = slot >= 0
         vi = jnp.maximum(slot, 0)
-        off_y = offs_ref[vi, 0]
-        off_x = offs_ref[vi, 1]
+        off_y = offs_ref[0, vi]
+        off_x = offs_ref[1, vi]
 
         # atlas-pixel coordinates of this output tile's origin
-        cy0 = aoffs_ref[vi, 0] + jnp.float32(SY_SC) * jnp.float32(oy0)
-        cx0 = aoffs_ref[vi, 1] + jnp.float32(SX_SC) * jnp.float32(ox0)
+        cy0 = aoffs_ref[0, vi] + jnp.float32(SY_SC) * jnp.float32(oy0)
+        cx0 = aoffs_ref[1, vi] + jnp.float32(SX_SC) * jnp.float32(ox0)
         iy0 = jnp.floor(cy0)
         ix0 = jnp.floor(cx0)
         fy = cy0 - iy0
@@ -231,15 +231,15 @@ def _fuse_tile_kernel(
         cx = jnp.float32(SX_SC) * col_ids + off_x
         valid = (
             (cy >= 0)
-            & (cy <= extents_ref[vi, 0] - 1)
+            & (cy <= extents_ref[0, vi] - 1)
             & (cx >= 0)
-            & (cx <= extents_ref[vi, 1] - 1)
+            & (cx <= extents_ref[1, vi] - 1)
             & slot_valid
         )
 
         # blending weight: bilinear sample of the 5x5 grid via hat expansion
-        gy = wdiags_ref[vi, 0] * row_ids + woffs_ref[vi, 0]
-        gx = wdiags_ref[vi, 1] * col_ids + woffs_ref[vi, 1]
+        gy = wdiags_ref[0, vi] * row_ids + woffs_ref[0, vi]
+        gx = wdiags_ref[1, vi] * col_ids + woffs_ref[1, vi]
         w = jnp.zeros((TY, TX), dtype=jnp.float32)
         for gi in range(5):
             hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(gy - gi))
@@ -307,9 +307,13 @@ def fuse_translation_2d(
     tile = tuple(tiles.shape[1:])
     grid = _atlas_grid(V, tile, (PADY, PADX))
     atlas = _build_atlas(tiles.astype(jnp.float32), grid, (PADY, PADX))
-    aoffs = jnp.asarray(offs, jnp.float32) + jnp.asarray(
-        _atlas_origins(V, grid, tile, (PADY, PADX))
-    )
+    # per-view scalar tables ride SMEM transposed to (ndim, V): SMEM pads
+    # the minor dim to 128 lanes, so (V, 2) tables would waste 40x and cap
+    # V at ~hundreds (scoped-SMEM OOM on 1000-tile mosaics)
+    aoffs = (
+        jnp.asarray(offs, jnp.float32)
+        + jnp.asarray(_atlas_origins(V, grid, tile, (PADY, PADX)))
+    ).T
 
     # pad the weight grids into a DMA-friendly (V, 8, 128) layout
     wgrids_padded = jnp.zeros((V, 8, 128), dtype=jnp.float32)
@@ -353,11 +357,11 @@ def fuse_translation_2d(
     )(
         jnp.asarray(view_idx, dtype=jnp.int32),
         jnp.asarray(origin, dtype=jnp.int32),
-        jnp.asarray(offs, dtype=jnp.float32),
+        jnp.asarray(offs, dtype=jnp.float32).T,
         aoffs,
-        jnp.asarray(extents, dtype=jnp.float32),
-        jnp.asarray(wdiags, dtype=jnp.float32),
-        jnp.asarray(woffs, dtype=jnp.float32),
+        jnp.asarray(extents, dtype=jnp.float32).T,
+        jnp.asarray(wdiags, dtype=jnp.float32).T,
+        jnp.asarray(woffs, dtype=jnp.float32).T,
         atlas,
         wgrids_padded,
     )
@@ -374,11 +378,11 @@ def _fuse_tile_kernel_3d(
     # scalar prefetch
     view_idx_ref,   # (n_tz, n_ty, n_tx, K) int32, -1 empty
     origin_ref,     # (3,) int32 — output-pixel origin of this call's grid
-    offs_ref,       # (V, 3) f32 — output pixel -> view-local tile pixel
-    aoffs_ref,      # (V, 3) f32 — output pixel -> padded-atlas pixel
-    extents_ref,    # (V, 3) f32
-    wdiags_ref,     # (V, 3) f32
-    woffs_ref,      # (V, 3) f32
+    offs_ref,       # (3, V) f32 — output pixel -> view-local tile pixel
+    aoffs_ref,      # (3, V) f32 — output pixel -> padded-atlas pixel
+    extents_ref,    # (3, V) f32
+    wdiags_ref,     # (3, V) f32
+    woffs_ref,      # (3, V) f32
     # tensor inputs
     atlas_ref,      # (DA, HA, WA) f32 in ANY/HBM — zero-padded packed views
     wgrids_ref,     # (V, 5, 8, 128) f32 in ANY/HBM (5x5x5 grids padded)
@@ -438,11 +442,11 @@ def _fuse_tile_kernel_3d(
         slot = view_idx_ref[tz, ty, tx, k]
         slot_valid = slot >= 0
         vi = jnp.maximum(slot, 0)
-        off = [offs_ref[vi, d] for d in range(3)]
+        off = [offs_ref[d, vi] for d in range(3)]
 
-        cz0 = aoffs_ref[vi, 0] + jnp.float32(SZ_SC) * jnp.float32(oz0)
-        cy0 = aoffs_ref[vi, 1] + jnp.float32(SY_SC) * jnp.float32(oy0)
-        cx0 = aoffs_ref[vi, 2] + jnp.float32(SX_SC) * jnp.float32(ox0)
+        cz0 = aoffs_ref[0, vi] + jnp.float32(SZ_SC) * jnp.float32(oz0)
+        cy0 = aoffs_ref[1, vi] + jnp.float32(SY_SC) * jnp.float32(oy0)
+        cx0 = aoffs_ref[2, vi] + jnp.float32(SX_SC) * jnp.float32(ox0)
         iz0 = jnp.floor(cz0)
         iy0 = jnp.floor(cy0)
         ix0 = jnp.floor(cx0)
@@ -530,17 +534,17 @@ def _fuse_tile_kernel_3d(
         cy = jnp.float32(SY_SC) * y_ids + off[1]
         cx = jnp.float32(SX_SC) * x_ids + off[2]
         valid = (
-            (cz >= 0) & (cz <= extents_ref[vi, 0] - 1)
-            & (cy >= 0) & (cy <= extents_ref[vi, 1] - 1)
-            & (cx >= 0) & (cx <= extents_ref[vi, 2] - 1)
+            (cz >= 0) & (cz <= extents_ref[0, vi] - 1)
+            & (cy >= 0) & (cy <= extents_ref[1, vi] - 1)
+            & (cx >= 0) & (cx <= extents_ref[2, vi] - 1)
             & slot_valid
         )
 
         # separable hat expansion of the 5^3 blending grid:
         # w[z,y,x] = sum_ijk g[i,j,k] hat_z(i)[z] hat_y(j)[y] hat_x(k)[x]
-        gz = wdiags_ref[vi, 0] * z_ids + woffs_ref[vi, 0]   # (TZ,1,1)
-        gy = wdiags_ref[vi, 1] * y_ids + woffs_ref[vi, 1]   # (1,TY,1)
-        gx = wdiags_ref[vi, 2] * x_ids + woffs_ref[vi, 2]   # (1,1,TX)
+        gz = wdiags_ref[0, vi] * z_ids + woffs_ref[0, vi]   # (TZ,1,1)
+        gy = wdiags_ref[1, vi] * y_ids + woffs_ref[1, vi]   # (1,TY,1)
+        gx = wdiags_ref[2, vi] * x_ids + woffs_ref[2, vi]   # (1,1,TX)
         w = jnp.zeros((TZ, TY, TX), dtype=jnp.float32)
         for gi in range(5):
             hz = jnp.maximum(0.0, 1.0 - jnp.abs(gz - gi))
@@ -615,9 +619,11 @@ def fuse_translation_3d(
     tile = tuple(tiles.shape[1:])
     grid = _atlas_grid(V, tile, (PADZ, PADY, PADX))
     atlas = _build_atlas(tiles.astype(jnp.float32), grid, (PADZ, PADY, PADX))
-    aoffs = jnp.asarray(offs, jnp.float32) + jnp.asarray(
-        _atlas_origins(V, grid, tile, (PADZ, PADY, PADX))
-    )
+    # (ndim, V) SMEM layout — see 2D wrapper note
+    aoffs = (
+        jnp.asarray(offs, jnp.float32)
+        + jnp.asarray(_atlas_origins(V, grid, tile, (PADZ, PADY, PADX)))
+    ).T
 
     wgrids_padded = jnp.zeros((V, 5, 8, 128), dtype=jnp.float32)
     wgrids_padded = wgrids_padded.at[:, :, :5, :5].set(
@@ -665,11 +671,11 @@ def fuse_translation_3d(
     )(
         jnp.asarray(view_idx, dtype=jnp.int32),
         jnp.asarray(origin, dtype=jnp.int32),
-        jnp.asarray(offs, dtype=jnp.float32),
+        jnp.asarray(offs, dtype=jnp.float32).T,
         aoffs,
-        jnp.asarray(extents, dtype=jnp.float32),
-        jnp.asarray(wdiags, dtype=jnp.float32),
-        jnp.asarray(woffs, dtype=jnp.float32),
+        jnp.asarray(extents, dtype=jnp.float32).T,
+        jnp.asarray(wdiags, dtype=jnp.float32).T,
+        jnp.asarray(woffs, dtype=jnp.float32).T,
         atlas,
         wgrids_padded,
     )

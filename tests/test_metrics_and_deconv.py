@@ -210,3 +210,82 @@ def test_masked_spearman_matches_scipy():
         ref = stats.spearmanr(a[mask], b[mask]).statistic
         got = float(im.masked_spearman(a, b, mask))
         np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+class TestNCCEdgeCases:
+    """NCC degenerate inputs (reference test_metrics.py:17-56)."""
+
+    def test_identical_is_one(self):
+        rng = np.random.default_rng(0)
+        im = rng.random((20, 20))
+        assert np.isclose(
+            metrics.normalized_cross_correlation(im, im), 1.0
+        )
+
+    def test_anticorrelated_is_minus_one(self):
+        rng = np.random.default_rng(0)
+        im = rng.random((20, 20))
+        assert np.isclose(
+            metrics.normalized_cross_correlation(im, -im), -1.0
+        )
+
+    def test_constant_image_is_nan(self):
+        rng = np.random.default_rng(0)
+        assert np.isnan(
+            metrics.normalized_cross_correlation(
+                np.ones((20, 20)), rng.random((20, 20))
+            )
+        )
+
+    def test_all_nan_is_nan(self):
+        im = np.full((10, 10), np.nan)
+        assert np.isnan(metrics.normalized_cross_correlation(im, im))
+
+    def test_partial_nan_is_ignored(self):
+        rng = np.random.default_rng(0)
+        im = rng.random((20, 20))
+        im_nan = im.copy()
+        im_nan[:5, :] = np.nan
+        assert np.isclose(
+            metrics.normalized_cross_correlation(im_nan, im_nan.copy()),
+            1.0,
+        )
+
+
+def test_tile_pair_metrics_custom_metric_and_tolerance():
+    """Custom metric funcs dispatch per edge; max_tolerance shrinks the
+    compared overlap (reference test_metrics.py:251, :281)."""
+    rng = np.random.default_rng(6)
+    full = rng.random((40, 70)).astype(np.float32)
+    sims = [
+        si_utils.get_sim_from_array(
+            full[:, :40].copy(), translation={"y": 0.0, "x": 0.0}
+        ),
+        si_utils.get_sim_from_array(
+            full[:, 30:].copy(), translation={"y": 0.0, "x": 30.0}
+        ),
+    ]
+    for s in sims:
+        si_utils.set_sim_affine(s, np.eye(3), transform_key="registered")
+    msims = [msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims]
+
+    calls = {}
+
+    def my_metric(a, b):
+        calls["shapes"] = (a.shape, b.shape)
+        return float(np.nanmean(np.abs(a - b)))
+
+    res = metrics.tile_pair_image_metrics(
+        msims,
+        base_transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        query_transform_keys=["registered"],
+        metric_funcs={"mad": my_metric},
+        max_tolerance=2.0,
+    )
+    assert "shapes" in calls
+    pairs = res["pairs"]
+    assert pairs, "no overlapping pairs evaluated"
+    for _pair, per_key in pairs.items():
+        # identical overlapping data: mean abs difference ~0
+        assert per_key["registered"]["mad"] < 1e-5
+    assert "mad" in res["summary"]["registered"]
