@@ -2103,11 +2103,6 @@ def _execute_fusion_plan(
             and mesh is None  # banded pipeline is single-device
             and len(tile_shapes) == 1  # band planner assumes uniform tiles
             and all(s == 1.0 for s in pallas_scale)  # unit-scale bands only
-            # tiles already resident (seeded by a previous streaming pass
-            # or monolithic upload): repeats skip streaming entirely
-            and _device_tile_cache.get(
-                _DeviceTileCache.key_for(field_sims)
-            ) is None
             and (
                 not tiles_in_memory
                 or not tiles_fit_on_device

@@ -45,6 +45,13 @@ def _assemble_window(batches, start, NV):
     return jax.lax.dynamic_slice_in_dim(cat, start, NV, axis=0)
 
 
+@jax.jit
+def _gather_batch(dev_all, idxs):
+    """Device-side gather of one sorted view batch from the resident
+    (V, *tile) stack (repeat streaming passes skip uploads)."""
+    return dev_all[idxs]
+
+
 @partial(jax.jit, static_argnames=("inv", "V"))
 def _reorder_concat(stacks, inv, V):
     """Concatenate retained upload batches and restore original view order
@@ -217,11 +224,16 @@ def execute_streaming(
     dtype_in = np.dtype(sims_s[0].data.dtype)
     tile_bytes = int(np.prod(tile)) * dtype_in.itemsize
     U = max(1, -(-(8 << 20) // tile_bytes))
-    # retain uploaded batches when every tile fits the device tile cache:
-    # the pass then seeds the cache so repeat fuse() calls skip streaming
+    # device tile cache integration: a previous pass over the same inputs
+    # left the full (V, *tile) stack resident — "uploads" become device-
+    # side gathers (repeat fuse() pays only kernels + downloads). A first
+    # pass whose tiles fit the cache budget retains its batches and seeds
+    # the cache at the end.
     cache_key = _core._DeviceTileCache.key_for(field_sims)
+    resident = _core._device_tile_cache.get(cache_key)
     retain_batches = (
-        cache_key is not None
+        resident is None
+        and cache_key is not None
         and V * tile_bytes <= _core._device_tile_cache._budget()
     )
     n_batches = -(-V // U)
@@ -230,6 +242,15 @@ def execute_streaming(
 
     def upload_batch(bi):
         vs = list(range(bi * U, min((bi + 1) * U, V)))
+        if resident is not None:
+            # tiles already on device (original order): gather the sorted
+            # batch device-side — no host link traffic at all
+            idxs = np.zeros(U, dtype=np.int32)
+            idxs[: len(vs)] = order[vs[0] : vs[0] + len(vs)]
+            dev = _gather_batch(resident["dev"], idxs)
+            nb = resident["nbits"]
+            bmax = (1 << nb) - 1 if nb is not None else 0
+            return dev, bmax
         arr = _core._materialize_tiles([sims_s[v] for v in vs])
         if np.issubdtype(arr.dtype, np.floating):
             arr = np.nan_to_num(arr)

@@ -154,33 +154,33 @@ def test_plan_bands_grid_layout():
 
 def test_streaming_seeds_device_tile_cache(force_streaming):
     """A streaming pass retains its uploaded batches and seeds the device
-    tile cache; the next fuse() over the same inputs skips streaming and
-    reuses resident tiles (download-only repeat), bit-identical."""
+    tile cache; the next fuse() over the same inputs streams from RESIDENT
+    tiles (device-side gathers, zero host uploads), bit-identical."""
+    from multiview_stitcher_tpu.ops import link_codec
+
     sims = _grid_sims(n=4)
     _core.clear_device_tile_cache()
-    calls = {"stream": 0}
-    orig = _streaming.execute_streaming
+    uploads = {"n": 0}
+    orig_put = link_codec.put_packed
 
-    def spy(*args, **kwargs):
-        calls["stream"] += 1
-        return orig(*args, **kwargs)
+    def spy_put(*args, **kwargs):
+        uploads["n"] += 1
+        return orig_put(*args, **kwargs)
 
-    import multiview_stitcher_tpu.fusion._streaming as streaming_mod
-
-    old = streaming_mod.execute_streaming
-    streaming_mod.execute_streaming = spy
+    link_codec.put_packed = spy_put
     try:
         first = fusion.fuse(
             sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY
         ).to_numpy()
-        assert calls["stream"] == 1
+        assert uploads["n"] > 0
         key = _core._DeviceTileCache.key_for(sims)
         assert _core._device_tile_cache.get(key) is not None
+        uploads["n"] = 0
         second = fusion.fuse(
             sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY
         ).to_numpy()
-        assert calls["stream"] == 1  # streaming skipped on the repeat
+        assert uploads["n"] == 0  # repeat pass never touches the host link
     finally:
-        streaming_mod.execute_streaming = old
+        link_codec.put_packed = orig_put
         _core.clear_device_tile_cache()
     np.testing.assert_array_equal(first, second)
