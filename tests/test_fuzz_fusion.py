@@ -108,3 +108,41 @@ def test_fuse_matches_scipy_oracle(seed, ndim):
         f"seed {seed}: {np.mean(diff > 1.5):.4f} of pixels differ, "
         f"max {diff.max()}"
     )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_output_spacing_pallas_vs_xla(seed):
+    """Random uniform output spacings (incl. fractional up/downscales)
+    through the Pallas tier match the XLA tiers."""
+    import os
+
+    from multiview_stitcher_tpu.fusion import _core
+
+    rng = np.random.default_rng(100 + seed)
+    tile, overlap, n = 40, 12, 2
+    step = tile - overlap
+    sims = [
+        si_utils.get_sim_from_array(
+            (rng.random((tile, tile)) * 900).astype(np.float32),
+            translation={"y": float(iy * step), "x": float(ix * step)},
+        )
+        for iy in range(n)
+        for ix in range(n)
+    ]
+    sc = float(rng.choice([0.5, 0.75, 1.25, 1.5, 2.0, 3.0]))
+    spacing = {"y": sc, "x": sc}
+    out = fusion.fuse(
+        sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_spacing=spacing,
+    ).to_numpy()
+    _core.clear_device_tile_cache()
+    os.environ["MVS_TPU_PALLAS"] = "0"
+    try:
+        ref = fusion.fuse(
+            sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+            output_spacing=spacing,
+        ).to_numpy()
+    finally:
+        os.environ.pop("MVS_TPU_PALLAS", None)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-2)
