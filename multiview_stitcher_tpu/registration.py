@@ -110,40 +110,76 @@ def _get_overlap_bboxes(
     input_transform_key=None,
     output_transform_key=None,
     overlap_tolerance=None,
+    geom_cache=None,
+    cache_keys=(None, None),
 ):
     """Overlap AABBs of two sims in world coords, optionally projected to
-    intrinsic frames. Returns dict with lowers/uppers per sim + intersection."""
-    ndim = si_utils.get_ndim_from_sim(sim1)
-    stack_propss = [
-        si_utils.get_stack_properties_from_sim(sim, transform_key=input_transform_key)
-        for sim in [sim1, sim2]
-    ]
-    if overlap_tolerance is not None:
-        stack_propss = [
-            si_utils.extend_stack_props(sp, overlap_tolerance)
-            for sp in stack_propss
-        ]
+    intrinsic frames. Returns dict with lowers/uppers per sim + intersection.
 
-    vol, intersection = mv_graph.get_overlap_between_pair_of_stack_props(
-        stack_propss[0], stack_propss[1]
+    ``geom_cache``/``cache_keys``: optional dict + per-view identity keys so
+    batched callers compute each view's stack props / axis-alignment /
+    world AABB / inverse affine ONCE per register() call instead of once
+    per edge (a grid view joins ~2*ndim edges; this per-edge geometry
+    dominated 1000-tile planning)."""
+    ndim = si_utils.get_ndim_from_sim(sim1)
+
+    tol_key = (
+        tuple(sorted(overlap_tolerance.items()))
+        if isinstance(overlap_tolerance, dict)
+        else overlap_tolerance
     )
-    if intersection is None:
-        raise mv_graph.NotEnoughOverlapError(
-            "No overlap between views for pairwise registration."
+
+    def view_geometry(sim, key):
+        ck = (key, id(sim.data), input_transform_key, tol_key)
+        if geom_cache is not None and key is not None and ck in geom_cache:
+            return geom_cache[ck]
+        sp = si_utils.get_stack_properties_from_sim(
+            sim, transform_key=input_transform_key
         )
+        if overlap_tolerance is not None:
+            sp = si_utils.extend_stack_props(sp, overlap_tolerance)
+        aligned = mv_graph._is_axis_aligned(sp)
+        aabb = mv_graph._world_aabb(sp) if aligned else None
+        mat = np.asarray(
+            si_utils.get_affine_from_sim(sim, input_transform_key).squeeze()
+        )
+        if mat.ndim == 3:
+            mat = mat[0]
+        entry = (sp, aligned, aabb, np.linalg.inv(mat))
+        if geom_cache is not None and key is not None:
+            geom_cache[ck] = entry
+        return entry
+
+    geoms = [
+        view_geometry(sim, key)
+        for sim, key in zip([sim1, sim2], cache_keys)
+    ]
+
+    if geoms[0][1] and geoms[1][1]:
+        # both axis-aligned: the overlap is an AABB intersection
+        lower = np.maximum(geoms[0][2][0], geoms[1][2][0])
+        upper = np.minimum(geoms[0][2][1], geoms[1][2][1])
+        if np.any(upper < lower):
+            raise mv_graph.NotEnoughOverlapError(
+                "No overlap between views for pairwise registration."
+            )
+        vol = float(np.prod(upper - lower))
+        intersection = mv_graph.BoxIntersection(lower, upper)
+    else:
+        vol, intersection = mv_graph.get_overlap_between_pair_of_stack_props(
+            geoms[0][0], geoms[1][0]
+        )
+        if intersection is None:
+            raise mv_graph.NotEnoughOverlapError(
+                "No overlap between views for pairwise registration."
+            )
 
     corners = np.asarray(intersection.intersections)
 
     if output_transform_key is None:
-        corners_target_space = []
-        for sim in [sim1, sim2]:
-            aff = si_utils.get_affine_from_sim(sim, input_transform_key)
-            mat = np.asarray(aff.squeeze())
-            if mat.ndim == 3:
-                mat = mat[0]
-            corners_target_space.append(
-                param_utils.transform_pts(corners, np.linalg.inv(mat))
-            )
+        corners_target_space = [
+            param_utils.transform_pts(corners, geom[3]) for geom in geoms
+        ]
     elif output_transform_key == input_transform_key:
         corners_target_space = [corners, corners]
     else:
@@ -800,6 +836,7 @@ def _select_and_crop_pair(
     reg_res_level=None,
     overlap_tolerance=None,
     bin_cache=None,
+    geom_cache=None,
     cache_keys=(None, None),
 ):
     """Level/binning selection + overlap crop shared by the per-pair and
@@ -891,6 +928,8 @@ def _select_and_crop_pair(
         input_transform_key=transform_key,
         output_transform_key=None,
         overlap_tolerance=overlap_tolerance,
+        geom_cache=geom_cache,
+        cache_keys=cache_keys,
     )
     lowers, uppers = overlap_dict["lowers"], overlap_dict["uppers"]
 
@@ -1433,6 +1472,7 @@ def _try_batched_phase_correlation(msims, edges, register_kwargs, mesh=None):
     bboxes = {}
     msim_sel_cache = {}
     bin_cache = {}
+    geom_cache = {}
 
     def msim_at(i, t):
         key = (i, None if t is None else float(t))
@@ -1458,6 +1498,7 @@ def _try_batched_phase_correlation(msims, edges, register_kwargs, mesh=None):
                     reg_res_level=reg_res_level,
                     overlap_tolerance=overlap_tolerance,
                     bin_cache=bin_cache,
+                    geom_cache=geom_cache,
                     cache_keys=((i, tkey), (j, tkey)),
                 )
             )
@@ -1468,6 +1509,8 @@ def _try_batched_phase_correlation(msims, edges, register_kwargs, mesh=None):
                     input_transform_key=transform_key,
                     output_transform_key=transform_key,
                     overlap_tolerance=otol,
+                    geom_cache=geom_cache,
+                    cache_keys=(("u", i, tkey), ("u", j, tkey)),
                 )
                 bboxes[ei] = np.array(
                     [overlap_phys["lowers"][0], overlap_phys["uppers"][0]]
@@ -1555,6 +1598,7 @@ def _try_batched_phase_correlation(msims, edges, register_kwargs, mesh=None):
         buckets.setdefault(unit[8], []).append(unit)
 
     unit_results = {}
+    pending = []
     for out_shape, bucket in buckets.items():
         ndim = len(out_shape)
         uf = upsample_factor or (10 if ndim == 2 else 2)
@@ -1609,8 +1653,24 @@ def _try_batched_phase_correlation(msims, edges, register_kwargs, mesh=None):
                 )
             else:
                 shifts, qualities = _resample_and_register_batch(*args)
-            shifts = np.asarray(shifts)[:B]
-            qualities = np.asarray(qualities)[:B]
+            # async dispatch: collect device handles now, fetch later so
+            # later buckets' compute overlaps earlier buckets' downloads
+            pending.append((chunk, shifts, qualities))
+
+    def _fetch(entry):
+        chunk, shifts, qualities = entry
+        return (
+            chunk,
+            np.asarray(shifts)[: len(chunk)],
+            np.asarray(qualities)[: len(chunk)],
+        )
+
+    if pending:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(8, len(pending))) as ex:
+            fetched = list(ex.map(_fetch, pending))
+        for chunk, shifts, qualities in fetched:
             for u, t_vec, q in zip(chunk, shifts, qualities):
                 ei, ti = u[0], u[1]
                 T = u[9]
