@@ -70,11 +70,20 @@ def _props_transform_matrix(stack_props) -> Optional[np.ndarray]:
     return np.asarray(aff)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _corner_grid(ndim: int) -> np.ndarray:
+    """(2^ndim, ndim) unit-box corner table (hot in per-edge geometry)."""
+    return np.array(list(np.ndindex(tuple([2] * ndim))), dtype=float)
+
+
 def get_vertices_from_stack_props(stack_props) -> np.ndarray:
     """Pixel-center corner vertices in world coordinates (reference :429)."""
     sdims, shape, spacing, origin = _props_arrays(stack_props)
     ndim = len(sdims)
-    gv = np.array(list(np.ndindex(tuple([2] * ndim))), dtype=float)
+    gv = _corner_grid(ndim)
     vertices = gv * (shape - 1) * spacing + origin
     mat = _props_transform_matrix(stack_props)
     if mat is not None:
@@ -167,9 +176,16 @@ class BoxIntersection:
     def __init__(self, lower, upper):
         self.lower = np.asarray(lower, dtype=float)
         self.upper = np.asarray(upper, dtype=float)
+
+    @property
+    def intersections(self):
         ndim = len(self.lower)
-        gv = np.array(list(np.ndindex(tuple([2] * ndim))), dtype=float)
-        self.intersections = self.lower + gv * (self.upper - self.lower)
+        gv = _corner_grid(ndim)
+        return self.lower + gv * (self.upper - self.lower)
+
+    @property
+    def halfspaces(self):
+        ndim = len(self.lower)
         eqs = []
         for d in range(ndim):
             n = np.zeros(ndim)
@@ -178,8 +194,11 @@ class BoxIntersection:
             n = np.zeros(ndim)
             n[d] = 1.0
             eqs.append(np.concatenate([n, [-self.upper[d]]]))
-        self.halfspaces = np.array(eqs)
-        self.interior_point = (self.lower + self.upper) / 2
+        return np.array(eqs)
+
+    @property
+    def interior_point(self):
+        return (self.lower + self.upper) / 2
 
 
 def get_overlap_between_pair_of_stack_props(stack_props1, stack_props2):
@@ -342,6 +361,28 @@ def build_view_adjacency_graph_from_msims(
             for close_view in close_views:
                 if iview != close_view:
                     pairs.append((iview, close_view))
+
+    # vectorized axis-aligned sweep: world AABBs once per view, all pair
+    # overlaps in one numpy pass; only non-axis-aligned participants fall
+    # back to the per-pair halfspace machinery
+    aligned = np.array([_is_axis_aligned(sp) for sp in stack_propss])
+    aabbs = [
+        _world_aabb(sp) if aligned[i] else (None, None)
+        for i, sp in enumerate(stack_propss)
+    ]
+    if pairs and np.all(aligned):
+        idx = np.asarray(list(pairs))
+        lows = np.array([a[0] for a in aabbs])
+        ups = np.array([a[1] for a in aabbs])
+        lower = np.maximum(lows[idx[:, 0]], lows[idx[:, 1]])
+        upper = np.minimum(ups[idx[:, 0]], ups[idx[:, 1]])
+        extent = upper - lower
+        empty = np.any(extent < 0, axis=1)
+        vols = np.where(empty, -1.0, np.prod(extent, axis=1))
+        for (a, b), vol in zip(pairs, vols):
+            if vol > 0 or (expand and vol >= 0):
+                g.add_edge(a, b, overlap=float(vol))
+        return g
 
     for pair in pairs:
         overlap_area, _ = get_overlap_between_pair_of_stack_props(
