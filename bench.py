@@ -483,6 +483,31 @@ def main():
     extras = {}
     _state["extras"] = extras
     _install_term_handler()
+
+    # link-health telemetry: the tunnel's bandwidth swings 1-165 MB/s by
+    # weather; record it so a degraded run is self-explaining
+    try:
+        import jax as _jax
+
+        probe = np.random.default_rng(0).integers(
+            0, 1000, (4, 1024, 1024)
+        ).astype(np.uint16)  # 8 MB
+        t0 = time.perf_counter()
+        dev = _jax.device_put(probe)
+        dev.block_until_ready()
+        up_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = np.asarray(dev)
+        down_s = time.perf_counter() - t0
+        extras["link_up_mb_s"] = round(8 / max(up_s, 1e-9), 1)
+        extras["link_down_mb_s"] = round(8 / max(down_s, 1e-9), 1)
+        log(
+            f"link probe: up {extras['link_up_mb_s']} MB/s, "
+            f"down {extras['link_down_mb_s']} MB/s"
+        )
+    except Exception as e:  # noqa: BLE001
+        log(f"link probe failed: {e}")
+
     transform_key = si_utils.DEFAULT_TRANSFORM_KEY
     log("generating 3x3 grid of 100^3 tiles (20 px overlap)...")
     sims = make_grid_sims(n=3, tile=100, overlap=20, ndim=3)
