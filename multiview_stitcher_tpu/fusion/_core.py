@@ -2010,18 +2010,29 @@ def _execute_fusion_plan_batched(
         entries[i : i + batch_size]
         for i in range(0, len(entries), batch_size)
     ]
-    with ThreadPoolExecutor(max_workers=1) as prep:
-        next_fut = prep.submit(build_batch, batches[0])
-        inflight = None  # (batch, device array)
+    from collections import deque
+
+    def fetch_and_write(batch, dev):
+        write_batch(batch, np.asarray(dev))
+
+    # 2-deep read prefetch + threaded result writes: slab reads, device
+    # compute, and result downloads/writes all overlap (region writes are
+    # disjoint, so unordered completion is safe)
+    with ThreadPoolExecutor(max_workers=2) as prep, ThreadPoolExecutor(
+        max_workers=2
+    ) as writer:
+        read_futs = deque(
+            prep.submit(build_batch, b) for b in batches[:2]
+        )
+        write_futs = []
         for i, batch in enumerate(batches):
-            arrays = next_fut.result()
-            if i + 1 < len(batches):
-                next_fut = prep.submit(build_batch, batches[i + 1])
+            arrays = read_futs.popleft().result()
+            if i + 2 < len(batches):
+                read_futs.append(prep.submit(build_batch, batches[i + 2]))
             dev = dispatch(arrays)
-            if inflight is not None:
-                write_batch(inflight[0], np.asarray(inflight[1]))
-            inflight = (batch, dev)
-        write_batch(inflight[0], np.asarray(inflight[1]))
+            write_futs.append(writer.submit(fetch_and_write, batch, dev))
+        for f in write_futs:
+            f.result()
     return out
 
 
