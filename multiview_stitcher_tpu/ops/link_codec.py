@@ -177,15 +177,27 @@ def _split_bounds(n: int, parts: int) -> np.ndarray:
     return np.linspace(0, n, parts + 1).astype(np.int64)
 
 
-# minimum bytes per stream before splitting into more streams
-_STREAM_MIN_BYTES = 1 << 21
+# minimum bytes per stream before splitting into more streams, and the
+# default stream count: the tunnel throttles per-stream bandwidth (observed
+# ~0.3 MB/s/stream in bad weather vs ~25 MB/s aggregate at 32 streams), so
+# aggregate throughput scales with concurrency until the link saturates
+_STREAM_MIN_BYTES = 1 << 20
 _MIN_PACK_SIZE = 1 << 20
+
+
+def _default_streams() -> int:
+    import os
+
+    try:
+        return max(1, int(os.environ.get("MVS_TPU_LINK_STREAMS", 32)))
+    except ValueError:
+        return 32
 
 
 def put_packed(
     arr: np.ndarray,
     nbits: int = None,
-    n_streams: int = 8,
+    n_streams: int = None,
 ) -> jax.Array:
     """Host->device transfer of an integer array via packed parallel streams.
 
@@ -198,6 +210,8 @@ def put_packed(
     from concurrent.futures import ThreadPoolExecutor
 
     arr = np.asarray(arr)
+    if n_streams is None:
+        n_streams = _default_streams()
     if not is_packable(arr.dtype) or arr.size < _MIN_PACK_SIZE:
         return jax.device_put(arr)
     if nbits is None:
@@ -259,7 +273,7 @@ def fetch_packed(
     arr: jax.Array,
     out: np.ndarray = None,
     nbits: int = None,
-    n_streams: int = 8,
+    n_streams: int = None,
 ) -> np.ndarray:
     """Device->host transfer of an integer array via packed parallel streams.
 
@@ -271,6 +285,8 @@ def fetch_packed(
     from concurrent.futures import ThreadPoolExecutor
 
     dtype = np.dtype(arr.dtype)
+    if n_streams is None:
+        n_streams = _default_streams()
     if arr.size * dtype.itemsize < _MIN_PACK_SIZE:
         res = np.asarray(arr)
         if out is not None:
@@ -320,12 +336,14 @@ def fetch_packed(
     return out
 
 
-def _fetch_bands_raw(arr: jax.Array, out: np.ndarray, n_streams: int = 8):
+def _fetch_bands_raw(arr: jax.Array, out: np.ndarray, n_streams: int = None):
     """Parallel banded fetch without packing (used for 16-bit-entropy data)."""
     from concurrent.futures import ThreadPoolExecutor
 
     flat = arr.reshape(-1)
     flat_out = out.reshape(-1)
+    if n_streams is None:
+        n_streams = _default_streams()
     n_streams = max(
         1, min(n_streams, arr.size * out.itemsize // _STREAM_MIN_BYTES)
     )
