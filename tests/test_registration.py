@@ -457,3 +457,58 @@ def test_manual_pairs_registration(groupwise):
     assert set(map(tuple, map(sorted, g.edges()))) <= {
         tuple(sorted(p)) for p in pairs
     }
+
+
+def test_register_undoes_non_identity_initial_transform():
+    """Registration on a pre-registration key whose transforms MISALIGN
+    already-aligned content recovers the inverse (reference
+    test_registration.py:1599 scenario, translation flavor)."""
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(17)
+    full = gaussian_filter(rng.random((80, 140)), 1.5) * 100
+    tile0 = full[:, :80].astype(np.float32)
+    tile1 = full[:, 60:].astype(np.float32)
+    sims = [
+        si_utils.get_sim_from_array(
+            tile0, translation={"y": 0.0, "x": 0.0}
+        ),
+        si_utils.get_sim_from_array(
+            tile1, translation={"y": 0.0, "x": 60.0}
+        ),
+    ]
+    # pre-registration key that breaks the (correct) metadata alignment
+    bad_shift = np.array([4.0, -6.0])
+    si_utils.set_sim_affine(
+        sims[0], np.eye(3), transform_key="prereg"
+    )
+    si_utils.set_sim_affine(
+        sims[1],
+        param_utils.affine_from_translation(bad_shift),
+        transform_key="prereg",
+    )
+    msims = [msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims]
+    registration.register(
+        msims,
+        transform_key="prereg",
+        new_transform_key="fixed",
+        pre_registration_pruning_method=None,
+        groupwise_resolution_kwargs={"transform": "translation"},
+    )
+    # composed world positions under "fixed" must re-align the content:
+    # fuse and compare against the ground truth
+    from multiview_stitcher_tpu import fusion
+
+    fused = fusion.fuse(
+        [msi_utils.get_sim_from_msim(m) for m in msims],
+        transform_key="fixed",
+    ).to_numpy()
+    # interior rows match ground truth (allow border interpolation slack)
+    core = np.s_[8:-8, 8:-8]
+    assert fused.shape[0] >= 78
+    h = min(fused.shape[0], full.shape[0])
+    w = min(fused.shape[1], full.shape[1])
+    err = np.abs(
+        fused[:h, :w][core].astype(float) - full[:h, :w][core]
+    )
+    assert np.median(err) < 1.0
