@@ -485,28 +485,40 @@ def main():
     _install_term_handler()
 
     # link-health telemetry: the tunnel's bandwidth swings 1-165 MB/s by
-    # weather; record it so a degraded run is self-explaining
-    try:
+    # weather; record it so a degraded run is self-explaining. Runs in a
+    # bounded worker thread and measures through the multi-stream codec
+    # (the path production transfers actually take) — a single-stream
+    # probe can itself hang for minutes in catastrophic weather.
+    def _probe_link():
         import jax as _jax
+
+        from multiview_stitcher_tpu.ops import link_codec
 
         probe = np.random.default_rng(0).integers(
             0, 1000, (4, 1024, 1024)
-        ).astype(np.uint16)  # 8 MB
+        ).astype(np.uint16)  # 8 MB raw, 5 MB packed
         t0 = time.perf_counter()
-        dev = _jax.device_put(probe)
-        dev.block_until_ready()
+        dev = link_codec.put_packed(probe, nbits=10)
+        np.asarray(dev[0, 0, :2])  # force
         up_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        _ = np.asarray(dev)
+        link_codec.fetch_packed(dev, nbits=10)
         down_s = time.perf_counter() - t0
-        extras["link_up_mb_s"] = round(8 / max(up_s, 1e-9), 1)
-        extras["link_down_mb_s"] = round(8 / max(down_s, 1e-9), 1)
+        return round(5 / max(up_s, 1e-9), 1), round(5 / max(down_s, 1e-9), 1)
+
+    try:
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        with _TPE(1) as _ex:
+            up_rate, down_rate = _ex.submit(_probe_link).result(timeout=90)
+        extras["link_up_mb_s"] = up_rate
+        extras["link_down_mb_s"] = down_rate
         log(
-            f"link probe: up {extras['link_up_mb_s']} MB/s, "
-            f"down {extras['link_down_mb_s']} MB/s"
+            f"link probe (packed, multi-stream): up {up_rate} MB/s, "
+            f"down {down_rate} MB/s"
         )
     except Exception as e:  # noqa: BLE001
-        log(f"link probe failed: {e}")
+        log(f"link probe skipped: {type(e).__name__}")
 
     transform_key = si_utils.DEFAULT_TRANSFORM_KEY
     log("generating 3x3 grid of 100^3 tiles (20 px overlap)...")
