@@ -509,8 +509,12 @@ def main():
     try:
         from concurrent.futures import ThreadPoolExecutor as _TPE
 
-        with _TPE(1) as _ex:
+        _ex = _TPE(1)
+        try:
             up_rate, down_rate = _ex.submit(_probe_link).result(timeout=90)
+        finally:
+            # never join a hung probe thread: the bench must proceed
+            _ex.shutdown(wait=False)
         extras["link_up_mb_s"] = up_rate
         extras["link_down_mb_s"] = down_rate
         log(

@@ -888,7 +888,10 @@ def _tiles_to_device(field_sims):
             tuple(parts[i][0][parts[i][1]] for i in range(len(field_sims))),
             max_shape=max_shape,
         )
-    pins = [s.data for s in field_sims if isinstance(s.data, np.ndarray)]
+    pins = [
+        s.data for s in field_sims
+        if isinstance(s.data, (np.ndarray, jnp.ndarray))
+    ]
     _device_tile_cache.put(key, tiles_dev, nbits, pins)
     return tiles_dev, nbits
 
@@ -2010,10 +2013,19 @@ def _execute_fusion_plan_batched(
         entries[i : i + batch_size]
         for i in range(0, len(entries), batch_size)
     ]
+    import threading as _threading
     from collections import deque
 
+    # bound in-flight fused device outputs: each pending write pins its
+    # batch's device array; unbounded dispatch would race ahead of slow
+    # downloads and exhaust HBM
+    inflight = _threading.Semaphore(3)
+
     def fetch_and_write(batch, dev):
-        write_batch(batch, np.asarray(dev))
+        try:
+            write_batch(batch, np.asarray(dev))
+        finally:
+            inflight.release()
 
     # 2-deep read prefetch + threaded result writes: slab reads, device
     # compute, and result downloads/writes all overlap (region writes are
@@ -2029,6 +2041,7 @@ def _execute_fusion_plan_batched(
             arrays = read_futs.popleft().result()
             if i + 2 < len(batches):
                 read_futs.append(prep.submit(build_batch, batches[i + 2]))
+            inflight.acquire()
             dev = dispatch(arrays)
             write_futs.append(writer.submit(fetch_and_write, batch, dev))
         for f in write_futs:

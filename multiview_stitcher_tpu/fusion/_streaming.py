@@ -324,7 +324,10 @@ def execute_streaming(
         for b in range(B):
             lo_b, hi_b = int(lo[b]), int(hi[b])
             bi0 = lo_b // U
-            need_hi_bi = max(bi0, (max(hi_b - 1, lo_b)) // U)
+            # the assembly window always spans NB batches from bi0 (static
+            # shape), not just the band's own view span — submit through the
+            # window end or sparse/irregular layouts hit missing futures
+            need_hi_bi = min(n_batches - 1, bi0 + NB - 1)
             ensure_batches(need_hi_bi)
             window = []
             for bi in range(bi0, bi0 + NB):
@@ -411,7 +414,7 @@ def execute_streaming(
             _core._device_tile_cache.put(
                 cache_key, tiles_dev, nbits_all,
                 [s.data for s in field_sims
-                 if isinstance(s.data, np.ndarray)],
+                 if isinstance(s.data, (np.ndarray, jnp.ndarray))],
             )
         except Exception:  # noqa: BLE001
             pass  # cache seeding is best-effort

@@ -291,6 +291,12 @@ def _decode_scan(ecs, frame, scan, qt, huff_dc, huff_ac, restart_interval):
         # "fancy" (triangle) filter: out[2i] = (3*in[i] + in[i-1]) / 4,
         # out[2i+1] = (3*in[i] + in[i+1]) / 4, edges clamped
         ry, rx = vmax // c["v"], hmax // c["h"]
+        for r in (ry, rx):
+            if r & (r - 1):
+                raise NotImplementedError(
+                    f"JPEG sampling ratio {r} (only power-of-2 chroma "
+                    "subsampling is supported)"
+                )
         for axis, r in ((0, ry), (1, rx)):
             while r > 1:
                 prev = np.roll(img, 1, axis=axis)

@@ -212,7 +212,10 @@ def put_packed(
     arr = np.asarray(arr)
     if n_streams is None:
         n_streams = _default_streams()
-    if not is_packable(arr.dtype) or arr.size < _MIN_PACK_SIZE:
+    if (
+        not is_packable(arr.dtype)
+        or arr.size * arr.dtype.itemsize < _MIN_PACK_SIZE
+    ):
         return jax.device_put(arr)
     if nbits is None:
         nbits = nbits_for_max(int(arr.max(initial=0)))

@@ -50,9 +50,11 @@ def initialize(
     repeat calls are no-ops.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
+    # NOTE: do NOT consult jax.process_count() here — it would initialize
+    # the local XLA backend, after which jax.distributed.initialize()
+    # raises. The multi-process decision must come from env/args alone.
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
