@@ -1361,6 +1361,63 @@ def _views_output_scale(field_sims, output_stack_properties, sdims):
     return tuple(float(x) for x in scale)
 
 
+def translation_kernel_params(
+    plan, views_bb, output_stack_properties, sdims,
+    blending_widths, shrink_distance, scale_arr=None,
+):
+    """Per-view translation-kernel parameter tables shared by the
+    monolithic Pallas tier and the banded streaming driver: pixel offsets,
+    true extents, and the 5^ndim blending proxy grids with their pixel
+    maps. Raises ValueError when a view's pixel map diag disagrees with
+    the uniform ``scale_arr`` (caller falls back to the XLA tiers)."""
+    ndim = len(sdims)
+    V = len(views_bb)
+    osp_origin = np.array(
+        [output_stack_properties["origin"][d] for d in sdims]
+    )
+    osp_spacing = np.array(
+        [output_stack_properties["spacing"][d] for d in sdims]
+    )
+    offs = np.zeros((V, ndim), dtype=np.float32)
+    extents = np.zeros((V, ndim), dtype=np.float32)
+    wdiags = np.zeros((V, ndim), dtype=np.float32)
+    woffs = np.zeros((V, ndim), dtype=np.float32)
+    wgrids = np.zeros((V,) + (5,) * ndim, dtype=np.float32)
+    for v in range(V):
+        pm = plan["sparams"][v]
+        m, o = resample_ops.physical_to_pixel_params(
+            np.linalg.inv(pm),
+            input_spacing=np.array(
+                [views_bb[v]["spacing"][d] for d in sdims]
+            ),
+            input_origin=np.array(
+                [views_bb[v]["origin"][d] for d in sdims]
+            ),
+            output_spacing=osp_spacing,
+            output_origin=osp_origin,
+        )
+        if scale_arr is not None and not np.allclose(
+            np.diag(m), scale_arr, rtol=1e-6
+        ):
+            raise ValueError(
+                "per-view pixel map diag disagrees with the uniform "
+                "scale; falling back to the XLA tiers"
+            )
+        offs[v] = o
+        extents[v] = [views_bb[v]["shape"][d] for d in sdims]
+        g, wm, wo = weights.blending_weights_pixel_params(
+            output_stack_properties,
+            views_bb[v],
+            pm,
+            blending_widths=blending_widths,
+            shrink_distance=shrink_distance,
+        )
+        wgrids[v] = g
+        wdiags[v] = np.diag(wm)
+        woffs[v] = wo
+    return offs, extents, wdiags, woffs, wgrids
+
+
 def _pallas_fused_sharded(
     tiles_dev, view_idx, offs, extents, wdiags, woffs, wgrids,
     out_shape_full, tile_shape, K, interpret, out_dtype, mesh,
@@ -1487,42 +1544,10 @@ def _execute_fusion_plan_pallas(
     )
     prep = plan.get(prep_key)
     if prep is None:
-        # per-view global params
-        offs = np.zeros((V, ndim), dtype=np.float32)
-        extents = np.zeros((V, ndim), dtype=np.float32)
-        wdiags = np.zeros((V, ndim), dtype=np.float32)
-        woffs = np.zeros((V, ndim), dtype=np.float32)
-        wgrids = np.zeros((V,) + (5,) * ndim, dtype=np.float32)
-        for v in range(V):
-            pm = plan["sparams"][v]
-            m, o = resample_ops.physical_to_pixel_params(
-                np.linalg.inv(pm),
-                input_spacing=np.array(
-                    [views_bb[v]["spacing"][d] for d in sdims]
-                ),
-                input_origin=np.array(
-                    [views_bb[v]["origin"][d] for d in sdims]
-                ),
-                output_spacing=osp_spacing,
-                output_origin=osp_origin,
-            )
-            if not np.allclose(np.diag(m), scale_arr, rtol=1e-6):
-                raise ValueError(
-                    "per-view pixel map diag disagrees with the uniform "
-                    "scale; falling back to the XLA tiers"
-                )
-            offs[v] = o
-            extents[v] = [views_bb[v]["shape"][d] for d in sdims]
-            g, wm, wo = weights.blending_weights_pixel_params(
-                output_stack_properties,
-                views_bb[v],
-                pm,
-                blending_widths=blending_widths,
-                shrink_distance=shrink_distance,
-            )
-            wgrids[v] = g
-            wdiags[v] = np.diag(wm)
-            woffs[v] = wo
+        offs, extents, wdiags, woffs, wgrids = translation_kernel_params(
+            plan, views_bb, output_stack_properties, sdims,
+            blending_widths, shrink_distance, scale_arr,
+        )
 
         # per-kernel-tile view lists via AABB index arithmetic
         n_t = [

@@ -30,7 +30,6 @@ import numpy as np
 
 from multiview_stitcher_tpu import si_utils, weights
 from multiview_stitcher_tpu.ops import link_codec
-from multiview_stitcher_tpu.ops import resample as resample_ops
 
 # prefetch depth (view batches ahead of the kernel) and max fused bands in
 # flight (device + fetch); 2-3 keeps the pipe full without hoarding HBM
@@ -128,40 +127,13 @@ def execute_streaming(
     )
     V = len(field_sims)
     views_bb = [si_utils.get_stack_properties_from_sim(s) for s in field_sims]
-    osp_origin = np.array(
-        [output_stack_properties["origin"][d] for d in sdims]
-    )
-    osp_spacing = np.array(
-        [output_stack_properties["spacing"][d] for d in sdims]
-    )
 
-    # per-view kernel params (original order)
-    offs = np.zeros((V, ndim), dtype=np.float32)
-    extents = np.zeros((V, ndim), dtype=np.float32)
-    wdiags = np.zeros((V, ndim), dtype=np.float32)
-    woffs = np.zeros((V, ndim), dtype=np.float32)
-    wgrids = np.zeros((V,) + (5,) * ndim, dtype=np.float32)
-    for v in range(V):
-        pm = plan["sparams"][v]
-        _m, o = resample_ops.physical_to_pixel_params(
-            np.linalg.inv(pm),
-            input_spacing=np.array([views_bb[v]["spacing"][d] for d in sdims]),
-            input_origin=np.array([views_bb[v]["origin"][d] for d in sdims]),
-            output_spacing=osp_spacing,
-            output_origin=osp_origin,
-        )
-        offs[v] = o
-        extents[v] = [views_bb[v]["shape"][d] for d in sdims]
-        g, wm, wo = weights.blending_weights_pixel_params(
-            output_stack_properties,
-            views_bb[v],
-            pm,
-            blending_widths=blending_widths,
-            shrink_distance=shrink_distance,
-        )
-        wgrids[v] = g
-        wdiags[v] = np.diag(wm)
-        woffs[v] = wo
+    # per-view kernel params (original order; shared with the monolithic
+    # Pallas tier — streaming runs at unit scale only)
+    offs, extents, wdiags, woffs, wgrids = _core.translation_kernel_params(
+        plan, views_bb, output_stack_properties, sdims,
+        blending_widths, shrink_distance,
+    )
 
     axis_chunk = None
     if is_zarr_sink and output_chunksize is not None:
