@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multiview_stitcher_tpu import si_utils, weights
+from multiview_stitcher_tpu import si_utils
 from multiview_stitcher_tpu.ops import link_codec
 
 # prefetch depth (view batches ahead of the kernel) and max fused bands in
