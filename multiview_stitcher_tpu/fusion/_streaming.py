@@ -195,7 +195,12 @@ def execute_streaming(
     tile = tuple(int(s) for s in sims_s[0].data.shape)
     dtype_in = np.dtype(sims_s[0].data.dtype)
     tile_bytes = int(np.prod(tile)) * dtype_in.itemsize
-    U = max(1, -(-(8 << 20) // tile_bytes))
+    import os as _os
+
+    batch_bytes = int(
+        _os.environ.get("MVS_TPU_STREAM_BATCH_BYTES", 8 << 20)
+    )
+    U = max(1, -(-batch_bytes // tile_bytes))
     # device tile cache integration: a previous pass over the same inputs
     # left the full (V, *tile) stack resident — "uploads" become device-
     # side gathers (repeat fuse() pays only kernels + downloads). A first

@@ -184,3 +184,50 @@ def test_streaming_seeds_device_tile_cache(force_streaming):
         link_codec.put_packed = orig_put
         _core.clear_device_tile_cache()
     np.testing.assert_array_equal(first, second)
+
+
+def test_streaming_irregular_view_density(force_streaming, monkeypatch):
+    """Sparse rows + a dense cluster: a band's own view span can be much
+    narrower than the global NV window, which previously read upload
+    batches that were never submitted (review finding r2). Tiny upload
+    batches force the multi-batch window path. Must match the monolithic
+    path bit-for-bit."""
+    monkeypatch.setenv("MVS_TPU_STREAM_BATCH_BYTES", "1")  # U = 1 view
+    rng = np.random.default_rng(33)
+    tile = 40
+    sims = []
+    # sparse column of single tiles...
+    for iy in range(6):
+        sims.append(
+            si_utils.get_sim_from_array(
+                rng.integers(0, 3000, (tile, tile)).astype(np.uint16),
+                translation={"y": float(iy * 30), "x": 0.0},
+            )
+        )
+    # ...then a dense horizontal cluster sharing one band
+    for ix in range(12):
+        sims.append(
+            si_utils.get_sim_from_array(
+                rng.integers(0, 3000, (tile, tile)).astype(np.uint16),
+                translation={"y": 200.0, "x": float(ix * 12)},
+            )
+        )
+    import warnings as _warnings
+
+    _core.clear_device_tile_cache()
+    with _warnings.catch_warnings():
+        # a tier-fallback warning means streaming itself failed — that is
+        # exactly the regression this test guards against
+        _warnings.simplefilter("error", RuntimeWarning)
+        streamed = fusion.fuse(
+            sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY
+        ).to_numpy()
+    _core.clear_device_tile_cache()
+    os.environ["MVS_TPU_STREAM"] = "0"
+    try:
+        ref = fusion.fuse(
+            sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY
+        ).to_numpy()
+    finally:
+        os.environ.pop("MVS_TPU_STREAM", None)
+    np.testing.assert_array_equal(streamed, ref)
