@@ -288,3 +288,38 @@ def test_pipeline_sharded_helpers_match_unsharded():
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(ref), atol=1e-5
     )
+
+
+def test_fuse_with_mesh_pallas_tier_nonunit_scale(monkeypatch):
+    """Band-split Pallas execution composes with a non-unit output scale
+    (coarser output spacing) and matches the single-device result."""
+    import jax
+
+    from multiview_stitcher_tpu import fusion, si_utils
+    from multiview_stitcher_tpu.fusion import _core
+    from multiview_stitcher_tpu.parallel import mesh as mesh_utils
+
+    rng = np.random.default_rng(13)
+    n, tile, overlap = 3, 40, 10
+    step = tile - overlap
+    sims = [
+        si_utils.get_sim_from_array(
+            rng.integers(0, 1000, (tile, tile)).astype(np.uint16),
+            translation={"y": float(iy * step), "x": float(ix * step)},
+        )
+        for iy in range(n)
+        for ix in range(n)
+    ]
+    monkeypatch.setenv("MVS_TPU_PALLAS_TILE_2D", "8,128")
+    spacing = {"y": 2.0, "x": 2.0}
+    ref = fusion.fuse(
+        sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_spacing=spacing,
+    ).to_numpy()
+    _core.clear_device_tile_cache()
+    mesh = mesh_utils.get_mesh(len(jax.devices()))
+    out = fusion.fuse(
+        sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_spacing=spacing, mesh=mesh,
+    ).to_numpy()
+    np.testing.assert_array_equal(out, ref)
