@@ -379,19 +379,28 @@ def pairwise_reg_rate(n_pairs=128, crop=(128, 128), repeats=3):
     return n_pairs / min(times)
 
 
-def large_zarr_to_zarr_rate(n=32, tile=64, overlap=12, chunksize=128,
-                            repeats=2, budget_s=None, on_rate=None):
+def large_zarr_to_zarr_rate(extras, n=32, tile=64, overlap=12, chunksize=128,
+                            deadline_cold_s=150.0, deadline_warm_s=120.0):
     """North-star scenario (BASELINE.md): 1024-tile 3D grid, zarr->zarr,
     through the banded streaming pipeline (fusion/_streaming.py).
 
     Input tiles are zarr arrays on disk; output streams to a zarr store.
     Writes ~1.5 GB under .bench_large/ (tiles persist across runs) and
-    moves ~150 MB packed over the device link per run. Best-of-N: the
-    first run also pays one-time Mosaic compiles.
+    moves ~570 MB packed over the device link on the cold pass; the warm
+    pass re-runs the same fuse() call with device-resident tiles
+    (downloads only). Each rep carries a hard deadline threaded into the
+    streaming band loop, so a weather-stalled run aborts in bounded time
+    and still reports the achieved rate plus measured link telemetry
+    (VERDICT r2 item 1). Records into ``extras``:
+    zarr_to_zarr_cold_mvox_s / zarr_to_zarr_warm_mvox_s (partial rates if
+    aborted), ns_up_mb / ns_down_mb / ns_bands / ns_link_mb_s / ns_aborted.
+
+    Returns the best completed-rep rate (0.0 if every rep aborted).
     """
     import shutil
 
     from multiview_stitcher_tpu import fusion, si_utils
+    from multiview_stitcher_tpu.fusion import _streaming
     from multiview_stitcher_tpu.io import zarr_backend
 
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -415,24 +424,46 @@ def large_zarr_to_zarr_rate(n=32, tile=64, overlap=12, chunksize=128,
                              "x": float(ix * step)},
             ))
     out_url = f"{root}/fused_bench.zarr"
-    best = None
-    t_start = time.perf_counter()
-    for rep in range(repeats):
+
+    def one_rep(label, key, deadline_s):
         shutil.rmtree(out_url, ignore_errors=True)
+        os.environ["MVS_TPU_STREAM_DEADLINE_S"] = str(deadline_s)
         t0 = time.perf_counter()
-        out = fusion.fuse(
-            sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
-            output_chunksize=chunksize, output_zarr_url=out_url,
+        try:
+            out = fusion.fuse(
+                sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+                output_chunksize=chunksize, output_zarr_url=out_url,
+            )
+            dt = time.perf_counter() - t0
+            rate = int(np.prod(out.shape)) / dt
+            aborted = False
+        except _streaming.StreamingDeadlineError as e:
+            dt = time.perf_counter() - t0
+            rate = e.telemetry["voxels_written"] / max(dt, 1e-9)
+            aborted = True
+        finally:
+            os.environ.pop("MVS_TPU_STREAM_DEADLINE_S", None)
+        tele = dict(_streaming.last_telemetry)
+        extras[key] = round(rate / 1e6, 3)
+        mb = (tele.get("up_bytes", 0) + tele.get("down_bytes", 0)) / 1e6
+        extras["ns_up_mb"] = round(tele.get("up_bytes", 0) / 1e6, 1)
+        extras["ns_down_mb"] = round(tele.get("down_bytes", 0) / 1e6, 1)
+        extras["ns_bands"] = (
+            f"{tele.get('bands_done', 0)}/{tele.get('bands_total', 0)}"
         )
-        dt = time.perf_counter() - t0
-        rate = int(np.prod(out.shape)) / dt
-        log(f"  zarr->zarr rep {rep}: {dt:.1f}s = {rate / 1e6:.2f} Mvox/s")
-        best = rate if best is None else max(best, rate)
-        if on_rate is not None:
-            on_rate(best)  # record progressively: a later timeout keeps this
-        if budget_s is not None and time.perf_counter() - t_start > budget_s:
-            log("  zarr->zarr budget exhausted; stopping reps")
-            break
+        extras["ns_link_mb_s"] = round(mb / max(dt, 1e-9), 1)
+        extras["ns_aborted"] = extras.get("ns_aborted", False) or aborted
+        log(
+            f"  zarr->zarr {label}: {dt:.1f}s = {rate / 1e6:.2f} Mvox/s"
+            f"{' (DEADLINE ABORT)' if aborted else ''} "
+            f"[{mb:.0f} MB moved = {mb / max(dt, 1e-9):.1f} MB/s link]"
+        )
+        return 0.0 if aborted else rate
+
+    best = one_rep("cold", "zarr_to_zarr_cold_mvox_s", deadline_cold_s)
+    best = max(
+        best, one_rep("warm", "zarr_to_zarr_warm_mvox_s", deadline_warm_s)
+    )
     return best, n * n
 
 
@@ -475,6 +506,30 @@ def _install_term_handler():
             signal.signal(sig, handler)
         except Exception:  # noqa: BLE001
             pass
+
+
+def _bounded(label, fn, timeout_s, *args, **kwargs):
+    """Run one sub-bench in a worker thread with a hard timeout.
+
+    Under tunnel weather any single transfer can stall for minutes
+    (CLAUDE.md); r02 lost every device-side number to one stalled
+    scenario. A timed-out bench is abandoned (its thread keeps running,
+    daemonic) and the remaining benches still record. Returns the result
+    or None.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(1)
+    try:
+        return ex.submit(fn, *args, **kwargs).result(timeout=timeout_s)
+    except TimeoutError:
+        log(f"{label}: TIMED OUT after {timeout_s:.0f}s (abandoned)")
+        return None
+    except Exception as e:  # noqa: BLE001
+        log(f"{label} failed: {type(e).__name__}: {e}")
+        return None
+    finally:
+        ex.shutdown(wait=False)
 
 
 def main():
@@ -537,109 +592,112 @@ def main():
     extras["cpu_baseline_mvox_s"] = round(cpu_rate / 1e6, 3)
     _state["cpu_rate"] = cpu_rate
 
-    # north-star scenario (BASELINE.md) FIRST: 1024-tile 3D zarr->zarr
-    # streaming — the headline number must survive an outer time budget
-    log("timing 1024-tile 3D zarr->zarr streaming fuse (north star)...")
-    tpu_rate = 0.0
-
-    def _record_ns(rate):
-        nonlocal tpu_rate
-        extras["zarr_to_zarr_1024_mvox_s"] = round(rate / 1e6, 3)
-        tpu_rate = max(tpu_rate, rate)
-        _state["tpu_rate"] = tpu_rate
-
-    try:
-        # bounded: in bad tunnel weather one rep can eat the whole outer
-        # budget; the remaining benches must still run
-        rate, n_tiles = large_zarr_to_zarr_rate(
-            budget_s=float(os.environ.get("MVS_BENCH_NS_BUDGET_S", 330)),
-            on_rate=_record_ns,
-        )
-        log(
-            f"1024-tile 3D zarr->zarr streaming fuse: "
-            f"{rate / 1e6:.2f} Mvox/s ({n_tiles} tiles)"
-        )
-    except Exception as e:  # noqa: BLE001
-        log(f"large zarr bench failed: {e}")
+    # cheap, high-information benches run FIRST; the streaming scenario —
+    # which in bad tunnel weather can stall for its whole deadline — runs
+    # LAST, so a truncated run still records everything else (r02 lost all
+    # device-side telemetry to one 1520 s streaming rep). Every sub-bench
+    # is additionally bounded by a watchdog timeout.
+    fallback_rate = 0.0  # warm in-memory fuse(): headline only if the
+    # north-star scenario never records
 
     log("timing TPU fuse() on the 3x3x100^3 grid...")
-    try:
-        r = tpu_fuse_rate(sims, transform_key)
+    r = _bounded("3x3 fuse", tpu_fuse_rate, 300, sims, transform_key)
+    if r is not None:
         log(f"tpu fuse (3x3): {r / 1e6:.2f} Mvox/s")
-        tpu_rate = max(tpu_rate, r)
-        _state["tpu_rate"] = tpu_rate
-    except Exception as e:  # noqa: BLE001
-        log(f"3x3 fuse bench failed: {e}")
+        extras["fuse_3x3_100_mvox_s"] = round(r / 1e6, 3)
+        fallback_rate = max(fallback_rate, r)
+        _state["tpu_rate"] = fallback_rate
+        extras["headline_scenario"] = "fuse_in_memory_warm"
 
-    # larger grid amortizes fixed per-call costs (the production regime)
-    log("timing TPU fuse() on a 4x4 grid of 128^3 tiles...")
-    try:
-        sims_big = make_grid_sims(n=4, tile=128, overlap=24, ndim=3)
-        tpu_rate_big = tpu_fuse_rate(sims_big, transform_key)
-        log(f"tpu fuse (4x4x128^3): {tpu_rate_big / 1e6:.2f} Mvox/s")
-        extras["fuse_4x4_128_mvox_s"] = round(tpu_rate_big / 1e6, 3)
-        tpu_rate = max(tpu_rate, tpu_rate_big)
-        _state["tpu_rate"] = tpu_rate
-    except Exception as e:  # noqa: BLE001
-        log(f"large-grid fuse bench failed: {e}")
-
-    if os.environ.get("MVS_BENCH_LARGE") == "1":
-        try:
-            e2e_rate, n_edges = register_grid_rate(
-                n=32, tile=200, overlap=40, repeats=1
-            )
-            log(
-                f"1024-tile register(): {n_edges} edges at "
-                f"{e2e_rate:.1f} edges/sec (warm)"
-            )
-            extras["register_1024_edges_s"] = round(e2e_rate, 1)
-        except Exception as e:  # noqa: BLE001
-            log(f"1024-tile register bench failed: {e}")
-
-    try:
-        krate = pallas_kernel_rate()
+    r = _bounded("3D Pallas kernel", pallas_kernel_rate, 300)
+    if r is not None:
         log(
             f"3D Pallas fused kernel, tiles resident (4x4x128^3): "
-            f"{krate / 1e6:.0f} Mvox/s device-side"
+            f"{r / 1e6:.0f} Mvox/s device-side"
         )
-        krate2 = pallas_kernel_rate_2d()
+        extras["kernel_3d_mvox_s"] = round(r / 1e6, 1)
+
+    r = _bounded("pairwise reg", pairwise_reg_rate, 240)
+    if r is not None:
+        log(f"pairwise registrations/sec (128^2 crops, x10 upsample): {r:.1f}")
+        extras["pairwise_reg_s"] = round(r, 1)
+
+    r = _bounded("2D Pallas kernel", pallas_kernel_rate_2d, 300)
+    if r is not None:
         log(
             f"2D Pallas fused kernel, tiles resident (4x4x2048^2): "
-            f"{krate2 / 1e6:.0f} Mvox/s device-side"
+            f"{r / 1e6:.0f} Mvox/s device-side"
         )
-        extras["kernel_3d_mvox_s"] = round(krate / 1e6, 1)
-        extras["kernel_2d_mvox_s"] = round(krate2 / 1e6, 1)
-    except Exception as e:  # noqa: BLE001
-        log(f"kernel bench failed: {e}")
+        extras["kernel_2d_mvox_s"] = round(r / 1e6, 1)
 
-    try:
-        arate = affine_kernel_rate()
+    r = _bounded("affine kernel", affine_kernel_rate, 300)
+    if r is not None:
         log(
-            f"3D affine gather tier, slabs resident (rotated layout): "
-            f"{arate / 1e6:.0f} Mvox/s device-side"
+            f"3D affine tier, slabs resident (rotated layout): "
+            f"{r / 1e6:.0f} Mvox/s device-side"
         )
-        extras["kernel_affine_3d_mvox_s"] = round(arate / 1e6, 1)
-    except Exception as e:  # noqa: BLE001
-        log(f"affine kernel bench failed: {e}")
+        extras["kernel_affine_3d_mvox_s"] = round(r / 1e6, 1)
 
-    try:
-        reg_rate = pairwise_reg_rate()
-        log(f"pairwise registrations/sec (128^2 crops, x10 upsample): {reg_rate:.1f}")
-        extras["pairwise_reg_s"] = round(reg_rate, 1)
-    except Exception as e:  # noqa: BLE001
-        log(f"pairwise bench failed: {e}")
+    log("timing TPU fuse() on a 4x4 grid of 128^3 tiles...")
+    r = _bounded(
+        "4x4 fuse", tpu_fuse_rate,
+        300, make_grid_sims(n=4, tile=128, overlap=24, ndim=3),
+        transform_key,
+    )
+    if r is not None:
+        log(f"tpu fuse (4x4x128^3): {r / 1e6:.2f} Mvox/s")
+        extras["fuse_4x4_128_mvox_s"] = round(r / 1e6, 3)
+        fallback_rate = max(fallback_rate, r)
+        if "zarr_to_zarr_cold_mvox_s" not in extras:
+            _state["tpu_rate"] = fallback_rate
 
-    try:
-        e2e_rate, n_edges = register_grid_rate()
+    r = _bounded("6x6 register", register_grid_rate, 360)
+    if r is not None:
+        e2e_rate, n_edges = r
         log(
             f"end-to-end register() 6x6 grid ({n_edges} edges incl. full "
             f"disambiguation + global solve): {e2e_rate:.1f} edges/sec"
         )
         extras["register_6x6_edges_s"] = round(e2e_rate, 1)
-    except Exception as e:  # noqa: BLE001
-        log(f"register bench failed: {e}")
 
-    _state["tpu_rate"] = tpu_rate
+    # 1024-tile registration throughput in the default run (VERDICT r2
+    # item 6); the pairwise pipeline reuses the 6x6 run's compiled shapes
+    r = _bounded(
+        "1024-tile register", register_grid_rate, 420,
+        n=32, tile=200, overlap=40, repeats=1,
+    )
+    if r is not None:
+        e2e_rate, n_edges = r
+        log(
+            f"1024-tile register(): {n_edges} edges at "
+            f"{e2e_rate:.1f} edges/sec (warm)"
+        )
+        extras["register_1024_edges_s"] = round(e2e_rate, 1)
+
+    # north-star scenario LAST (BASELINE.md): 1024-tile 3D zarr->zarr
+    # streaming, cold then warm, each rep deadline-bounded inside the
+    # band loop so catastrophic weather cannot exceed ~cold+warm seconds
+    log("timing 1024-tile 3D zarr->zarr streaming fuse (north star)...")
+    cold_dl = float(os.environ.get("MVS_BENCH_NS_DEADLINE_S", 150))
+    r = _bounded(
+        "north-star zarr->zarr", large_zarr_to_zarr_rate,
+        2 * cold_dl + 180, extras,
+        deadline_cold_s=cold_dl, deadline_warm_s=cold_dl * 0.8,
+    )
+    ns_rate = max(
+        extras.get("zarr_to_zarr_cold_mvox_s", 0.0),
+        extras.get("zarr_to_zarr_warm_mvox_s", 0.0),
+    ) * 1e6
+    if ns_rate > 0:
+        # the brief's named scenario is the headline whenever it ran —
+        # never the in-memory repeat (VERDICT r2 item 1c)
+        extras["headline_scenario"] = "zarr_to_zarr_1024_streaming"
+        _state["tpu_rate"] = ns_rate
+        log(
+            f"1024-tile 3D zarr->zarr streaming fuse: "
+            f"{ns_rate / 1e6:.2f} Mvox/s (headline)"
+        )
+
     _emit()
 
 

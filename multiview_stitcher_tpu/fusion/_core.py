@@ -2182,6 +2182,10 @@ def _execute_fusion_plan(
                 )
                 if res is not None:
                     return res
+            except _streaming.StreamingDeadlineError:
+                # a deadline abort means the host link is the limit; the
+                # monolithic tiers would be slower still — surface it
+                raise
             except Exception as e:  # noqa: BLE001
                 warnings.warn(
                     f"Streaming fusion tier failed ({type(e).__name__}: "

@@ -36,6 +36,27 @@ from multiview_stitcher_tpu.ops import link_codec
 _PREFETCH_BATCHES = 3
 _MAX_INFLIGHT_BANDS = 3
 
+# telemetry of the most recent execute_streaming call (bytes moved, wall
+# time, abort state): lets a caller attribute a slow run to the host link
+# vs the kernels (CLAUDE.md "tunnel weather"), and survives a deadline
+# abort so a partial run still reports measured progress
+last_telemetry: dict = {}
+
+
+class StreamingDeadlineError(RuntimeError):
+    """Raised when a streaming fusion run exceeds its deadline.
+
+    Carries the telemetry of the partial run in ``.telemetry`` (bands done,
+    packed bytes moved each way, elapsed seconds) so callers can report the
+    achieved throughput and the measured link rate instead of silently
+    eating an unbounded wall time. The fusion tier dispatcher re-raises
+    this instead of falling back to a (slower) monolithic tier.
+    """
+
+    def __init__(self, message, telemetry):
+        super().__init__(message)
+        self.telemetry = telemetry
+
 
 @partial(jax.jit, static_argnames=("NV",))
 def _assemble_window(batches, start, NV):
@@ -113,9 +134,17 @@ def execute_streaming(
     tile_shape=None,
     output_chunksize=None,
     is_zarr_sink=False,
+    deadline_s=None,
 ):
     """Run the banded pipeline; returns the output sink/array, or None if
-    the layout does not band usefully (caller falls back to monolithic)."""
+    the layout does not band usefully (caller falls back to monolithic).
+
+    ``deadline_s`` (or env ``MVS_TPU_STREAM_DEADLINE_S``) bounds the wall
+    time: when exceeded, the band loop stops submitting work, drains
+    in-flight fetches, and raises :class:`StreamingDeadlineError` carrying
+    the partial-run telemetry — so a weather-stalled run aborts in bounded
+    time instead of eating the caller's whole budget (VERDICT r2 item 1b).
+    """
     from multiview_stitcher_tpu.fusion import _core
     from multiview_stitcher_tpu.ops import pallas_fusion
 
@@ -142,6 +171,28 @@ def execute_streaming(
     bands = plan_bands(offs, extents, out_shape_full, tile_shape, axis_chunk)
     if bands is None:
         return None
+
+    import os as _os2
+    import time as _time
+
+    if deadline_s is None:
+        _dl = _os2.environ.get("MVS_TPU_STREAM_DEADLINE_S")
+        deadline_s = float(_dl) if _dl else None
+    t_begin = _time.perf_counter()
+    tele_lock = threading.Lock()
+    tele = {
+        "bands_total": int(bands["B"]),
+        "bands_done": 0,
+        "up_bytes": 0,
+        "down_bytes": 0,
+        "voxels_written": 0,
+        "elapsed_s": 0.0,
+        "aborted": False,
+        "deadline_s": deadline_s,
+    }
+    global last_telemetry
+    last_telemetry = tele
+
     a, H, B = bands["axis"], bands["H"], bands["B"]
     order, lo, hi, NV = bands["order"], bands["lo"], bands["hi"], bands["NV"]
 
@@ -243,6 +294,8 @@ def execute_streaming(
             )
         nb = 16 if (not packable or bneg) else link_codec.nbits_for_max(bmax)
         dev = link_codec.put_packed(arr, nbits=nb)
+        with tele_lock:
+            tele["up_bytes"] += link_codec.packed_byte_count(arr.size, nb)
         return dev, bmax
 
     zero_batch = None  # lazy: only needed when a window overruns the tail
@@ -279,6 +332,15 @@ def execute_streaming(
                 for d in range(ndim)
             )
             out[sl] = buf
+            with tele_lock:
+                tele["down_bytes"] += (
+                    link_codec.packed_byte_count(buf.size, nbits)
+                    if nbits is not None
+                    else buf.nbytes
+                )
+                tele["voxels_written"] += buf.size
+                tele["bands_done"] += 1
+                tele["elapsed_s"] = _time.perf_counter() - t_begin
         except Exception as e:  # noqa: BLE001
             errors.append(e)
         finally:
@@ -299,6 +361,12 @@ def execute_streaming(
 
         fetch_futs = []
         for b in range(B):
+            if (
+                deadline_s is not None
+                and _time.perf_counter() - t_begin > deadline_s
+            ):
+                tele["aborted"] = True
+                break
             lo_b, hi_b = int(lo[b]), int(hi[b])
             bi0 = lo_b // U
             # the assembly window always spans NB batches from bi0 (static
@@ -307,9 +375,24 @@ def execute_streaming(
             need_hi_bi = min(n_batches - 1, bi0 + NB - 1)
             ensure_batches(need_hi_bi)
             window = []
+            deadline_hit = False
             for bi in range(bi0, bi0 + NB):
                 if bi < n_batches:
-                    dev, bmax = futs[bi].result()
+                    try:
+                        dev, bmax = futs[bi].result(
+                            timeout=None
+                            if deadline_s is None
+                            else max(
+                                1.0,
+                                deadline_s
+                                - (_time.perf_counter() - t_begin),
+                            )
+                        )
+                    except TimeoutError:
+                        # a weather-stalled upload: abort instead of
+                        # blocking past the deadline
+                        deadline_hit = True
+                        break
                     max_seen = max(max_seen, bmax)
                     window.append(dev)
                 else:
@@ -334,7 +417,19 @@ def execute_streaming(
                 (vi_g >= lo_b) & (vi_g < lo_b + NV), vi_g - lo_b, -1
             ).astype(np.int32)
 
-            inflight.acquire()
+            if deadline_hit:
+                tele["aborted"] = True
+                break
+            if deadline_s is None:
+                inflight.acquire()
+            elif not inflight.acquire(
+                timeout=max(
+                    1.0, deadline_s - (_time.perf_counter() - t_begin)
+                )
+            ):
+                # downloads stalled past the deadline
+                tele["aborted"] = True
+                break
             if errors:
                 inflight.release()
                 break
@@ -373,8 +468,18 @@ def execute_streaming(
             f.result()
     if errors:
         raise errors[0]
+    tele["elapsed_s"] = _time.perf_counter() - t_begin
+    if tele["aborted"]:
+        raise StreamingDeadlineError(
+            f"streaming fusion exceeded its {deadline_s:.0f}s deadline: "
+            f"{tele['bands_done']}/{tele['bands_total']} bands, "
+            f"{tele['up_bytes'] / 1e6:.0f} MB up / "
+            f"{tele['down_bytes'] / 1e6:.0f} MB down "
+            f"in {tele['elapsed_s']:.1f}s",
+            tele,
+        )
 
-    if retain_batches and not errors:
+    if retain_batches and not errors and not tele["aborted"]:
         # seed the device tile cache: repeated fuse() calls over the same
         # inputs then skip streaming entirely and re-use resident tiles
         # through the monolithic Pallas tier (download-only repeats)

@@ -14,8 +14,9 @@ subblock reads) plus the mosaic/multi-view metadata logic:
   re-center onto the group mean; reference czi_utils.py:638-737)
 
 Subblock compression support: uncompressed, ZSTD0 and ZSTD1 (first-party
-zstd decode). JPEG and JPEG-XR subblocks raise NotImplementedError with a
-clear message (the reference decodes them via the optional czifile /
+zstd decode), and baseline JPEG via the first-party decoder in
+``io/jpeg.py``. JPEG-XR subblocks raise NotImplementedError with a clear
+message (the reference decodes them via the optional czifile /
 imagecodecs stack, czi_utils.py:252; see PARITY.md); the metadata/affine
 logic is file-format independent.
 """

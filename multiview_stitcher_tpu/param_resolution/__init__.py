@@ -1,10 +1,15 @@
-"""Groupwise parameter resolution dispatch.
+"""Groupwise parameter resolution: registry + per-timepoint dispatch.
 
-Rebuild of
-/root/reference/src/multiview_stitcher/param_resolution/__init__.py:
-per-timepoint / per-connected-component dispatch into a pluggable method
-registry ('global_optimization', 'shortest_paths', 'linear_two_pass' or a
-custom callable registered via :func:`register_groupwise_resolution_method`).
+Same capability as the reference's param_resolution/__init__.py:44
+(resolve global per-view affines from a pairwise registration graph, one
+resolver call per timepoint x connected component, with a pluggable
+method registry), restructured around a single-timepoint resolve pass
+that also evaluates edge residuals before results are stacked over t.
+
+Resolver contract: ``resolver(g_component_tp, **kwargs) ->
+(params_by_node, info_dict_or_None)`` where the graph holds
+single-timepoint transforms and info may carry a ``metrics`` DataFrame
+and a ``used_edges`` list.
 """
 
 from __future__ import annotations
@@ -16,7 +21,6 @@ import numpy as np
 import pandas as pd
 
 from multiview_stitcher_tpu import mv_graph, param_utils
-from multiview_stitcher_tpu.param_utils import XAffine
 from multiview_stitcher_tpu.param_resolution.global_optimization import (
     groupwise_resolution_global_optimization,
 )
@@ -32,117 +36,130 @@ from multiview_stitcher_tpu.param_resolution.utils import (
     get_graph_timepoints,
     get_reg_graph_with_single_tp_transforms,
 )
+from multiview_stitcher_tpu.param_utils import XAffine
 
 logger = logging.getLogger(__name__)
 
-_GROUPWISE_RESOLUTION_METHODS = {}
+_RESOLVER_REGISTRY: dict = {}
 
 
 def register_groupwise_resolution_method(name, resolver):
-    """Register a component-level single-timepoint resolver:
-    resolver(g_reg_component_tp, **kwargs) -> (params_dict, info_dict)."""
+    """Add a resolver to the registry under ``name`` (see module docstring
+    for the resolver contract)."""
     if not callable(resolver):
         raise TypeError("Resolver must be callable.")
-    _GROUPWISE_RESOLUTION_METHODS[name] = resolver
+    _RESOLVER_REGISTRY[name] = resolver
 
 
-def _get_method(method):
+def _lookup_resolver(method):
     if callable(method):
         return method
-    if method in _GROUPWISE_RESOLUTION_METHODS:
-        return _GROUPWISE_RESOLUTION_METHODS[method]
-    raise ValueError(f"Unknown groupwise optimization method: {method}")
+    try:
+        return _RESOLVER_REGISTRY[method]
+    except KeyError:
+        raise ValueError(
+            f"Unknown groupwise optimization method: {method}"
+        ) from None
+
+
+def _resolve_one_timepoint(g_t, resolver, resolver_kwargs):
+    """Run the resolver over every connected component of a
+    single-timepoint graph.
+
+    Returns ``(params_by_node, metric_frames, used_edges, residuals)``
+    where metric frames already carry their component index.
+    """
+    params: dict = {}
+    frames = []
+    used: set = set()
+    for icc, comp in enumerate(nx.connected_components(g_t)):
+        sub = g_t.subgraph(list(comp))
+        if sub.number_of_edges() == 0:
+            ident = param_utils.identity_transform(get_graph_ndim(sub))
+            params.update({node: ident for node in comp})
+            continue
+        comp_params, info = resolver(sub, **resolver_kwargs)
+        params.update({node: comp_params[node] for node in comp})
+        if not info:
+            continue
+        df = info.get("metrics")
+        if df is not None:
+            df = df.copy()
+            if "icc" not in df.columns:
+                df["icc"] = icc
+            frames.append(df)
+        used.update(
+            tuple(sorted(e)) for e in (info.get("used_edges") or [])
+        )
+    residuals = compute_edge_residuals(g_t, params)
+    return params, frames, used, residuals
 
 
 def groupwise_resolution(g_reg, method="global_optimization", **kwargs):
-    """Resolve global per-view params per timepoint × connected component."""
-    resolver = _get_method(method)
-    if not len(g_reg.edges):
+    """Resolve global per-view params from a pairwise registration graph.
+
+    ``method`` is a registry name ('global_optimization',
+    'shortest_paths', 'linear_two_pass') or a resolver callable; remaining
+    kwargs are passed through. Returns ``(params_by_node, info)`` where
+    params are t-stacked XAffines when the graph carries timepoints, and
+    info holds per-edge residuals / used edges keyed by timepoint index
+    plus the concatenated resolver metrics.
+    """
+    if g_reg.number_of_edges() == 0:
         raise mv_graph.NotEnoughOverlapError(
             "Not enough overlap between views for stitching."
         )
+    resolver = _lookup_resolver(method)
 
-    # two views: fix the first as reference ([fixed, moving] convention)
-    if "reference_view" not in kwargs and len(g_reg.nodes) == 2:
-        kwargs["reference_view"] = min(list(g_reg.nodes))
-
-    params = {node: [] for node in g_reg.nodes}
-    info_metrics = []
-    used_edges_by_t = {}
+    # a two-view graph follows the [fixed, moving] convention: anchor the
+    # lower-indexed view unless the caller chose a reference
+    if len(g_reg.nodes) == 2:
+        kwargs.setdefault("reference_view", min(g_reg.nodes))
 
     t_coords = get_graph_timepoints(g_reg)
-    iter_t_coords = t_coords if t_coords else [None]
-    for it, t in enumerate(iter_t_coords):
-        g_reg_t = (
-            get_reg_graph_with_single_tp_transforms(g_reg, t)
-            if t is not None
-            else g_reg
+    per_t_params = []  # one params_by_node dict per timepoint
+    all_frames = []
+    edge_residuals: dict = {}
+    used_edges: dict = {}
+    for it, t in enumerate(t_coords or [None]):
+        g_t = (
+            g_reg
+            if t is None
+            else get_reg_graph_with_single_tp_transforms(g_reg, t)
         )
-        for icc, cc in enumerate(nx.connected_components(g_reg_t)):
-            g_sub = g_reg_t.subgraph(list(cc))
-            if not g_sub.number_of_edges():
-                ndim = get_graph_ndim(g_sub)
-                cc_params = {
-                    node: param_utils.identity_transform(ndim) for node in cc
-                }
-                cc_info = None
-            else:
-                cc_params, cc_info = resolver(g_sub, **kwargs)
-            for node in cc:
-                params[node].append(cc_params[node])
+        params_t, frames, used, residuals = _resolve_one_timepoint(
+            g_t, resolver, kwargs
+        )
+        if t is not None:
+            for df in frames:
+                df["t"] = t
+        per_t_params.append(params_t)
+        all_frames.extend(frames)
+        edge_residuals[it] = residuals
+        used_edges[it] = sorted(used)
 
-            if cc_info is not None:
-                metrics = cc_info.get("metrics")
-                if metrics is not None:
-                    metrics = metrics.copy()
-                    if t is not None:
-                        metrics["t"] = [t] * len(metrics)
-                    if "icc" not in metrics.columns:
-                        metrics["icc"] = [icc] * len(metrics)
-                    info_metrics.append(metrics)
-                used_edges = cc_info.get("used_edges")
-                if used_edges is not None:
-                    used_edges_by_t.setdefault(it, set()).update(
-                        tuple(sorted(e)) for e in used_edges
-                    )
-
-    # concatenate per-timepoint params
     if t_coords:
-        params = {
+        stacked = {
             node: XAffine(
                 np.stack(
-                    [np.asarray(p.squeeze()) for p in params[node]]
+                    [
+                        np.asarray(p[node].squeeze())
+                        for p in per_t_params
+                    ]
                 ),
                 t_coords=np.asarray(t_coords),
             )
-            for node in params
+            for node in g_reg.nodes
         }
     else:
-        params = {node: params[node][0] for node in params}
+        stacked = per_t_params[0]
 
-    edge_residuals_by_t = {}
-    for it, t in enumerate(iter_t_coords):
-        params_t = {
-            node: (
-                params[node].sel_t(t)
-                if isinstance(params[node], XAffine) and params[node].has_t
-                else params[node]
-            )
-            for node in params
-        }
-        g_reg_t = (
-            get_reg_graph_with_single_tp_transforms(g_reg, t)
-            if t is not None
-            else g_reg
-        )
-        edge_residuals_by_t[it] = compute_edge_residuals(g_reg_t, params_t)
-
-    info_dict = {
-        "metrics": pd.concat(info_metrics) if info_metrics else None,
-        "edge_residuals": edge_residuals_by_t,
-        "used_edges": {k: list(v) for k, v in used_edges_by_t.items()},
+    info = {
+        "metrics": pd.concat(all_frames) if all_frames else None,
+        "edge_residuals": edge_residuals,
+        "used_edges": used_edges,
     }
-    return params, info_dict
+    return stacked, info
 
 
 register_groupwise_resolution_method(

@@ -231,3 +231,35 @@ def test_streaming_irregular_view_density(force_streaming, monkeypatch):
     finally:
         os.environ.pop("MVS_TPU_STREAM", None)
     np.testing.assert_array_equal(streamed, ref)
+
+
+def test_streaming_telemetry_recorded(force_streaming):
+    """A completed run leaves full telemetry in _streaming.last_telemetry:
+    bytes moved each way, bands done, and voxels written (VERDICT r2 1b)."""
+    tk = si_utils.DEFAULT_TRANSFORM_KEY
+    sims = _grid_sims(n=6, tile=48, overlap=12, ndim=2)
+    _core.clear_device_tile_cache()
+    fused = fusion.fuse(sims, transform_key=tk, output_chunksize=64)
+    out = np.asarray(fused.data)
+    tele = _streaming.last_telemetry
+    assert tele["bands_done"] == tele["bands_total"] > 0
+    assert not tele["aborted"]
+    assert tele["up_bytes"] > 0
+    assert tele["down_bytes"] > 0
+    assert tele["voxels_written"] == out.size
+    assert tele["elapsed_s"] > 0
+
+
+def test_streaming_deadline_aborts(force_streaming, monkeypatch):
+    """An exceeded deadline raises StreamingDeadlineError (not a silent
+    fallback to a slower monolithic tier) and keeps partial telemetry."""
+    tk = si_utils.DEFAULT_TRANSFORM_KEY
+    sims = _grid_sims(n=6, tile=48, overlap=12, ndim=2)
+    monkeypatch.setenv("MVS_TPU_STREAM_DEADLINE_S", "0")
+    _core.clear_device_tile_cache()
+    with pytest.raises(_streaming.StreamingDeadlineError) as ei:
+        fusion.fuse(sims, transform_key=tk, output_chunksize=64)
+    tele = ei.value.telemetry
+    assert tele["aborted"]
+    assert tele["bands_done"] < tele["bands_total"]
+    assert tele is _streaming.last_telemetry
