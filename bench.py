@@ -297,23 +297,14 @@ def pallas_kernel_rate(repeats=5):
     return int(np.prod(out_shape)) / min(times)
 
 
-def affine_kernel_rate(repeats=5):
-    """Device-side throughput of the general-affine gather tier
-    (fusion/_core._fuse_chunk_batch_kernel) on a rotated 3D layout with
-    resident slabs: the fallback tier for non-translation params."""
+def _affine_layout(C=8, K=4, out_shape=(32, 128, 128), slab=(40, 136, 136)):
+    """Rotated 3D multi-view layout with resident slabs (BASELINE config 4
+    class): small rotation about z + per-view offsets."""
     import jax.numpy as jnp
 
-    from multiview_stitcher_tpu.fusion import _core
-
     rng = np.random.default_rng(0)
-    C, K = 8, 4
-    out_shape = (32, 128, 128)
-    slab = (40, 136, 136)
-    slabs = jnp.asarray(
-        rng.random((C, K) + slab, dtype=np.float32) * 1000
-    )
+    slabs = jnp.asarray(rng.random((C, K) + slab, dtype=np.float32) * 1000)
     _ = np.asarray(slabs[0, 0, 0, 0, :2])  # force upload
-    # small rotation about z + per-view offsets: a genuine affine layout
     th = 0.05
     rot = np.array(
         [[1, 0, 0], [0, np.cos(th), -np.sin(th)], [0, np.sin(th), np.cos(th)]],
@@ -327,14 +318,10 @@ def affine_kernel_rate(repeats=5):
     ).copy()
     woffs = np.zeros((C, K, 3), np.float32)
     valid = np.ones((C, K), bool)
+    return slabs, mats, offs, wgrids, wmats, woffs, valid, out_shape, slab
 
-    def call():
-        return _core._fuse_chunk_batch_kernel(
-            slabs, jnp.asarray(mats), jnp.asarray(offs),
-            jnp.asarray(wgrids), jnp.asarray(wmats), jnp.asarray(woffs),
-            jnp.asarray(valid), out_shape, "weighted_average", True,
-        )
 
+def _rate_loop(call, out_shape, C, repeats):
     out = call()
     _ = np.asarray(out[0, 0, 0, :2])
     times = []
@@ -344,6 +331,64 @@ def affine_kernel_rate(repeats=5):
         _ = np.asarray(out[0, 0, 0, :2])
         times.append(time.perf_counter() - t0)
     return C * int(np.prod(out_shape)) / min(times)
+
+
+def affine_kernel_rate(repeats=5):
+    """Device-side throughput of the shear-decomposed affine tier
+    (fusion/_core._fuse_chunk_batch_kernel_shear + ops/shear.py) on a
+    rotated 3D layout with resident slabs — the fast path for
+    non-translation params (BASELINE config 4 class)."""
+    import jax.numpy as jnp
+
+    from multiview_stitcher_tpu.fusion import _core
+    from multiview_stitcher_tpu.ops import shear as shear_ops
+
+    (slabs, mats, offs, wgrids, wmats, woffs, valid, out_shape,
+     slab) = _affine_layout()
+    C = slabs.shape[0]
+    splan, sctx, _ = shear_ops.plan_shear(
+        mats.reshape(-1, 3, 3), offs.reshape(-1, 3), slab, out_shape
+    )
+    wm4, wo4 = 4.0 * wmats, 4.0 * woffs
+    wplan, wctx, _ = shear_ops.plan_shear(
+        wm4.reshape(-1, 3, 3), wo4.reshape(-1, 3), (17,) * 3, out_shape
+    )
+    coeffs = sctx.coeffs(mats, offs)
+    wcoeffs = wctx.coeffs(wm4, wo4)
+
+    def call():
+        return _core._fuse_chunk_batch_kernel_shear(
+            slabs, jnp.asarray(coeffs), jnp.asarray(mats),
+            jnp.asarray(offs),
+            jnp.asarray(np.broadcast_to(np.asarray(slab, np.float32),
+                                        mats.shape[:2] + (3,)).copy()),
+            jnp.asarray(wgrids), jnp.asarray(wcoeffs), jnp.asarray(wm4),
+            jnp.asarray(wo4), jnp.asarray(valid), splan, wplan, out_shape,
+            "weighted_average", True,
+        )
+
+    return _rate_loop(call, out_shape, C, repeats)
+
+
+def affine_gather_kernel_rate(repeats=3):
+    """Device-side throughput of the scipy-exact gather affine tier
+    (fusion/_core._fuse_chunk_batch_kernel) — the fallback for maps the
+    shear decomposition rejects."""
+    import jax.numpy as jnp
+
+    from multiview_stitcher_tpu.fusion import _core
+
+    (slabs, mats, offs, wgrids, wmats, woffs, valid, out_shape,
+     _slab) = _affine_layout()
+
+    def call():
+        return _core._fuse_chunk_batch_kernel(
+            slabs, jnp.asarray(mats), jnp.asarray(offs),
+            jnp.asarray(wgrids), jnp.asarray(wmats), jnp.asarray(woffs),
+            jnp.asarray(valid), out_shape, "weighted_average", True,
+        )
+
+    return _rate_loop(call, out_shape, slabs.shape[0], repeats)
 
 
 def pairwise_reg_rate(n_pairs=128, crop=(128, 128), repeats=3):
@@ -630,13 +675,21 @@ def main():
         )
         extras["kernel_2d_mvox_s"] = round(r / 1e6, 1)
 
-    r = _bounded("affine kernel", affine_kernel_rate, 300)
+    r = _bounded("affine shear kernel", affine_kernel_rate, 300)
     if r is not None:
         log(
-            f"3D affine tier, slabs resident (rotated layout): "
+            f"3D affine shear tier, slabs resident (rotated layout): "
             f"{r / 1e6:.0f} Mvox/s device-side"
         )
         extras["kernel_affine_3d_mvox_s"] = round(r / 1e6, 1)
+
+    r = _bounded("affine gather kernel", affine_gather_kernel_rate, 240)
+    if r is not None:
+        log(
+            f"3D affine gather tier (exact fallback): "
+            f"{r / 1e6:.1f} Mvox/s device-side"
+        )
+        extras["kernel_affine_gather_mvox_s"] = round(r / 1e6, 1)
 
     log("timing TPU fuse() on a 4x4 grid of 128^3 tiles...")
     r = _bounded(

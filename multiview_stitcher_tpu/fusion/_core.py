@@ -612,8 +612,15 @@ def _build_spatial_fusion_plan(
     overlap_in_pixels,
     interpolation_order,
     sdims,
+    extra_source_margin_in_pixels: int = 0,
 ):
-    """Map each output chunk to its contributing views + source windows."""
+    """Map each output chunk to its contributing views + source windows.
+
+    ``extra_source_margin_in_pixels`` widens every source window: the shear
+    fusion tier interpolates once per elementary pass, so its support
+    spreads up to ~n_passes source pixels (vs the gather's
+    ``interpolation_order``); windows must cover that spread or chunk-border
+    outputs read zero padding."""
     ndim = len(sdims)
     inv_sparams = [np.linalg.inv(p) for p in sparams]
 
@@ -635,7 +642,8 @@ def _build_spatial_fusion_plan(
     for iview, (p, view_bb) in enumerate(zip(sparams, views_bb)):
         pad_phys = overlap_phys + np.array(
             [
-                interpolation_order * view_bb["spacing"][d]
+                (interpolation_order + extra_source_margin_in_pixels)
+                * view_bb["spacing"][d]
                 for d in sdims
             ]
         )
@@ -665,7 +673,10 @@ def _build_spatial_fusion_plan(
         for ci in product(*idx_ranges):
             chunk_to_tiles.setdefault(ci, []).append(iview)
 
-    additional_extent = {d: int(interpolation_order) for d in sdims}
+    additional_extent = {
+        d: int(interpolation_order) + int(extra_source_margin_in_pixels)
+        for d in sdims
+    }
 
     per_chunk_entries = []
     for chunk_bb, chunk_bb_ov, block_index in zip(
@@ -1175,6 +1186,7 @@ def fuse(
             tuple(sorted(output_chunksize.items())),
             tuple(sorted(overlap_in_pixels.items())),
             int(interpolation_order),
+            _shear_source_margin(len(sdims)),
         )
         if plan_key not in _plan_cache:
             with profiling.stage("fuse.plan"):
@@ -1199,6 +1211,9 @@ def fuse(
                     overlap_in_pixels=overlap_in_pixels,
                     interpolation_order=interpolation_order,
                     sdims=sdims,
+                    extra_source_margin_in_pixels=_shear_source_margin(
+                        len(sdims)
+                    ),
                 ))
         plan = _plan_cache[plan_key]
 
@@ -1310,6 +1325,108 @@ def _fuse_chunk_batch_kernel(
         return jnp.nan_to_num(fused)
 
     return jax.vmap(one)(slabs, mats, offs, wgrids, wmats, woffs, view_valid)
+
+
+def _shear_tier_enabled() -> bool:
+    """MVS_TPU_SHEAR: '1' force on, '0' off, 'auto' (default) = on when the
+    default backend is TPU. The shear tier trades scipy-exactness for
+    MXU-class speed (ops/shear.py docstring); CPU test runs keep the exact
+    gather as oracle."""
+    import os as _os
+
+    mode = _os.environ.get("MVS_TPU_SHEAR", "auto")
+    if mode == "1":
+        return True
+    if mode == "auto":
+        return jax.default_backend() == "tpu"
+    return False
+
+
+def _shear_source_margin(ndim: int) -> int:
+    """Extra source-window pixels when the shear tier may run: its
+    interpolation support spreads ~1 source pixel per elementary pass
+    (2D: 3 passes, 3D: 7), vs the gather tier's single pixel."""
+    return (2 * ndim + 1) if _shear_tier_enabled() else 0
+
+
+@partial(
+    jax.jit,
+    static_argnames=("plan", "wplan", "out_shape", "mode", "use_bw"),
+)
+def _fuse_chunk_kernel_shear(
+    slabs,        # (K, *S) float32, NaN-padded (zero-filled in kernel)
+    coeffs,       # (K, P, 3) shear pass coefficients (ops/shear.py)
+    mats,         # (K, ndim, ndim) chunk pixel -> slab pixel (mask only)
+    offs,         # (K, ndim)
+    extents,      # (K, ndim) float32 TRUE slab extents
+    wgrids,       # (K, 5..5) blending proxy grids
+    wcoeffs,      # (K, Pw, 3)
+    wmats,        # (K, ndim, ndim)
+    woffs,        # (K, ndim)
+    view_valid,   # (K,) bool
+    plan,         # static ShearPlan for the data maps
+    wplan,        # static ShearPlan for the weight-grid maps (or None)
+    out_shape: tuple,
+    mode: str = "weighted_average",
+    use_bw: bool = True,
+):
+    """Shear-tier variant of :func:`_fuse_chunk_kernel`: banded-matmul
+    resampling (MXU) instead of gathers. Slab NaN padding is zero-filled —
+    validity comes from the analytic domain mask of the ORIGINAL map, so
+    out-of-domain outputs are exactly NaN as in the gather tier."""
+    from multiview_stitcher_tpu.ops import shear as shear_ops
+
+    ndim = len(out_shape)
+    data = jnp.nan_to_num(slabs.astype(jnp.float32))
+    fn = lambda d, c, m, o, ex: shear_ops.shear_resample(
+        d, c, m, o, ex, plan, jnp.nan
+    )
+    data_t = jax.vmap(fn)(data, coeffs, mats, offs, extents)
+    data_t = jnp.where(
+        view_valid.reshape((-1,) + (1,) * ndim), data_t, jnp.nan
+    )
+
+    bw = None
+    if use_bw:
+        # exact 4x refinement of the 5^ndim proxy grids keeps the
+        # multi-pass interpolation error negligible on the coarse grids;
+        # wcoeffs/wmats/woffs are in REFINED grid coordinates (4x) and the
+        # refined extent is 4*(5-1)+1 = 17 per axis
+        wg = jax.vmap(lambda g: shear_ops.refine_grid(g, 4))(
+            wgrids.astype(jnp.float32)
+        )
+        wext = jnp.full_like(extents, 17.0)
+        wfn = lambda g, c, m, o, ex: shear_ops.shear_resample(
+            g, c, m, o, ex, wplan, 0.0
+        )
+        bw = jax.vmap(wfn)(wg, wcoeffs, wmats, woffs, wext)
+        bw = bw * view_valid.reshape((-1,) + (1,) * ndim)
+
+    fused, bw = _reduce_views(data_t, bw, out_shape, mode, use_bw)
+    return fused, data_t, bw
+
+
+@partial(
+    jax.jit,
+    static_argnames=("plan", "wplan", "out_shape", "mode", "use_bw"),
+)
+def _fuse_chunk_batch_kernel_shear(
+    slabs, coeffs, mats, offs, extents, wgrids, wcoeffs, wmats, woffs,
+    view_valid, plan, wplan, out_shape, mode, use_bw
+):
+    """vmap of :func:`_fuse_chunk_kernel_shear` over a leading chunk axis."""
+
+    def one(s, c, m, o, ex, wg, wc, wm, wo, vv):
+        fused, _, _ = _fuse_chunk_kernel_shear(
+            s, c, m, o, ex, wg, wc, wm, wo, vv, plan, wplan, out_shape,
+            mode, use_bw,
+        )
+        return jnp.nan_to_num(fused)
+
+    return jax.vmap(one)(
+        slabs, coeffs, mats, offs, extents, wgrids, wcoeffs, wmats, woffs,
+        view_valid,
+    )
 
 
 def _kernel_tile_shape(ndim: int):
@@ -1935,61 +2052,164 @@ def _execute_fusion_plan_batched(
         [output_stack_properties["spacing"][d] for d in sdims]
     )
 
+    # precompute per-(entry, view) kernel parameters WITHOUT loading slab
+    # data: needed up-front so the shear tier can plan over every map in
+    # the whole execution (one static plan -> one compile)
+    for entry in entries:
+        chunk_bb_ov = entry["output_bb_overlap"]
+        # kernel output grid: chunk_bb_ov extended to O_max (same origin)
+        kernel_bb = {
+            "origin": dict(chunk_bb_ov["origin"]),
+            "spacing": dict(chunk_bb_ov["spacing"]),
+            "shape": {d: O_max[i] for i, d in enumerate(sdims)},
+        }
+        kp = []
+        for iview, window_bb in entry["views"]:
+            sim = field_sims[iview]
+            origin = si_utils.get_origin_from_sim(sim)
+            spacing = si_utils.get_spacing_from_sim(sim)
+            starts, extent = [], []
+            for d in sdims:
+                start = int(
+                    round((window_bb["origin"][d] - origin[d]) / spacing[d])
+                )
+                start = max(0, start)
+                stop = min(
+                    int(sim.sizes[d]), start + int(window_bb["shape"][d])
+                )
+                starts.append(start)
+                extent.append(stop - start)
+            slab_origin = {
+                d: origin[d] + starts[i] * spacing[d]
+                for i, d in enumerate(sdims)
+            }
+            pm = plan["sparams"][iview]
+            m, o = resample_ops.physical_to_pixel_params(
+                np.linalg.inv(pm),
+                input_spacing=spacing_arr[iview],
+                input_origin=np.array([slab_origin[d] for d in sdims]),
+                output_spacing=osp_spacing,
+                output_origin=np.array(
+                    [kernel_bb["origin"][d] for d in sdims]
+                ),
+            )
+            item = {"m": m, "o": o, "extent": extent}
+            if use_bw:
+                g, wm, wo = weights.blending_weights_pixel_params(
+                    kernel_bb,
+                    views_bb[iview],
+                    pm,
+                    blending_widths=blending_widths,
+                    shrink_distance=shrink_distance,
+                )
+                item.update(g=g, wm=wm, wo=wo)
+            kp.append(item)
+        entry["_kernel_params"] = kp
+
+    # shear tier: one static decomposition over every map in the plan;
+    # any failure (large rotation, extreme scale, non-factorable) falls
+    # back to the exact gather kernel
+    shear_bundle = None
+    if _shear_tier_enabled():
+        from multiview_stitcher_tpu.ops import shear as shear_ops
+
+        all_m = np.stack(
+            [it["m"] for e in entries for it in e["_kernel_params"]]
+        )
+        all_o = np.stack(
+            [it["o"] for e in entries for it in e["_kernel_params"]]
+        )
+        sres = shear_ops.plan_shear(all_m, all_o, S_max, O_max)
+        if sres is not None:
+            splan, sctx, _ = sres
+            if use_bw:
+                # weight maps in 4x-REFINED grid coordinates (the kernel
+                # refines the proxy grids exactly): c' = 4*(wm i + wo)
+                all_wm = 4.0 * np.stack(
+                    [it["wm"] for e in entries for it in e["_kernel_params"]]
+                )
+                all_wo = 4.0 * np.stack(
+                    [it["wo"] for e in entries for it in e["_kernel_params"]]
+                )
+                wres = shear_ops.plan_shear(
+                    all_wm, all_wo, (17,) * ndim, O_max
+                )
+                if wres is not None:
+                    shear_bundle = (splan, sctx, wres[0], wres[1])
+            else:
+                shear_bundle = (splan, sctx, None, None)
+
     def build_batch(batch):
         B = len(batch)
         slabs = np.full((B, K_max) + S_max, np.nan, dtype=np.float32)
         mats = np.tile(np.eye(ndim, dtype=np.float32), (B, K_max, 1, 1))
         offs = np.zeros((B, K_max, ndim), dtype=np.float32)
+        extents = np.ones((B, K_max, ndim), dtype=np.float32)
         wgrids = np.zeros((B, K_max) + (5,) * ndim, dtype=np.float32)
         wmats = np.tile(np.eye(ndim, dtype=np.float32), (B, K_max, 1, 1))
         woffs = np.zeros((B, K_max, ndim), dtype=np.float32)
         valid = np.zeros((B, K_max), dtype=bool)
 
         for bi, entry in enumerate(batch):
-            chunk_bb_ov = entry["output_bb_overlap"]
-            # kernel output grid: chunk_bb_ov extended to O_max (same origin)
-            kernel_bb = {
-                "origin": dict(chunk_bb_ov["origin"]),
-                "spacing": dict(chunk_bb_ov["spacing"]),
-                "shape": {d: O_max[i] for i, d in enumerate(sdims)},
-            }
             for vi, (iview, window_bb) in enumerate(entry["views"]):
-                slab, slab_origin = _slab_from_sim(
-                    field_sims[iview], window_bb
-                )
+                slab, _ = _slab_from_sim(field_sims[iview], window_bb)
                 slab = np.asarray(slab, dtype=np.float32)
-                slabs[bi, vi][tuple(slice(0, s) for s in slab.shape)] = slab
-                pm = plan["sparams"][iview]
-                m, o = resample_ops.physical_to_pixel_params(
-                    np.linalg.inv(pm),
-                    input_spacing=spacing_arr[iview],
-                    input_origin=np.array(
-                        [slab_origin[d] for d in sdims]
-                    ),
-                    output_spacing=osp_spacing,
-                    output_origin=np.array(
-                        [kernel_bb["origin"][d] for d in sdims]
-                    ),
-                )
-                mats[bi, vi] = m
-                offs[bi, vi] = o
+                if shear_bundle is not None:
+                    # edge-replicate padding: shear-chain support near the
+                    # TRUE extent edge then reads plausible values instead
+                    # of zeros (the analytic mask still voids outputs
+                    # beyond the extent)
+                    slabs[bi, vi] = np.pad(
+                        slab,
+                        [
+                            (0, S_max[i] - slab.shape[i])
+                            for i in range(ndim)
+                        ],
+                        mode="edge",
+                    )
+                else:
+                    slabs[bi, vi][
+                        tuple(slice(0, s) for s in slab.shape)
+                    ] = slab
+                it = entry["_kernel_params"][vi]
+                mats[bi, vi] = it["m"]
+                offs[bi, vi] = it["o"]
+                extents[bi, vi] = it["extent"]
                 valid[bi, vi] = True
                 if use_bw:
-                    g, wm, wo = weights.blending_weights_pixel_params(
-                        kernel_bb,
-                        views_bb[iview],
-                        pm,
-                        blending_widths=blending_widths,
-                        shrink_distance=shrink_distance,
-                    )
-                    wgrids[bi, vi] = g
-                    wmats[bi, vi] = wm
-                    woffs[bi, vi] = wo
-        return slabs, mats, offs, wgrids, wmats, woffs, valid
+                    wgrids[bi, vi] = it["g"]
+                    wmats[bi, vi] = it["wm"]
+                    woffs[bi, vi] = it["wo"]
+        return slabs, mats, offs, extents, wgrids, wmats, woffs, valid
 
     def dispatch(arrays):
+        slabs, mats, offs, extents, wgrids, wmats, woffs, valid = arrays
+        if shear_bundle is not None:
+            splan, sctx, wplan, wctx = shear_bundle
+            coeffs = sctx.coeffs(mats, offs)
+            if wctx is not None:
+                wmats, woffs = 4.0 * wmats, 4.0 * woffs  # refined coords
+                wcoeffs = wctx.coeffs(wmats, woffs)
+            else:
+                wcoeffs = np.zeros(
+                    coeffs.shape[:2] + (1, 3), dtype=np.float32
+                )
+            return _fuse_chunk_batch_kernel_shear(
+                jnp.asarray(slabs), jnp.asarray(coeffs),
+                jnp.asarray(mats, dtype=jnp.float32),
+                jnp.asarray(offs, dtype=jnp.float32),
+                jnp.asarray(extents), jnp.asarray(wgrids),
+                jnp.asarray(wcoeffs),
+                jnp.asarray(wmats, dtype=jnp.float32),
+                jnp.asarray(woffs, dtype=jnp.float32),
+                jnp.asarray(valid), splan, wplan, O_max, mode, use_bw,
+            )
         return _fuse_chunk_batch_kernel(
-            *(jnp.asarray(a) for a in arrays), O_max, mode, use_bw
+            jnp.asarray(slabs), jnp.asarray(mats, dtype=jnp.float32),
+            jnp.asarray(offs, dtype=jnp.float32), jnp.asarray(wgrids),
+            jnp.asarray(wmats, dtype=jnp.float32),
+            jnp.asarray(woffs, dtype=jnp.float32), jnp.asarray(valid),
+            O_max, mode, use_bw,
         )
 
     def write_batch(batch, fused_batch):
