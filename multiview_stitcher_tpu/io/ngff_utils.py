@@ -98,13 +98,21 @@ def write_sim_to_ome_zarr(
     overwrite: bool = False,
     ngff_version: str = "0.4",
     chunks: Optional[List[int]] = None,
+    shards: Optional[List[int]] = None,
 ) -> Sim:
     """Write a sim as a multiscale OME-Zarr; returns a zarr-backed sim.
 
     If ``overwrite`` is False and levels exist, missing pyramid levels are
     completed (the zarr store is the checkpoint, SURVEY.md §5).
+
+    ``shards`` (NGFF 0.5 / zarr v3 only): outer shard shape for the
+    ``sharding_indexed`` codec; ``chunks`` then becomes the inner chunk
+    shape. Shard extents are clamped per level and rounded up to inner
+    chunk multiples.
     """
     zarr_format = 2 if ngff_version == "0.4" else 3
+    if shards is not None and zarr_format == 2:
+        raise ValueError("shards requires ngff_version >= 0.5 (zarr v3)")
     if overwrite and os.path.exists(output_zarr_url):
         shutil.rmtree(output_zarr_url)
 
@@ -152,6 +160,17 @@ def write_sim_to_ome_zarr(
             except FileNotFoundError:
                 pass
         level_chunks = [min(c, s) for c, s in zip(chunks, curr.shape)]
+        level_shards = None
+        if shards is not None:
+            # clamp to the level shape, then round up to an inner-chunk
+            # multiple (sharding_indexed requires exact divisibility)
+            level_shards = [
+                min(int(sh), -(-int(s) // c) * c)
+                for sh, s, c in zip(shards, curr.shape, level_chunks)
+            ]
+            level_shards = [
+                -(-sh // c) * c for sh, c in zip(level_shards, level_chunks)
+            ]
         arr = zarr_backend.create_zarr_array(
             level_url,
             shape=curr.shape,
@@ -159,6 +178,7 @@ def write_sim_to_ome_zarr(
             dtype=curr.dtype,
             zarr_format=zarr_format,
             overwrite=True,
+            shards=level_shards,
         )
         arr[...] = curr
 

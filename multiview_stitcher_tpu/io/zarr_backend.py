@@ -105,11 +105,22 @@ def create_zarr_array(
     zarr_format: int = 2,
     overwrite: bool = True,
     compressor: Optional[dict] = None,
+    shards: Optional[Sequence[int]] = None,
 ) -> LazyTSArray:
-    """Create (or open existing) a zarr array for region writes."""
+    """Create (or open existing) a zarr array for region writes.
+
+    ``shards`` (zarr v3 only): outer shard shape for the
+    ``sharding_indexed`` codec (NGFF 0.5); ``chunks`` then becomes the
+    inner (read-granularity) chunk shape, each shard one storage object.
+    Shard extents must be multiples of the inner chunk extents, and
+    concurrent region writes must align to SHARD boundaries (a shard is
+    the write granularity, like a v2 chunk file).
+    """
     kv = _kvstore_for(url)
     dtype = np.dtype(dtype)
     if zarr_format == 2:
+        if shards is not None:
+            raise ValueError("sharding requires zarr_format=3 (NGFF 0.5)")
         metadata = {
             "shape": list(map(int, shape)),
             "chunks": list(map(int, chunks)),
@@ -124,18 +135,38 @@ def create_zarr_array(
             "metadata": metadata,
         }
     else:
+        metadata = {
+            "shape": list(map(int, shape)),
+            "chunk_grid": {
+                "name": "regular",
+                "configuration": {
+                    "chunk_shape": list(
+                        map(int, shards if shards is not None else chunks)
+                    )
+                },
+            },
+            "data_type": dtype.name,
+            "fill_value": fill_value,
+        }
+        if shards is not None:
+            for s, c in zip(shards, chunks):
+                if int(s) % int(c):
+                    raise ValueError(
+                        f"shard shape {tuple(shards)} must be a multiple "
+                        f"of the inner chunk shape {tuple(chunks)}"
+                    )
+            metadata["codecs"] = [
+                {
+                    "name": "sharding_indexed",
+                    "configuration": {
+                        "chunk_shape": list(map(int, chunks)),
+                    },
+                }
+            ]
         spec = {
             "driver": "zarr3",
             "kvstore": kv,
-            "metadata": {
-                "shape": list(map(int, shape)),
-                "chunk_grid": {
-                    "name": "regular",
-                    "configuration": {"chunk_shape": list(map(int, chunks))},
-                },
-                "data_type": dtype.name,
-                "fill_value": fill_value,
-            },
+            "metadata": metadata,
         }
     spec["create"] = True
     spec["delete_existing"] = bool(overwrite)

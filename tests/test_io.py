@@ -272,3 +272,87 @@ def test_ome_zarr_resume_completes_missing_levels(tmp_path):
         data.reshape(128, 2, 128, 2).mean(axis=(1, 3)),
         atol=1.0,
     )
+
+
+def test_ngff05_sharded_write_roundtrip_and_metadata(tmp_path):
+    """NGFF 0.5 with the zarr v3 sharding_indexed codec (VERDICT r2 item 7):
+    shard-object layout on disk, inner-chunk metadata, spec-conformant
+    `ome` attributes, and bit-exact readback through the standard reader."""
+    import json
+    import os
+
+    url = str(tmp_path / "sharded.ome.zarr")
+    data = np.random.randint(0, 2000, (192, 240), dtype=np.uint16)
+    sim = si_utils.get_sim_from_array(
+        data, dims=("y", "x"), scale={"y": 2.0, "x": 0.5},
+        translation={"y": 3.0, "x": -1.0},
+    )
+    out = ngff_utils.write_sim_to_ome_zarr(
+        sim, url, overwrite=True, ngff_version="0.5",
+        chunks=[16, 16], shards=[48, 48],
+    )
+    np.testing.assert_array_equal(out.to_numpy(), data)
+
+    # array metadata: outer grid = shards, sharding codec carries the
+    # inner chunk shape
+    meta = json.load(open(os.path.join(url, "0", "zarr.json")))
+    assert meta["zarr_format"] == 3
+    assert meta["chunk_grid"]["configuration"]["chunk_shape"] == [48, 48]
+    codec = meta["codecs"][0]
+    assert codec["name"] == "sharding_indexed"
+    assert codec["configuration"]["chunk_shape"] == [16, 16]
+    # one storage object per shard: ceil(192/48)*ceil(240/48) = 4*5
+    n_objects = sum(
+        len(files) for _, _, files in os.walk(os.path.join(url, "0", "c"))
+    )
+    assert n_objects == 20
+
+    # group metadata: 0.5 nests everything under the `ome` key
+    gmeta = json.load(open(os.path.join(url, "zarr.json")))
+    assert gmeta["node_type"] == "group"
+    ome = gmeta["attributes"]["ome"]
+    assert ome["version"] == "0.5"
+    ms = ome["multiscales"][0]
+    assert [a["name"] for a in ms["axes"]] == ["y", "x"]
+    assert all(
+        a["type"] == "space" for a in ms["axes"]
+    )
+    ds0 = ms["datasets"][0]
+    tf_types = [t["type"] for t in ds0["coordinateTransformations"]]
+    assert "scale" in tf_types and "translation" in tf_types
+    scale0 = next(
+        t for t in ds0["coordinateTransformations"] if t["type"] == "scale"
+    )
+    assert scale0["scale"] == [2.0, 0.5]
+
+    # pyramid levels inherit (clamped) sharding and stay readable
+    msim = ngff_utils.read_msim_from_ome_zarr(url)
+    s1 = msim.get_scale("scale1")
+    # anisotropy-aware pyramid: only the finer axis (x, 0.5) halves first
+    assert s1.sizes["x"] == 120
+
+
+def test_ngff05_shard_not_multiple_of_chunk_rounds_up(tmp_path):
+    url = str(tmp_path / "sharded2.ome.zarr")
+    data = np.random.randint(0, 100, (40, 40), dtype=np.uint16)
+    sim = si_utils.get_sim_from_array(data, dims=("y", "x"))
+    ngff_utils.write_sim_to_ome_zarr(
+        sim, url, overwrite=True, ngff_version="0.5",
+        chunks=[12, 12], shards=[30, 30],  # 30 not a multiple of 12
+    )
+    import json, os
+    meta = json.load(open(os.path.join(url, "0", "zarr.json")))
+    assert meta["chunk_grid"]["configuration"]["chunk_shape"] == [36, 36]
+    out = np.asarray(zarr_backend.open_zarr_array(url + "/0"))
+    np.testing.assert_array_equal(out, data)
+
+
+def test_ngff04_shards_rejected(tmp_path):
+    sim = si_utils.get_sim_from_array(
+        np.zeros((8, 8), np.uint16), dims=("y", "x")
+    )
+    with pytest.raises(ValueError, match="zarr v3"):
+        ngff_utils.write_sim_to_ome_zarr(
+            sim, str(tmp_path / "x.ome.zarr"), overwrite=True,
+            ngff_version="0.4", shards=[8, 8],
+        )

@@ -75,3 +75,52 @@ def test_float_passthrough():
     dev = lc.put_packed(arr)
     back = lc.fetch_packed(dev)
     np.testing.assert_allclose(back, arr)
+
+
+def test_concurrent_put_fetch_threads():
+    """Codec under concurrent use from multiple threads (the streaming
+    pipeline runs uploads and downloads in parallel pools): round-trips
+    stay bit-exact with no cross-talk between streams."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    rng = np.random.default_rng(7)
+    arrays = [
+        (rng.integers(0, 2**12, (257, 129 + i))).astype(np.uint16)
+        for i in range(8)
+    ]
+
+    def roundtrip(a):
+        dev = lc.put_packed(a, nbits=12)
+        return lc.fetch_packed(dev, nbits=12)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        outs = list(pool.map(roundtrip, arrays))
+    for a, o in zip(arrays, outs):
+        np.testing.assert_array_equal(a, o)
+
+
+def test_concurrent_interleaved_put_then_fetch():
+    """Puts from one pool while fetches of earlier puts proceed in
+    another (upload||download overlap as in the banded pipeline)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    rng = np.random.default_rng(8)
+    arrays = [
+        (rng.integers(0, 2**10, (129, 257))).astype(np.uint16)
+        for _ in range(6)
+    ]
+    with ThreadPoolExecutor(max_workers=2) as up, ThreadPoolExecutor(
+        max_workers=2
+    ) as down:
+        devs = list(up.map(lambda a: lc.put_packed(a, nbits=10), arrays))
+        futs = [
+            down.submit(lc.fetch_packed, d, nbits=10) for d in devs
+        ]
+        new_devs = list(
+            up.map(lambda a: lc.put_packed(a, nbits=10), arrays)
+        )
+        outs = [f.result() for f in futs]
+        outs2 = [lc.fetch_packed(d, nbits=10) for d in new_devs]
+    for a, o, o2 in zip(arrays, outs, outs2):
+        np.testing.assert_array_equal(a, o)
+        np.testing.assert_array_equal(a, o2)

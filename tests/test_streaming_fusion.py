@@ -263,3 +263,66 @@ def test_streaming_deadline_aborts(force_streaming, monkeypatch):
     assert tele["aborted"]
     assert tele["bands_done"] < tele["bands_total"]
     assert tele is _streaming.last_telemetry
+
+
+def test_streaming_band_fetch_failure_falls_back(force_streaming, monkeypatch):
+    """A band download error mid-pipeline must not deadlock the inflight
+    semaphore: execute_streaming raises, the tier dispatcher warns and
+    falls back to a monolithic tier, and the result is still correct
+    (VERDICT r2 item 7: failure injection)."""
+    tk = si_utils.DEFAULT_TRANSFORM_KEY
+    sims = _grid_sims(n=6, tile=48, overlap=12, ndim=2)
+    ref = fusion.fuse(
+        sims, transform_key=tk, output_chunksize=64
+    ).to_numpy()
+
+    from multiview_stitcher_tpu.ops import link_codec
+
+    calls = {"n": 0}
+    orig_fetch = link_codec.fetch_packed
+
+    def failing_fetch(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("injected band fetch failure")
+        return orig_fetch(*a, **k)
+
+    monkeypatch.setattr(link_codec, "fetch_packed", failing_fetch)
+    _core.clear_device_tile_cache()
+    with pytest.warns(RuntimeWarning, match="Streaming fusion tier failed"):
+        out = fusion.fuse(
+            sims, transform_key=tk, output_chunksize=64
+        ).to_numpy()
+    assert calls["n"] >= 2  # the injection actually fired
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_streaming_upload_failure_falls_back(force_streaming, monkeypatch):
+    """An upload (put) error during batch prefetch surfaces cleanly and the
+    dispatcher falls back — no hang on the prefetch futures."""
+    tk = si_utils.DEFAULT_TRANSFORM_KEY
+    sims = _grid_sims(n=6, tile=48, overlap=12, ndim=2)
+    ref = fusion.fuse(
+        sims, transform_key=tk, output_chunksize=64
+    ).to_numpy()
+
+    from multiview_stitcher_tpu.ops import link_codec
+
+    calls = {"n": 0}
+    orig_put = link_codec.put_packed
+
+    def failing_put(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # first streaming upload fails; later calls (the monolithic
+            # fallback uploads tiles through the same codec) succeed
+            raise OSError("injected upload failure")
+        return orig_put(*a, **k)
+
+    monkeypatch.setattr(link_codec, "put_packed", failing_put)
+    _core.clear_device_tile_cache()
+    with pytest.warns(RuntimeWarning, match="Streaming fusion tier failed"):
+        out = fusion.fuse(
+            sims, transform_key=tk, output_chunksize=64
+        ).to_numpy()
+    np.testing.assert_array_equal(out, ref)
