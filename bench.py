@@ -205,6 +205,28 @@ def register_grid_rate(n=6, tile=200, overlap=40, repeats=2):
     return n_edges / min(times), n_edges
 
 
+
+def _device_rate(call, fetch_tiny, vox_per_call, repeats=4, inner=6):
+    """Device-side kernel rate with the tunnel latency amortized.
+
+    A single dispatch+tiny-fetch round trip has a ~25-30 ms floor over the
+    axon tunnel (CLAUDE.md), which swamps kernels that run in ~10 ms.
+    Dispatch ``inner`` async calls per rep and force with ONE tiny fetch —
+    the TPU queue serializes, so the fetch waits for all prior dispatches
+    and the floor is paid once per ``inner`` kernels.
+    """
+    out = call()
+    fetch_tiny(out)
+    times = []
+    for _i in range(repeats):
+        t0 = time.perf_counter()
+        for _j in range(inner):
+            out = call()
+        fetch_tiny(out)
+        times.append(time.perf_counter() - t0)
+    return inner * vox_per_call / min(times)
+
+
 def pallas_kernel_rate_2d(repeats=5):
     """Device-side 2D fused-kernel throughput (4x4 grid of 2048^2 tiles)."""
     import jax.numpy as jnp
@@ -239,15 +261,10 @@ def pallas_kernel_rate_2d(repeats=5):
             out_dtype=np.dtype(np.uint16),
         )
 
-    out = call()
-    _ = np.asarray(out[0, :2])
-    times = []
-    for _i in range(repeats):
-        t0 = time.perf_counter()
-        out = call()
-        _ = np.asarray(out[0, :2])
-        times.append(time.perf_counter() - t0)
-    return int(np.prod(out_shape)) / min(times)
+    return _device_rate(
+        call, lambda o: np.asarray(o[0, :2]), int(np.prod(out_shape)),
+        repeats=repeats,
+    )
 
 
 def pallas_kernel_rate(repeats=5):
@@ -286,15 +303,10 @@ def pallas_kernel_rate(repeats=5):
             out_dtype=np.dtype(np.uint16),
         )
 
-    out = call()
-    _ = np.asarray(out[0, 0, :2])
-    times = []
-    for _i in range(repeats):
-        t0 = time.perf_counter()
-        out = call()
-        _ = np.asarray(out[0, 0, :2])  # force, fetch tiny
-        times.append(time.perf_counter() - t0)
-    return int(np.prod(out_shape)) / min(times)
+    return _device_rate(
+        call, lambda o: np.asarray(o[0, 0, :2]), int(np.prod(out_shape)),
+        repeats=repeats,
+    )
 
 
 def _affine_layout(C=8, K=4, out_shape=(32, 128, 128), slab=(40, 136, 136)):
@@ -321,16 +333,11 @@ def _affine_layout(C=8, K=4, out_shape=(32, 128, 128), slab=(40, 136, 136)):
     return slabs, mats, offs, wgrids, wmats, woffs, valid, out_shape, slab
 
 
-def _rate_loop(call, out_shape, C, repeats):
-    out = call()
-    _ = np.asarray(out[0, 0, 0, :2])
-    times = []
-    for _i in range(repeats):
-        t0 = time.perf_counter()
-        out = call()
-        _ = np.asarray(out[0, 0, 0, :2])
-        times.append(time.perf_counter() - t0)
-    return C * int(np.prod(out_shape)) / min(times)
+def _rate_loop(call, out_shape, C, repeats, inner=6):
+    return _device_rate(
+        call, lambda o: np.asarray(o[0, 0, 0, :2]),
+        C * int(np.prod(out_shape)), repeats=repeats, inner=inner,
+    )
 
 
 def affine_kernel_rate(repeats=5):
@@ -388,7 +395,7 @@ def affine_gather_kernel_rate(repeats=3):
             jnp.asarray(valid), out_shape, "weighted_average", True,
         )
 
-    return _rate_loop(call, out_shape, slabs.shape[0], repeats)
+    return _rate_loop(call, out_shape, slabs.shape[0], repeats, inner=1)
 
 
 def pairwise_reg_rate(n_pairs=128, crop=(128, 128), repeats=3):
