@@ -40,7 +40,56 @@ def read_mosaic_into_sims(filepath, scene_index: int = 0):
         from multiview_stitcher_tpu.io import ngff_utils
 
         return [ngff_utils.read_sim_from_ome_zarr(filepath)]
-    raise ValueError(f"Unsupported mosaic file format: {filepath.suffix}")
+    # catch-all: delegate any other bioformat to the optional aicsimageio
+    # stack, exactly like the reference (io.py:25,87-167; optional there
+    # too — a clear ImportError when the package is absent)
+    return read_mosaic_into_sims_aicsimageio(
+        filepath, scene_index=scene_index
+    )
+
+
+def read_mosaic_into_sims_aicsimageio(filepath, scene_index: int = 0):
+    """Fallback mosaic reader via the optional ``aicsimageio`` package
+    (reference io.py:87-167): per-tile lazy arrays, physical pixel sizes,
+    and mosaic stage positions mapped into sim translations."""
+    try:
+        from aicsimageio import AICSImage
+    except ImportError as e:
+        raise ImportError(
+            "Having aicsimageio installed is required to read mosaic "
+            f"files other than CZI/TIFF/Imaris/OME-Zarr (got "
+            f"{Path(filepath).suffix!r}). pip install aicsimageio"
+        ) from e
+
+    aicsim = AICSImage(filepath, reconstruct_mosaic=False)
+    aicsim.set_scene(scene_index)
+    pixel_sizes = {"x": aicsim.physical_pixel_sizes.X or 1.0,
+                   "y": aicsim.physical_pixel_sizes.Y or 1.0}
+    data = aicsim.get_image_data()  # (T, C, Z, Y, X)
+    if data.shape[2] > 1:
+        pixel_sizes["z"] = aicsim.physical_pixel_sizes.Z or 1.0
+    positions = aicsim.get_mosaic_tile_positions()
+    sims = []
+    for m, pos in enumerate(positions):
+        tile = aicsim.get_image_data("TCZYX", M=m)
+        if tile.shape[2] == 1:
+            tile = tile[:, :, 0]
+            dims = ("t", "c", "y", "x")
+        else:
+            dims = ("t", "c", "z", "y", "x")
+        origin = {
+            ax: float(pos[i]) * pixel_sizes[ax]
+            for i, ax in enumerate(["y", "x"])
+        }
+        if "z" in pixel_sizes:
+            origin["z"] = 0.0
+        sims.append(
+            _si_utils.get_sim_from_array(
+                tile, dims=dims, scale=pixel_sizes, translation=origin,
+                c_coords=list(aicsim.channel_names or range(tile.shape[1])),
+            )
+        )
+    return sims
 
 
 def save_sim_as_tif(path, sim):

@@ -9,25 +9,24 @@ per-window through h5py on access).
 
 from __future__ import annotations
 
-
 import h5py
 import numpy as np
 
 from multiview_stitcher_tpu import msi_utils, si_utils
 from multiview_stitcher_tpu.msi_utils import Msim
 
-SPATIAL_DIMS = ["z", "y", "x"]
-IMARIS_SPATIAL_DIMS = ["x", "y", "z"]
+_ZYX = ("z", "y", "x")
 
 
-def _decode_attr(value, dtype=str):
-    if isinstance(value, bytes):
-        value = value.decode()
-    elif isinstance(value, np.ndarray):
-        value = b"".join(
-            v if isinstance(v, bytes) else str(v).encode() for v in value
+def _as_text(raw):
+    """Imaris stores attributes as byte strings or char arrays."""
+    if isinstance(raw, bytes):
+        return raw.decode()
+    if isinstance(raw, np.ndarray):
+        return b"".join(
+            c if isinstance(c, bytes) else str(c).encode() for c in raw
         ).decode()
-    return dtype(value)
+    return str(raw)
 
 
 def get_group_path(ires=0, itime=0, ichannel=0) -> str:
@@ -36,35 +35,36 @@ def get_group_path(ires=0, itime=0, ichannel=0) -> str:
     )
 
 
-def get_shape_from_group(filename, group_path):
+def _image_info(filename):
+    """World extents, voxel counts and level count in one file open.
+
+    ``DataSetInfo/Image`` carries ExtMin0..2 / ExtMax0..2 (world bounds in
+    x,y,z order) and X/Y/Z voxel counts of the full-resolution level.
+    """
     with h5py.File(filename, "r") as f:
-        attrs = f[group_path].attrs
-        return {
-            d: _decode_attr(attrs[f"ImageSize{d.upper()}"], dtype=int)
-            for d in SPATIAL_DIMS
-        }
+        a = f["DataSetInfo/Image"].attrs
+        xyz_order = ("x", "y", "z")
+        lo = {d: float(_as_text(a[f"ExtMin{i}"])) for i, d in enumerate(xyz_order)}
+        hi = {d: float(_as_text(a[f"ExtMax{i}"])) for i, d in enumerate(xyz_order)}
+        size = {d: int(float(_as_text(a[d.upper()]))) for d in xyz_order}
+        n_levels = len(f["DataSet"].keys())
+    return lo, hi, size, n_levels
 
 
 def get_spacing_from_ims(filename):
-    with h5py.File(filename, "r") as f:
-        attrs = f["DataSetInfo/Image"].attrs
-        return {
-            d: (
-                _decode_attr(attrs[f"ExtMax{i}"], dtype=float)
-                - _decode_attr(attrs[f"ExtMin{i}"], dtype=float)
-            )
-            / _decode_attr(attrs[d.upper()], dtype=float)
-            for i, d in enumerate(IMARIS_SPATIAL_DIMS)
-        }
+    lo, hi, size, _ = _image_info(filename)
+    return {d: (hi[d] - lo[d]) / size[d] for d in _ZYX}
 
 
 def get_origin_from_ims(filename):
+    lo, _, _, _ = _image_info(filename)
+    return {d: lo[d] for d in _ZYX}
+
+
+def get_shape_from_group(filename, group_path):
     with h5py.File(filename, "r") as f:
-        attrs = f["DataSetInfo/Image"].attrs
-        return {
-            d: _decode_attr(attrs[f"ExtMin{i}"], dtype=float)
-            for i, d in enumerate(IMARIS_SPATIAL_DIMS)
-        }
+        a = f[group_path].attrs
+        return {d: int(float(_as_text(a[f"ImageSize{d.upper()}"]))) for d in _ZYX}
 
 
 class LazyHDF5Array:
@@ -89,37 +89,6 @@ class LazyHDF5Array:
     def __array__(self, dtype=None):
         out = self[tuple(slice(None) for _ in self.shape)]
         return out.astype(dtype) if dtype is not None else out
-
-
-def _read_imaris_into_msim_single_field(filename, itime=0, ichannel=0) -> Msim:
-    with h5py.File(filename, "r") as f:
-        n_res = len(f["DataSet"].keys())
-
-    spacing0 = get_spacing_from_ims(filename)
-    origin = get_origin_from_ims(filename)
-    shape0 = get_shape_from_group(
-        filename, get_group_path(0, itime, ichannel)
-    )
-
-    sims = []
-    for ires in range(n_res):
-        group_path = get_group_path(ires, itime, ichannel)
-        shape = get_shape_from_group(filename, group_path)
-        spacing = {
-            d: spacing0[d] * shape0[d] / shape[d] for d in SPATIAL_DIMS
-        }
-        arr = LazyHDF5Array(filename, f"{group_path}/Data")
-        # Imaris datasets may be padded beyond the image size
-        data = _SlicedLazy(arr, tuple(slice(0, shape[d]) for d in SPATIAL_DIMS))
-        sims.append(
-            si_utils.get_sim_from_array(
-                data,
-                dims=SPATIAL_DIMS,
-                scale=spacing,
-                translation=origin,
-            )
-        )
-    return msi_utils.get_msim_from_sims(sims)
 
 
 class _SlicedLazy:
@@ -163,30 +132,59 @@ class _SlicedLazy:
         return out.astype(dtype) if dtype is not None else np.asarray(out)
 
 
+def _level_sims_for_channel(filename, itime, ichannel):
+    """One lazy sim per resolution level of a (time, channel) field."""
+    lo, hi, size0_xyz, n_levels = _image_info(filename)
+    origin = {d: lo[d] for d in _ZYX}
+    base_spacing = {d: (hi[d] - lo[d]) / size0_xyz[d] for d in _ZYX}
+    base_shape = get_shape_from_group(
+        filename, get_group_path(0, itime, ichannel)
+    )
+
+    level_sims = []
+    for lvl in range(n_levels):
+        gp = get_group_path(lvl, itime, ichannel)
+        lvl_shape = get_shape_from_group(filename, gp)
+        lvl_spacing = {
+            d: base_spacing[d] * base_shape[d] / lvl_shape[d] for d in _ZYX
+        }
+        stored = LazyHDF5Array(filename, f"{gp}/Data")
+        # Imaris pads stored datasets beyond the image size: crop lazily
+        cropped = _SlicedLazy(
+            stored, tuple(slice(0, lvl_shape[d]) for d in _ZYX)
+        )
+        level_sims.append(
+            si_utils.get_sim_from_array(
+                cropped, dims=list(_ZYX), scale=lvl_spacing,
+                translation=origin,
+            )
+        )
+    return level_sims
+
+
 def read_imaris_into_msim(filename, itime: int = 0, channels=None) -> Msim:
     """Read an Imaris .ims file into a (lazy) msim (reference :187)."""
     with h5py.File(filename, "r") as f:
-        tp_path = f"DataSet/ResolutionLevel 0/TimePoint {itime}"
-        n_channels = len(f[tp_path].keys())
-    if channels is None:
-        channels = range(n_channels)
-    channels = list(channels)
+        available = len(f[f"DataSet/ResolutionLevel 0/TimePoint {itime}"].keys())
+    channels = list(range(available) if channels is None else channels)
     if not channels:
         raise ValueError("channels must contain at least one channel.")
 
-    msims = [
-        _read_imaris_into_msim_single_field(filename, itime, ich)
+    per_channel = [
+        msi_utils.get_msim_from_sims(
+            _level_sims_for_channel(filename, itime, ich)
+        )
         for ich in channels
     ]
-    if len(msims) == 1:
-        return msims[0]
+    if len(per_channel) == 1:
+        return per_channel[0]
     # concat channels at each scale (materializes data)
-    out_sims = []
-    for i in range(len(msims[0].sims)):
-        out_sims.append(
+    return Msim(
+        sims=[
             si_utils.stack(
-                [m.sims[i] for m in msims], "c",
+                [m.sims[lvl] for m in per_channel], "c",
                 coords=[str(c) for c in channels],
             )
-        )
-    return Msim(sims=out_sims)
+            for lvl in range(len(per_channel[0].sims))
+        ]
+    )

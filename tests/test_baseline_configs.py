@@ -71,6 +71,7 @@ def test_config2_3x3_grid_two_channels():
     assert fused.sizes["c"] == 2
 
 
+@pytest.mark.slow
 def test_config3_3d_anisotropic_grid():
     """3D multi-position grid: translation registration on anisotropic
     spacing + weighted 3D fusion."""
@@ -183,8 +184,8 @@ def test_config5_zarr_streaming_multichannel_time(tmp_path):
         (2, 5, 1, 1, np.uint8),
         (2, 12, 2, 1, np.uint16),
         (2, 8, 1, 2, np.float32),
-        (3, 6, 1, 1, np.uint16),
-        (3, 10, 2, 1, np.uint8),
+        pytest.param(3, 6, 1, 1, np.uint16, marks=pytest.mark.slow),
+        pytest.param(3, 10, 2, 1, np.uint8, marks=pytest.mark.slow),
     ],
 )
 def test_diversity_stitching(ndim, overlap, N_c, N_t, dtype):

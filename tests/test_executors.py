@@ -124,6 +124,7 @@ def test_fuse_with_mesh_matches_unsharded(monkeypatch):
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.slow
 def test_register_with_mesh_matches_unsharded():
     """register(mesh=...) shards the pairwise batch across the mesh and must
     reproduce the single-device transforms."""

@@ -188,6 +188,7 @@ def test_batched_ncc_matches_host_loop():
     )
 
 
+@pytest.mark.slow
 def test_masked_spearman_matches_scipy():
     """Tie-averaged ranks vs scipy.stats.spearmanr, including the all-True
     mask (regression: the scan sentinel once broke the final tie run)."""

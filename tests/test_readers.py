@@ -272,3 +272,60 @@ class TestCziZstd:
 
         with pytest.raises(NotImplementedError, match="JPEG XR"):
             czi_utils._decompress_subblock(b"xx", 4, np.uint16)
+
+
+def test_unknown_suffix_routes_to_aicsimageio_seam():
+    """Non-CZI/TIFF/Imaris/zarr suffixes delegate to the optional
+    aicsimageio catch-all (reference io.py:25); absent package -> clear
+    ImportError naming it."""
+    from multiview_stitcher_tpu import io as mvs_io
+
+    with pytest.raises(ImportError, match="aicsimageio"):
+        mvs_io.read_mosaic_into_sims("/tmp/nonexistent.lif")
+
+
+def test_aicsimageio_fallback_with_fake_backend(monkeypatch):
+    """Drive the fallback reader with a stub aicsimageio: tile stage
+    positions scale into physical translations, channel names carry over."""
+    import sys
+    import types
+
+    from multiview_stitcher_tpu import io as mvs_io
+
+    tiles = [
+        np.arange(2 * 1 * 1 * 8 * 10, dtype=np.uint16).reshape(2, 1, 1, 8, 10),
+        (np.arange(2 * 1 * 1 * 8 * 10, dtype=np.uint16) * 2).reshape(
+            2, 1, 1, 8, 10
+        ),
+    ]
+
+    class FakeAICSImage:
+        physical_pixel_sizes = types.SimpleNamespace(X=0.5, Y=0.25, Z=None)
+        channel_names = ["DAPI"]
+
+        def __init__(self, path, reconstruct_mosaic=False):
+            assert reconstruct_mosaic is False
+
+        def set_scene(self, idx):
+            assert idx == 0
+
+        def get_image_data(self, *a, **k):
+            if "M" in k:
+                return tiles[k["M"]]
+            return tiles[0]
+
+        def get_mosaic_tile_positions(self):
+            return [(0, 0), (4, 8)]  # (y, x) pixel offsets
+
+    fake_mod = types.SimpleNamespace(AICSImage=FakeAICSImage)
+    monkeypatch.setitem(sys.modules, "aicsimageio", fake_mod)
+    sims = mvs_io.read_mosaic_into_sims("/tmp/fake.lif")
+    assert len(sims) == 2
+    s0, s1 = sims
+    assert tuple(s0.dims) == ("t", "c", "y", "x")
+    assert s0.sizes["y"] == 8 and s0.sizes["x"] == 10
+    np.testing.assert_allclose(s0.origin["y"], 0.0)
+    np.testing.assert_allclose(s1.origin["y"], 4 * 0.25)
+    np.testing.assert_allclose(s1.origin["x"], 8 * 0.5)
+    np.testing.assert_allclose(s0.spacing["x"], 0.5)
+    assert list(np.asarray(s0.coords["c"])) == ["DAPI"]

@@ -229,6 +229,7 @@ def test_3d_singleton_z_reduction():
     np.testing.assert_allclose(m[1:3, 3], [-1.0, 1.0], atol=0.3)
 
 
+@pytest.mark.slow
 def test_fused_core_matches_host_path():
     """The one-dispatch fused registration core agrees with the
     host-orchestrated path."""
@@ -329,11 +330,14 @@ def test_fused_core_matches_host_path_nan_heavy():
 @pytest.mark.parametrize(
     "ndim,pruning,groupwise",
     [
-        (2, "shortest_paths_overlap_weighted", "shortest_paths"),
+        pytest.param(
+            2, "shortest_paths_overlap_weighted", "shortest_paths",
+            marks=pytest.mark.slow,
+        ),
         (2, "otsu_threshold_on_overlap", "global_optimization"),
         (2, "keep_axis_aligned", "global_optimization"),
         (2, "alternating_pattern", "linear_two_pass"),
-        (3, None, "global_optimization"),
+        pytest.param(3, None, "global_optimization", marks=pytest.mark.slow),
     ],
 )
 def test_register_matrix_pruning_groupwise(ndim, pruning, groupwise):

@@ -73,6 +73,7 @@ def test_streaming_matches_monolithic(ndim, force_streaming, monkeypatch):
     np.testing.assert_array_equal(out_s, out_m)
 
 
+@pytest.mark.slow
 def test_streaming_zarr_inputs_and_sink(tmp_path, force_streaming, monkeypatch):
     """Lazy zarr tiles -> streaming fuse -> zarr store, vs in-memory fuse."""
     from multiview_stitcher_tpu.io import zarr_backend
