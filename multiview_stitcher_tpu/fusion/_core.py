@@ -698,6 +698,7 @@ def _build_spatial_fusion_plan(
                 "views": chunk_views,
                 "output_bb": chunk_bb,
                 "output_bb_overlap": chunk_bb_ov,
+                "block_index": tuple(int(i) for i in block_index),
             }
         )
 
@@ -1111,9 +1112,32 @@ def fuse(
         else [()]
     )
 
+    # trim_overlap=False keeps each chunk's halo in the assembled output
+    # (reference fuse(trim_overlap=False): chunk i contributes
+    # chunk_shape+2*overlap pixels, diagnostic/halo-aware layout)
+    untrimmed = (not trim_overlap) and any(
+        overlap_in_pixels[d] > 0 for d in sdims
+    )
+    if untrimmed and output_zarr_url is not None:
+        raise NotImplementedError(
+            "trim_overlap=False is not supported with output_zarr_url"
+        )
+    if untrimmed:
+        normalized_untrimmed = normalize_chunks(
+            [output_chunksize[d] for d in sdims],
+            [output_stack_properties["shape"][d] for d in sdims],
+        )
+        spatial_out_shape = tuple(
+            sum(c + 2 * overlap_in_pixels[d] for c in chunks_d)
+            for d, chunks_d in zip(sdims, normalized_untrimmed)
+        )
+    else:
+        spatial_out_shape = tuple(
+            output_stack_properties["shape"][d] for d in sdims
+        )
     out_full_shape = tuple(
         len(ns_coord_lists[nd]) for nd in nsdims
-    ) + tuple(output_stack_properties["shape"][d] for d in sdims)
+    ) + spatial_out_shape
     out_dtype = np.dtype(sims_in[0].dtype)
 
     zarr_options = dict(zarr_options or {})
@@ -1266,11 +1290,21 @@ def fuse(
     else:
         if output_on_backend:
             output_array = jnp.asarray(output_array)
+        out_translation = dict(output_stack_properties["origin"])
+        if untrimmed:
+            # first chunk's extended origin (the layout is per-chunk
+            # extended tiles side by side; a single world grid no longer
+            # describes it — the origin anchors the first halo pixel)
+            for d in sdims:
+                out_translation[d] -= (
+                    overlap_in_pixels[d]
+                    * output_stack_properties["spacing"][d]
+                )
         out_sim = si_utils.to_spatial_image(
             output_array,
             dims=tuple(nsdims) + tuple(sdims),
             scale=output_stack_properties["spacing"],
-            translation=output_stack_properties["origin"],
+            translation=out_translation,
             t_coords=ns_coord_lists.get("t"),
             c_coords=ns_coord_lists.get("c"),
         )
@@ -1296,6 +1330,24 @@ class _PrefixedSink:
         if not isinstance(slices, tuple):
             slices = (slices,)
         self.array[self.prefix + slices] = value
+
+
+def _untrimmed_axis_positions(plan, sdims, overlap_in_pixels):
+    """Per-axis start offsets of each chunk's EXTENDED region in the
+    untrimmed (trim_overlap=False) output layout, where chunk i occupies
+    core_shape_i + 2*overlap pixels side by side."""
+    sizes = [dict() for _ in sdims]
+    for e in plan["per_chunk_entries"]:
+        for i, d in enumerate(sdims):
+            sizes[i][e["block_index"][i]] = int(e["output_bb"]["shape"][d])
+    pos = []
+    for i, d in enumerate(sdims):
+        cum, acc = {}, 0
+        for bi in sorted(sizes[i]):
+            cum[bi] = acc
+            acc += sizes[i][bi] + 2 * overlap_in_pixels[d]
+        pos.append(cum)
+    return pos
 
 
 def _extend_bb(bb: BoundingBox, overlap_in_pixels: Dict[str, int]) -> BoundingBox:
@@ -2212,7 +2264,35 @@ def _execute_fusion_plan_batched(
             O_max, mode, use_bw,
         )
 
+    untrimmed = (not trim_overlap) and any(
+        overlap_in_pixels[d] > 0 for d in sdims
+    )
+    untrimmed_pos = (
+        _untrimmed_axis_positions(plan, sdims, overlap_in_pixels)
+        if untrimmed
+        else None
+    )
+
     def write_batch(batch, fused_batch):
+        if untrimmed:
+            # per-chunk EXTENDED regions laid side by side (halos kept)
+            for bi, entry in enumerate(batch):
+                ext = tuple(
+                    int(entry["output_bb_overlap"]["shape"][d])
+                    for d in sdims
+                )
+                starts = [
+                    untrimmed_pos[i][entry["block_index"][i]]
+                    for i in range(ndim)
+                ]
+                out[
+                    tuple(
+                        slice(s, s + e) for s, e in zip(starts, ext)
+                    )
+                ] = fused_batch[bi][
+                    tuple(slice(0, e) for e in ext)
+                ].astype(out_dtype)
+            return
         for bi, entry in enumerate(batch):
             chunk_bb = entry["output_bb"]
             chunk_bb_ov = entry["output_bb_overlap"]
@@ -2346,10 +2426,16 @@ def _execute_fusion_plan(
     pallas_scale = _views_output_scale(
         field_sims, output_stack_properties, sdims
     )
+    # untrimmed output (trim_overlap=False with halos) writes per-chunk
+    # extended regions: only the batched/host tiers implement that layout
+    untrimmed = (not trim_overlap) and any(
+        overlap_in_pixels[d] > 0 for d in sdims
+    )
     pallas_base_eligible = (
         builtin_mode == "weighted_average"
         and weights_func is None
         and not (fusion_func_kwargs or {})
+        and not untrimmed
         and (
             ndim == 2
             or (
@@ -2440,6 +2526,7 @@ def _execute_fusion_plan(
         builtin_mode is not None
         and weights_func is None
         and not (fusion_func_kwargs or {})
+        and not untrimmed
         and len(tile_shapes) == 1
         and tiles_fit_on_device
         and _plan_is_axis_aligned(plan["sparams"], ndim)
@@ -2538,8 +2625,21 @@ def _execute_fusion_plan(
             blending_widths=blending_widths,
             shrink_distance=shrink_distance,
         )
+        if untrimmed:
+            # per-chunk EXTENDED regions laid side by side (halos kept)
+            pos = _untrimmed_axis_positions(plan, sdims, overlap_in_pixels)
+            starts_u = [
+                pos[i][entry["block_index"][i]] for i in range(ndim)
+            ]
+            ext = tuple(
+                int(chunk_bb_ov["shape"][d]) for d in sdims
+            )
+            out[
+                tuple(slice(s, s + e) for s, e in zip(starts_u, ext))
+            ] = fused
+            continue
         if not trim_overlap:
-            # result covers the extended bb; cut the core region
+            # overlap used for halo correctness only; cut the core region
             core = tuple(
                 slice(
                     overlap_in_pixels[d],

@@ -640,3 +640,139 @@ def test_large_shape_fusion_beyond_uint16_limit():
     assert fused.shape[-1] == 100000
     out = fused.to_numpy()
     np.testing.assert_allclose(out[:, ::1000], 1.0, atol=1e-5)
+
+
+def test_fuse_trim_overlap_false_keeps_chunk_halos():
+    """trim_overlap=False assembles each chunk's EXTENDED region side by
+    side (reference test_fusion.py:440: 10x10 input, chunk 5, overlap 1 ->
+    14x14 with per-chunk halos kept; out-of-array halo pixels are 0)."""
+    sim = si_utils.get_sim_from_array(
+        np.ones((10, 10), np.float32), dims=("y", "x")
+    )
+    kw = dict(
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        fusion_func=fusion.max_fusion,
+        output_chunksize={"y": 5, "x": 5},
+        overlap_in_pixels=1,
+    )
+    trimmed = fusion.fuse([sim], **kw)
+    untrimmed = fusion.fuse([sim], **kw, trim_overlap=False)
+    assert trimmed.shape == (10, 10)
+    assert untrimmed.shape == (14, 14)
+    d = untrimmed.to_numpy()
+    assert d[0, :].max() == 0 and d[:, 0].max() == 0  # outer halo
+    assert d[1:-1, 1:-1].min() == 1  # array interior incl. shared halos
+    # origin anchors the first halo pixel (one spacing before the grid)
+    np.testing.assert_allclose(untrimmed.origin["y"], -1.0)
+
+
+def test_fuse_trim_overlap_false_custom_func_host_tier():
+    """The untrimmed layout also holds on the host (extension-API) tier."""
+    sim = si_utils.get_sim_from_array(
+        np.full((10, 10), 7.0, np.float32), dims=("y", "x")
+    )
+
+    def custom(transformed_views):
+        return np.nanmax(np.asarray(transformed_views), axis=0)
+
+    un = fusion.fuse(
+        [sim], transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        fusion_func=custom, output_chunksize={"y": 5, "x": 5},
+        overlap_in_pixels=1, trim_overlap=False,
+    )
+    assert un.shape == (14, 14)
+    assert un.to_numpy()[1:-1, 1:-1].min() == 7
+
+
+def test_fuse_rejects_mixed_sims_and_msims():
+    sim = si_utils.get_sim_from_array(
+        np.zeros((8, 8), np.uint16), dims=("y", "x")
+    )
+    msim = msi_utils.get_msim_from_sim(sim, scale_factors=[])
+    with pytest.raises(ValueError, match="same kind"):
+        fusion.fuse(
+            [msim, sim], transform_key=si_utils.DEFAULT_TRANSFORM_KEY
+        )
+
+
+def test_fuse_grid_aligned_chunk_edge_tolerates_coordinate_roundoff():
+    """Large origins make coordinate diffs noisier than the spacing; the
+    output grid mapping must not drop or duplicate a pixel (reference
+    test_fusion.py:533)."""
+    origin = 861.5120670572916
+    scale = 0.13810709635416665
+    sim = si_utils.get_sim_from_array(
+        np.ones((2, 4084), np.uint16), dims=("y", "x"),
+        scale={"y": scale, "x": scale},
+        translation={"y": 0.0, "x": origin},
+    )
+    isc = si_utils.get_spacing_from_sim(sim)["x"]
+    op = {
+        "origin": {"y": 0.0, "x": origin - 9 * isc},
+        "spacing": {"y": isc, "x": isc},
+        "shape": {"y": 2, "x": 4093},
+    }
+    fused = fusion.fuse(
+        [sim], transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        fusion_func=fusion.max_fusion, interpolation_order=0,
+        output_stack_properties=op, output_chunksize={"y": 2, "x": 4084},
+    )
+    expected = np.tile(
+        np.concatenate(
+            [np.zeros(9, np.uint16), np.ones(4084, np.uint16)]
+        ),
+        (2, 1),
+    )
+    np.testing.assert_array_equal(np.squeeze(fused.to_numpy()), expected)
+
+
+def test_fuse_fractional_translations_output_grid():
+    """Fractional (subpixel) stage translations: the union output grid
+    stops at the last valid pixel center and every pixel is covered
+    (reference test_fusion.py:756)."""
+    a = 8.5
+    sims = []
+    for i, tr in enumerate(
+        [{"y": 0, "x": 0}, {"y": a, "x": 0}, {"y": 0, "x": a},
+         {"y": a, "x": a}]
+    ):
+        sims.append(
+            si_utils.get_sim_from_array(
+                np.full((2, 10, 10), i + 1, np.uint16),
+                dims=("c", "y", "x"), translation=tr,
+                c_coords=["DAPI", "GFP"],
+            )
+        )
+    fused = fusion.fuse(
+        sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_chunksize={"y": 5, "x": 5},
+    )
+    assert fused.sizes["y"] == 18 and fused.sizes["x"] == 18
+    d = fused.to_numpy()
+    assert d.max() == 4 and d.min() > 0
+
+
+def test_fuse_singleton_chunk_preserves_spacing():
+    """A chunk seeing a single source pixel must keep the requested output
+    spacing rather than any singleton-coordinate fallback (reference
+    test_fusion.py:481)."""
+    sim = si_utils.get_sim_from_array(
+        np.ones((2, 20), np.uint16), dims=("y", "x"),
+        scale={"y": 0.3, "x": 0.3}, translation={"y": 0.0, "x": 0.0},
+    )
+    op = {
+        "origin": {"y": 0.0, "x": -2.7},
+        "spacing": {"y": 0.3, "x": 0.3},
+        "shape": {"y": 2, "x": 29},
+    }
+    fused = fusion.fuse(
+        [sim], transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        fusion_func=fusion.max_fusion, interpolation_order=0,
+        output_stack_properties=op, output_chunksize={"y": 2, "x": 10},
+    )
+    np.testing.assert_allclose(fused.spacing["x"], 0.3)
+    expected = np.tile(
+        np.concatenate([np.zeros(9, np.uint16), np.ones(20, np.uint16)]),
+        (2, 1),
+    )
+    np.testing.assert_array_equal(np.squeeze(fused.to_numpy()), expected)
