@@ -418,9 +418,29 @@ def set_sim_affine(sim: Sim, xaffine, transform_key: str = DEFAULT_TRANSFORM_KEY
 
 
 def sim_sel_coords(sim: Sim, sel_dict: Dict[str, Any]) -> Sim:
-    """Select by coordinate value along non-spatial dims (reference :1278)."""
+    """Select by coordinate value (reference :1278).
+
+    Non-spatial dims select by exact coord value; spatial dims accept
+    WORLD-coordinate slices (inclusive bounds, like xarray label slicing).
+    A spatial selection also filters every attached point set to the
+    selected world window (reference spatial_image_utils.py:1278 +
+    point-set semantics, _tests/test_spatial_image_utils.py:525).
+    """
     indexers = {}
+    sdims = sim.spatial_dims
+    spatial_window = {}
     for dim, value in sel_dict.items():
+        if dim in sdims and isinstance(value, slice):
+            o, sp = sim.origin[dim], sim.spacing[dim]
+            lo = value.start if value.start is not None else -np.inf
+            hi = value.stop if value.stop is not None else np.inf
+            i0 = max(0, int(np.ceil((lo - o) / sp - 1e-9)))
+            i1 = min(
+                sim.sizes[dim] - 1, int(np.floor((hi - o) / sp + 1e-9))
+            )
+            indexers[dim] = slice(i0, i1 + 1)
+            spatial_window[dim] = (o + i0 * sp, o + i1 * sp)
+            continue
         coords = np.asarray(sim.coords.get(dim, np.arange(sim.sizes[dim])))
         if np.isscalar(value) or np.asarray(value).ndim == 0:
             matches = np.where(coords == value)[0]
@@ -431,7 +451,22 @@ def sim_sel_coords(sim: Sim, sel_dict: Dict[str, Any]) -> Sim:
             indexers[dim] = np.array(
                 [int(np.where(coords == v)[0][0]) for v in np.asarray(value)]
             )
-    return sim.isel(indexers)
+    out = sim.isel(indexers)
+    if spatial_window and "point_sets" in out.attrs:
+        filtered = {}
+        for key, pts in out.attrs["point_sets"].items():
+            pts = np.asarray(pts)
+            keep = np.ones(len(pts), dtype=bool)
+            for i, d in enumerate(sdims):
+                if d in spatial_window:
+                    lo, hi = spatial_window[d]
+                    keep &= (pts[:, i] >= lo - 1e-9) & (
+                        pts[:, i] <= hi + 1e-9
+                    )
+            filtered[key] = pts[keep]
+        out.attrs = dict(out.attrs)
+        out.attrs["point_sets"] = filtered
+    return out
 
 
 def ensure_time_dim(sim: Sim) -> Sim:

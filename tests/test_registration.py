@@ -516,3 +516,146 @@ def test_register_undoes_non_identity_initial_transform():
         fused[:h, :w][core].astype(float) - full[:h, :w][core]
     )
     assert np.median(err) < 1.0
+
+
+def test_reg_channel_by_name_matches_index():
+    """reg_channel='name' selects the same data as reg_channel_index
+    (reference test_registration.py:660)."""
+    sims = sample_data.generate_tiled_dataset(
+        ndim=2, N_c=2, N_t=1, tile_size=48, tiles_x=2, tiles_y=1,
+        overlap=12, zoom=3, shift_scale=1.0, drift_scale=0.0,
+    )
+    # name the channels
+    for s in sims:
+        s.coords["c"] = ["DAPI", "GFP"]
+    msims = [msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims]
+    p_idx = registration.register(
+        [m.copy() for m in msims],
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        reg_channel_index=1, pre_registration_pruning_method=None,
+    )
+    p_name = registration.register(
+        [m.copy() for m in msims],
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        reg_channel="GFP", pre_registration_pruning_method=None,
+    )
+    for a, b in zip(p_idx, p_name):
+        np.testing.assert_allclose(
+            np.asarray(a.squeeze()), np.asarray(b.squeeze()), atol=1e-9
+        )
+
+
+def test_iterative_registration_chains_transform_keys():
+    """A second register() round can start from the first round's resolved
+    key and write a new key (reference test_registration.py:339)."""
+    sims = sample_data.generate_tiled_dataset(
+        ndim=2, N_c=1, N_t=1, tile_size=48, tiles_x=2, tiles_y=1,
+        overlap=12, zoom=3, shift_scale=1.5, drift_scale=0.0,
+    )
+    msims = [msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims]
+    registration.register(
+        msims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        new_transform_key="round1", reg_channel_index=0,
+        pre_registration_pruning_method=None,
+    )
+    registration.register(
+        msims, transform_key="round1", new_transform_key="round2",
+        reg_channel_index=0, pre_registration_pruning_method=None,
+    )
+    sim0 = msi_utils.get_sim_from_msim(msims[0])
+    # round 2 starts from an already-registered state: its incremental
+    # correction on top of round1 must be tiny
+    p1 = np.asarray(
+        si_utils.get_affine_from_sim(sim0, "round1").squeeze()
+    )
+    p2 = np.asarray(
+        si_utils.get_affine_from_sim(sim0, "round2").squeeze()
+    )
+    assert np.abs(p2 - p1).max() < 0.5
+
+
+def test_marker_descriptor_matching_matches_bruteforce():
+    """kd-tree descriptor matching equals the O(n^2) definition: nearest
+    descriptor, ratio test vs the best DIFFERENT moving point (reference
+    test_registration.py:882)."""
+    rng = np.random.default_rng(5)
+    fixed = rng.uniform(0, 100, (25, 2))
+    moving = fixed @ np.eye(2) + rng.normal(0, 0.01, (25, 2))
+    fv, fi = registration._marker_descriptors(fixed, 3, 1)
+    mv, mi = registration._marker_descriptors(moving, 3, 1)
+    thr = registration._marker_auto_threshold(fixed, moving, 3, 1.0)
+    pairs = registration._match_descriptors(fv, fi, mv, mi, 3.0, thr)
+
+    # brute force
+    import itertools
+
+    cand = {}
+    for fvec, fidx in zip(fv, fi):
+        d = np.linalg.norm(mv - fvec, axis=1)
+        order = np.argsort(d)
+        best = d[order[0]]
+        best_mi = mi[order[0]]
+        if best >= thr:
+            continue
+        others = [j for j in order[1:] if mi[j] != best_mi]
+        second = d[others[0]] if others else np.inf
+        if best * 3.0 < second:
+            key = int(fidx)
+            if key not in cand or best < cand[key][1]:
+                cand[key] = (int(best_mi), best)
+    brute = {(k, v[0]) for k, v in cand.items()}
+    assert set(map(tuple, pairs)) == brute
+
+
+def test_marker_icp_refines_transform():
+    """ICP polish on a noisy RANSAC seed converges to the true transform
+    (reference test_registration.py:977)."""
+    rng = np.random.default_rng(6)
+    fixed = rng.uniform(0, 100, (40, 2))
+    th = 0.05
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    moving = fixed @ R.T + np.array([3.0, -2.0])
+    gt = np.eye(3)
+    gt[:2, :2] = R
+    gt[:2, 2] = [3.0, -2.0]
+    seed = gt.copy()
+    seed[:2, 2] += [0.8, -0.6]  # perturbed initial guess
+    refined, quality = registration._run_marker_icp(
+        fixed, moving, seed, 0.2, "rigid",
+        icp_max_error=5.0, icp_num_iterations=50, icp_tolerance=1e-9,
+    )
+    aligned = param_utils.transform_pts(fixed, refined)
+    assert np.linalg.norm(aligned - moving, axis=1).max() < 1e-6
+    assert quality > 0.9
+
+
+def test_register_res_level_selection():
+    """reg_res_level forces registration at a coarser pyramid level; the
+    result still recovers the (coarse-scale) shift (reference
+    test_registration.py:1166)."""
+    sims = sample_data.generate_tiled_dataset(
+        ndim=2, N_c=1, N_t=1, tile_size=96, tiles_x=2, tiles_y=1,
+        overlap=24, zoom=3, shift_scale=1.0, drift_scale=0.0,
+    )
+    msims = [
+        msi_utils.get_msim_from_sim(s, scale_factors=[2]) for s in sims
+    ]
+    params_fine = registration.register(
+        [m.copy() for m in msims],
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        reg_channel_index=0, pre_registration_pruning_method=None,
+    )
+    params_coarse = registration.register(
+        [m.copy() for m in msims],
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        reg_channel_index=0, reg_res_level=1,
+        pre_registration_pruning_method=None,
+    )
+    # both recover the same relative shift within a coarse pixel
+    rel_f = np.asarray(params_fine[1].squeeze())[:2, 2] - np.asarray(
+        params_fine[0].squeeze()
+    )[:2, 2]
+    rel_c = np.asarray(params_coarse[1].squeeze())[:2, 2] - np.asarray(
+        params_coarse[0].squeeze()
+    )[:2, 2]
+    assert np.abs(rel_f - rel_c).max() <= 2.0

@@ -171,3 +171,52 @@ def test_lazy_concat_stays_lazy(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(combined.data[1, 4:8, 2:6]), arrs[1][4:8, 2:6]
     )
+
+
+def test_point_set_spatial_selection_filters_points():
+    """World-coordinate spatial slices select data AND filter attached
+    point sets to the window (reference test_spatial_image_utils.py:525)."""
+    sim = si_utils.get_sim_from_array(
+        np.zeros((5, 5)), dims=("y", "x"),
+        scale={"y": 1.0, "x": 2.0}, translation={"y": 10.0, "x": 20.0},
+    )
+    pts = np.array([[10.0, 20.0], [12.0, 24.0], [14.0, 28.0]])
+    si_utils.set_point_set(sim, pts)
+    sel = si_utils.sim_sel_coords(
+        sim, {"y": slice(10.0, 12.0), "x": slice(20.0, 24.0)}
+    )
+    assert sel.sizes["y"] == 3 and sel.sizes["x"] == 3
+    np.testing.assert_allclose(sel.origin["y"], 10.0)
+    got = si_utils.get_point_set(sel)
+    np.testing.assert_allclose(got, pts[:2])
+    # original sim's point set untouched
+    np.testing.assert_allclose(si_utils.get_point_set(sim), pts)
+
+
+def test_max_project_sim():
+    rng = np.random.default_rng(0)
+    vol = rng.random((4, 6, 8)).astype(np.float32)
+    sim = si_utils.get_sim_from_array(
+        vol, dims=("z", "y", "x"), scale={"z": 2.0, "y": 1.0, "x": 1.0},
+        translation={"z": 1.0, "y": 0.0, "x": 0.0},
+    )
+    si_utils.set_sim_affine(sim, np.eye(4), transform_key="affine")
+    proj = si_utils.max_project_sim(sim, dim="z")
+    assert tuple(proj.dims) == ("y", "x")
+    np.testing.assert_allclose(proj.to_numpy(), vol.max(axis=0))
+    # the projected transform drops the z row/col
+    p = np.asarray(
+        si_utils.get_affine_from_sim(proj, "affine").squeeze()
+    )
+    assert p.shape == (3, 3)
+
+
+def test_get_extent_from_sim():
+    sim = si_utils.get_sim_from_array(
+        np.zeros((5, 11)), dims=("y", "x"),
+        scale={"y": 2.0, "x": 0.5}, translation={"y": 1.0, "x": -1.0},
+    )
+    # reference semantics: span between first and last pixel center
+    ext = si_utils.get_extent_from_sim(sim)
+    np.testing.assert_allclose(ext["y"], 4 * 2.0)
+    np.testing.assert_allclose(ext["x"], 10 * 0.5)
