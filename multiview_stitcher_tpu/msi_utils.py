@@ -267,6 +267,37 @@ def concat(msims: Sequence[Msim], dim: str) -> Msim:
     return Msim(sims=out_sims)
 
 
+def stack(msims: Sequence[Msim], dim: str = "t", coords=None) -> Msim:
+    """Stack msims along a NEW dim, per scale (reference msi_utils.py:869).
+
+    Zarr-backed levels stay lazy through :func:`si_utils.stack` (new axis
+    with per-view windows); transforms gain the stacked coordinate like any
+    sims-level stack.
+    """
+    n_scales = min(len(m.sims) for m in msims)
+    return Msim(
+        sims=[
+            si_utils.stack([m.sims[i] for m in msims], dim, coords=coords)
+            for i in range(n_scales)
+        ]
+    )
+
+
+def get_first_scale_above_target_spacing(
+    msim: Msim, target_spacing: float, dim: str = "y"
+) -> str:
+    """First scale (finest to coarsest) whose spacing along ``dim`` exceeds
+    ``target_spacing``; the coarsest scale when none does (reference
+    msi_utils.py:642). Used to pick a registration resolution level."""
+    scale_keys = get_sorted_scale_keys(msim)
+    scale = scale_keys[0]
+    for scale in scale_keys:
+        sp = si_utils.get_spacing_from_sim(msim.get_scale(scale))[dim]
+        if sp > target_spacing:
+            break
+    return scale
+
+
 def sim_map_blocks(sim: Sim, func, *args, dtype=None, **kwargs) -> Sim:
     """Apply ``func`` to the image data, keeping coords/transforms intact.
 

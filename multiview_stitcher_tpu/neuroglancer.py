@@ -77,6 +77,17 @@ def _default_layout(sims) -> str:
 
 _LAYER_COLORS = ["#ffffff", "#00ff00", "#ff00ff", "#00ffff", "#ffff00", "#ff8000"]
 
+# RGB palette cycled by use_positional_colors (shared intent with the
+# reference's _POSITIONAL_COLOR_PALETTE, vis_utils.py:36)
+_POSITIONAL_COLORS = [
+    (0.0, 1.0, 0.0),
+    (1.0, 0.0, 1.0),
+    (0.0, 1.0, 1.0),
+    (1.0, 1.0, 0.0),
+    (1.0, 0.5, 0.0),
+    (0.4, 0.4, 1.0),
+]
+
 
 def generate_neuroglancer_json(
     ome_zarr_paths: Optional[List[str]],
@@ -91,6 +102,8 @@ def generate_neuroglancer_json(
     layout: Optional[str] = None,
     source_dims: Optional[list] = None,
     time_index: int = 0,
+    use_positional_colors: bool = False,
+    n_positional_colors: int = 2,
 ) -> dict:
     """Neuroglancer viewer state with one layer per zarr source.
 
@@ -123,6 +136,50 @@ def generate_neuroglancer_json(
             dimensions["c'"] = [1, ""]
         elif d in sdims:
             dimensions[d] = _dimension_spec(spacing[d], "micrometer")
+
+    # channel selection: a layer-local c' dimension pinned to the index of
+    # channel_coord (reference neuroglancer.py:288-305)
+    channel_index = 0
+    if channel_coord is not None:
+        if "c" not in dims:
+            raise ValueError(
+                "channel_coord was provided, but the image has no channels."
+            )
+        c_coords = [str(c) for c in np.asarray(sim0.coords["c"])]
+        try:
+            channel_index = c_coords.index(str(channel_coord))
+        except ValueError:
+            raise ValueError(
+                f"Channel {channel_coord!r} not found in {c_coords}."
+            ) from None
+
+    # positional colors: greedy graph coloring so overlapping/adjacent
+    # tiles render in different solid colors (reference
+    # vis_utils.py:1478 routes through OMERO metadata; here the colors go
+    # straight into per-layer neuroglancer shaders)
+    layer_shaders = None
+    if use_positional_colors:
+        if transform_key is None:
+            raise ValueError(
+                "use_positional_colors requires a transform_key."
+            )
+        from multiview_stitcher_tpu import mv_graph
+
+        greedy = mv_graph.get_greedy_colors(
+            sims, n_colors=n_positional_colors, transform_key=transform_key
+        )
+        layer_shaders = []
+        for i in range(len(sims)):
+            rgb = _POSITIONAL_COLORS[
+                greedy[i] % len(_POSITIONAL_COLORS)
+            ]
+            vec = ", ".join(f"{v:.3f}" for v in rgb)
+            layer_shaders.append(
+                "#uicontrol invlerp normalized\n"
+                "void main() {"
+                f" emitRGB(vec3({vec}) * normalized()); "
+                "}"
+            )
 
     layers = []
     for i, (url, sim, sdim_list) in enumerate(
@@ -170,13 +227,35 @@ def generate_neuroglancer_json(
             "name": f"view {i}",
             "shaderControls": {},
         }
+        if "c" in sdim_list:
+            layer["localDimensions"] = {"c'": [1, ""]}
+            layer["localPosition"] = [channel_index]
         if contrast_limits is not None:
             layer["shaderControls"]["normalized"] = {
                 "range": list(contrast_limits)
             }
+        if layer_shaders is not None:
+            layer["shader"] = layer_shaders[i]
         if layer_dicts is not None and i < len(layer_dicts):
             layer.update(layer_dicts[i])
         layers.append(layer)
+
+    if single_layer:
+        # all sources in ONE layer named "Tiles" (reference
+        # neuroglancer.py:413-456): shared local channel dim, first
+        # layer's display settings win
+        merged = {
+            "type": "image",
+            "source": [lyr["source"] for lyr in layers],
+            "name": "Tiles",
+            "shaderControls": layers[0]["shaderControls"] if layers else {},
+        }
+        if any("c" in sd for sd in source_dims):
+            merged["localDimensions"] = {"c'": [1, ""]}
+            merged["localPosition"] = [channel_index]
+        if layer_dicts:
+            merged.update(layer_dicts[0])
+        layers = [merged]
 
     state = {
         "dimensions": dimensions,

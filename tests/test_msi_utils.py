@@ -112,6 +112,44 @@ def test_get_msim_from_sims_groups_scales():
     assert msim.get_scale(keys[1]).sizes["y"] == 16
 
 
+def test_stack_msims_and_scale_selection():
+    """msi_utils.stack adds a new leading dim per scale (reference
+    msi_utils.py:869); get_first_scale_above_target_spacing picks the
+    registration level (reference msi_utils.py:642)."""
+    msims = []
+    for i in range(3):
+        sim = si_utils.get_sim_from_array(
+            np.full((128, 128), float(i), np.float32),
+            scale={"y": 0.5, "x": 0.5},
+        )
+        msims.append(
+            msi_utils.get_msim_from_sim(
+                sim, scale_factors=[{"y": 2, "x": 2}]
+            )
+        )
+    stacked = msi_utils.stack(msims, dim="t")
+    s0 = stacked.get_scale("scale0")
+    assert s0.sizes["t"] == 3 and s0.sizes["y"] == 128
+    np.testing.assert_allclose(
+        s0.to_numpy()[2], np.full((128, 128), 2.0)
+    )
+    s1 = stacked.get_scale("scale1")
+    assert s1.sizes["t"] == 3 and s1.sizes["y"] == 64
+
+    # spacing/levels: 0.5 (scale0), 1.0 (scale1)
+    assert msi_utils.get_first_scale_above_target_spacing(
+        msims[0], 0.75
+    ) == "scale1"
+    # nothing above 10 -> coarsest
+    assert msi_utils.get_first_scale_above_target_spacing(
+        msims[0], 10.0
+    ) == "scale1"
+    # everything above 0.1 -> finest breaks immediately
+    assert msi_utils.get_first_scale_above_target_spacing(
+        msims[0], 0.1
+    ) == "scale0"
+
+
 def test_point_set_roundtrip():
     """Bead/marker point sets attach to an msim and persist selection."""
     sim = si_utils.get_sim_from_array(np.zeros((8, 8), np.float32))

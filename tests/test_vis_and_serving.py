@@ -113,6 +113,74 @@ def test_neuroglancer_json_and_url():
     assert url.startswith("https://") and "#!" in url
 
 
+def test_neuroglancer_channel_coord_and_single_layer():
+    """channel_coord pins each layer's local channel position; single_layer
+    merges all sources into one 'Tiles' layer (reference
+    neuroglancer.py:288-305, 413-456)."""
+    sims = [
+        si_utils.get_sim_from_array(
+            np.zeros((3, 16, 16), dtype=np.uint16),
+            dims=("c", "y", "x"),
+            c_coords=["dapi", "gfp", "tritc"],
+        )
+        for _ in range(2)
+    ]
+    for s in sims:
+        si_utils.set_sim_affine(s, np.eye(3), transform_key="registered")
+    urls = ["http://localhost/0", "http://localhost/1"]
+    state = neuroglancer.generate_neuroglancer_json(
+        None, urls, sims=sims, transform_key="registered",
+        channel_coord="gfp",
+    )
+    assert all(lyr["localPosition"] == [1] for lyr in state["layers"])
+    assert all(lyr["localDimensions"] == {"c'": [1, ""]}
+               for lyr in state["layers"])
+
+    with pytest.raises(ValueError, match="not found"):
+        neuroglancer.generate_neuroglancer_json(
+            None, urls, sims=sims, transform_key="registered",
+            channel_coord="nope",
+        )
+
+    merged = neuroglancer.generate_neuroglancer_json(
+        None, urls, sims=sims, transform_key="registered",
+        channel_coord="tritc", single_layer=True,
+    )
+    assert len(merged["layers"]) == 1
+    lyr = merged["layers"][0]
+    assert lyr["name"] == "Tiles"
+    assert len(lyr["source"]) == 2
+    assert lyr["localPosition"] == [2]
+    # per-source transforms survive the merge
+    assert all("transform" in src for src in lyr["source"])
+
+
+def test_neuroglancer_positional_colors():
+    """use_positional_colors assigns solid-color shaders so overlapping
+    tiles differ (reference vis_utils.py:1478 via OMERO metadata; here
+    straight into layer shaders)."""
+    sims = sample_data.generate_tiled_dataset(
+        ndim=2, N_c=1, N_t=1, tile_size=32, tiles_x=2, tiles_y=1,
+        overlap=8, zoom=4, shift_scale=0.0, drift_scale=0.0,
+    )
+    state = neuroglancer.generate_neuroglancer_json(
+        None,
+        [f"http://localhost/{i}" for i in range(len(sims))],
+        sims=sims,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        use_positional_colors=True,
+    )
+    shaders = [lyr["shader"] for lyr in state["layers"]]
+    assert all("emitRGB" in s for s in shaders)
+    # the two overlapping tiles get DIFFERENT colors
+    assert shaders[0] != shaders[1]
+
+    with pytest.raises(ValueError, match="transform_key"):
+        neuroglancer.generate_neuroglancer_json(
+            None, ["u0"], sims=sims[:1], use_positional_colors=True,
+        )
+
+
 class TestVirtualServing:
     def test_virtual_store_keys(self):
         sim = si_utils.get_sim_from_array(
