@@ -36,7 +36,12 @@ class VirtualOMEZarr:
     ``get(key)`` returns the bytes for a zarr store key, or None.
     """
 
-    def __init__(self, image: Union[Sim, Msim], chunks: Optional[dict] = None):
+    def __init__(
+        self,
+        image: Union[Sim, Msim],
+        chunks: Optional[dict] = None,
+        omero: Optional[dict] = None,
+    ):
         self.msim = (
             image
             if isinstance(image, Msim)
@@ -87,7 +92,11 @@ class VirtualOMEZarr:
                 }
             ]
         }
-        if "c" in self.dims:
+        if omero is not None:
+            # caller-provided display metadata wins verbatim (reference
+            # ngff_utils.serve_virtual_ome_zarrs omero_channels override)
+            self.attrs["omero"] = omero
+        elif "c" in self.dims:
             self.attrs["omero"] = {
                 "channels": [
                     {
@@ -252,18 +261,29 @@ def serve_virtual_ome_zarrs(
     port: int = 8000,
     transform_key: Optional[str] = None,
     names: Optional[List[str]] = None,
+    omero_channels: Optional[List[dict]] = None,
 ):
     """Serve images as virtual OME-Zarrs at ``/{i}.ome.zarr`` (reference :955).
+
+    ``omero_channels`` optionally carries one omero display-metadata dict
+    per image, served verbatim in each store's root .zattrs.
 
     Returns the server; call ``server.shutdown()`` when done.
     """
     if names is None:
         names = [f"{i}.ome.zarr" for i in range(len(images))]
+    if omero_channels is None:
+        omero_channels = [None] * len(images)
 
     handler_cls = type(
         "Handler",
         (_VirtualHandler,),
-        {"stores": {name: VirtualOMEZarr(im) for name, im in zip(names, images)}},
+        {
+            "stores": {
+                name: VirtualOMEZarr(im, omero=om)
+                for name, im, om in zip(names, images, omero_channels)
+            }
+        },
     )
     server = socketserver.ThreadingTCPServer(("127.0.0.1", port), handler_cls)
     server.daemon_threads = True

@@ -241,6 +241,46 @@ class TestVirtualServing:
             server.shutdown()
 
 
+def test_virtual_store_edge_chunk_padding():
+    """Edge chunks are served zero-padded to the FULL chunk shape, as
+    zarr stores them (reference test_ngff_utils.py:510)."""
+    data = np.arange(5 * 6, dtype=np.uint16).reshape(5, 6)
+    sim = si_utils.get_sim_from_array(data)
+    v = virtual_ngff.VirtualOMEZarr(sim, chunks={"y": 3, "x": 4})
+    zarray = json.loads(v.get("0/.zarray"))
+    assert zarray["chunks"] == [3, 4]
+    # bottom-right corner chunk covers data[3:5, 4:6] -> padded to (3, 4)
+    chunk = np.frombuffer(v.get("0/1.1"), dtype=np.uint16).reshape(3, 4)
+    np.testing.assert_array_equal(chunk[:2, :2], data[3:5, 4:6])
+    assert (chunk[2, :] == 0).all() and (chunk[:, 2:] == 0).all()
+
+
+def test_serve_virtual_ome_zarrs_omero_override():
+    """Caller-provided omero display metadata is served verbatim
+    (reference test_ngff_utils.py:482)."""
+    sim = si_utils.get_sim_from_array(np.zeros((5, 6), dtype=np.uint16))
+    omero = {
+        "channels": [
+            {
+                "color": "ff0000",
+                "label": "0",
+                "active": True,
+                "window": {"min": 0, "max": 10, "start": 1, "end": 9},
+            }
+        ]
+    }
+    server = virtual_ngff.serve_virtual_ome_zarrs(
+        [sim], port=0, omero_channels=[omero]
+    )
+    try:
+        store = next(
+            iter(server.RequestHandlerClass.stores.values())
+        )
+        assert json.loads(store.get(".zattrs"))["omero"] == omero
+    finally:
+        server.shutdown()
+
+
 def test_virtual_plate_store():
     from multiview_stitcher_tpu.io.virtual_ngff import VirtualOMEZarrPlate
 
