@@ -659,3 +659,56 @@ def test_register_res_level_selection():
         params_coarse[0].squeeze()
     )[:2, 2]
     assert np.abs(rel_f - rel_c).max() <= 2.0
+
+
+def test_overlap_tolerance_registers_nonoverlapping_metadata():
+    """overlap_tolerance extends view extents so tiles whose METADATA says
+    they no longer overlap still get an adjacency edge and register; the
+    recovered relative shift differs from the unshifted case by exactly
+    the metadata displacement (reference test_registration.py:1097)."""
+    overlap_x = 10
+    sims = sample_data.generate_tiled_dataset(
+        ndim=2, N_c=1, N_t=1, tile_size=30, tiles_x=2, tiles_y=1,
+        overlap=overlap_x, zoom=4, shift_scale=0.0, drift_scale=0.0,
+    )
+    sim0, sim1 = sims
+    # displace tile 1's metadata by the whole overlap: nominal overlap -> 0
+    sim1_shifted = sim1.copy()
+    sim1_shifted.origin = dict(sim1.origin)
+    sim1_shifted.origin["x"] = sim1.origin["x"] + overlap_x
+    sim1_shifted.transforms = {
+        k: v.copy() for k, v in sim1.transforms.items()
+    }
+
+    def msims_of(pair):
+        return [
+            msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in pair
+        ]
+
+    # without tolerance there is no edge to register
+    with pytest.raises(mv_graph.NotEnoughOverlapError):
+        registration.register(
+            msims_of([sim0, sim1_shifted]),
+            transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+            reg_channel_index=0,
+            pre_registration_pruning_method=None,
+        )
+
+    params_orig = registration.register(
+        msims_of([sim0, sim1]),
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        reg_channel_index=0,
+        pre_registration_pruning_method=None,
+    )
+    params_shifted = registration.register(
+        msims_of([sim0, sim1_shifted]),
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        overlap_tolerance={"x": float(overlap_x)},
+        reg_channel_index=0,
+        pre_registration_pruning_method=None,
+    )
+    rel = lambda p: (
+        np.asarray(p[1].squeeze())[:2, 2] - np.asarray(p[0].squeeze())[:2, 2]
+    )
+    diff = rel(params_shifted) - rel(params_orig)
+    np.testing.assert_allclose(diff, [0.0, -overlap_x], atol=1.5)
