@@ -712,3 +712,53 @@ def test_overlap_tolerance_registers_nonoverlapping_metadata():
     )
     diff = rel(params_shifted) - rel(params_orig)
     np.testing.assert_allclose(diff, [0.0, -overlap_x], atol=1.5)
+
+
+@pytest.mark.parametrize("ndim", [2, 3])
+def test_marker_based_registration_recovers_rotation_only(ndim):
+    """RGLDM descriptor matching + RANSAC (+ICP) recovers a pure rotation
+    between point sets (reference test_registration.py:1005)."""
+    from multiview_stitcher_tpu import transformation
+
+    rng = np.random.default_rng(100 + ndim)
+    moving_points = rng.uniform(0, 100, size=(36, ndim))
+    if ndim == 2:
+        angle = 0.8
+        expected = np.eye(3)
+        expected[:2, :2] = [
+            [np.cos(angle), -np.sin(angle)],
+            [np.sin(angle), np.cos(angle)],
+        ]
+    else:
+        direction = np.array([0.3, -0.2, 1.0])
+        expected = param_utils.affine_from_rotation(
+            0.6, direction / np.linalg.norm(direction)
+        )
+    fixed_points = transformation.transform_pts(moving_points, expected)
+
+    result = registration.registration_marker_based(
+        fixed_points=fixed_points,
+        moving_points=moving_points,
+        icp=True,
+        random_state=2,
+        fail_on_error=True,
+    )
+    recovered = transformation.transform_pts(
+        moving_points, np.linalg.inv(np.asarray(result["affine_matrix"]))
+    )
+    np.testing.assert_allclose(recovered, fixed_points, atol=0.5)
+
+
+def test_marker_descriptor_threshold_scales_with_coordinates():
+    """The auto descriptor-distance threshold scales linearly with the
+    point cloud's coordinate scale (reference test_registration.py:862)."""
+    rng = np.random.default_rng(102)
+    points = rng.uniform(0, 100, size=(36, 2))
+    moving = points + np.array([3.0, -5.0])
+    t1 = registration._marker_auto_threshold(
+        points, moving, num_neighbors=3, scale=1.0
+    )
+    t10 = registration._marker_auto_threshold(
+        points * 10, moving * 10, num_neighbors=3, scale=1.0
+    )
+    assert t10 == pytest.approx(t1 * 10)
