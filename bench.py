@@ -176,6 +176,31 @@ def tpu_fuse_rate(sims, transform_key, chunksize=128, repeats=5):
     return out_voxels / min(times)
 
 
+def fuse_affine_rate(n=2, tile=128, overlap=24, theta=0.04, repeats=3):
+    """End-to-end fuse() of a ROTATED multi-view 3D layout (BASELINE
+    config 4 class): routes through the batched-slab tier with the shear
+    decomposition on TPU (MVS_TPU_SHEAR auto). Warm repeats."""
+    from multiview_stitcher_tpu import fusion, si_utils
+
+    sims = make_grid_sims(n=n, tile=tile, overlap=overlap, ndim=3)
+    rot = np.eye(4)
+    rot[1:3, 1:3] = [
+        [np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]
+    ]
+    for i, s in enumerate(sims):
+        si_utils.set_sim_affine(
+            s, rot if i % 2 else np.eye(4), transform_key="affine"
+        )
+    fused = fusion.fuse(sims, transform_key="affine", output_chunksize=128)
+    out_voxels = int(np.prod(fused.shape))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fusion.fuse(sims, transform_key="affine", output_chunksize=128)
+        times.append(time.perf_counter() - t0)
+    return out_voxels / min(times)
+
+
 def register_grid_rate(n=6, tile=200, overlap=40, repeats=2):
     """End-to-end register() on an n x n 2D grid; returns edges/sec."""
     import time as _time
@@ -689,6 +714,11 @@ def main():
             f"{r / 1e6:.0f} Mvox/s device-side"
         )
         extras["kernel_affine_3d_mvox_s"] = round(r / 1e6, 1)
+
+    r = _bounded("affine end-to-end fuse", fuse_affine_rate, 300)
+    if r is not None:
+        log(f"end-to-end rotated multiview fuse(): {r / 1e6:.2f} Mvox/s")
+        extras["fuse_affine_mvox_s"] = round(r / 1e6, 2)
 
     r = _bounded("affine gather kernel", affine_gather_kernel_rate, 240)
     if r is not None:

@@ -42,14 +42,18 @@ def _normalize_size(value, ndim):
 
 
 def _target_size_pixels(target_size_physical, spacing):
-    spacing = tuple(float(s) for s in spacing)
+    if isinstance(spacing, dict):
+        spacing = tuple(float(spacing[d]) for d in spacing)
+    else:
+        spacing = tuple(float(s) for s in spacing)
     target = _normalize_size(target_size_physical, len(spacing))
     return tuple(t / s for t, s in zip(target, spacing))
 
 
 def _log_detect_required_overlap(kwargs):
+    spacing = kwargs["spacing"]
     target_size = _target_size_pixels(
-        kwargs["target_size_physical"], kwargs["spacing"]
+        kwargs["target_size_physical"], spacing
     )
     ndim = len(target_size)
     out = []
@@ -57,6 +61,8 @@ def _log_detect_required_overlap(kwargs):
         sigma = max(0.5, float(size) / (2.0 * np.sqrt(ndim)))
         min_distance = max(1.0, float(size) / 2.0)
         out.append(max(1, int(np.ceil(4 * sigma + min_distance))))
+    if isinstance(spacing, dict):
+        return dict(zip(spacing, out))
     return tuple(out)
 
 

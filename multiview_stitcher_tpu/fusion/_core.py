@@ -1481,6 +1481,68 @@ def _fuse_chunk_batch_kernel_shear(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("S_max", "plan", "wplan", "out_shape", "mode",
+                     "use_bw"),
+)
+def _fuse_chunk_batch_kernel_shear_devtiles(
+    tiles,        # (V, *T) device-resident tile stack (any dtype)
+    tile_idx,     # (B, K) int32 view index per chunk slot (0 for padding)
+    starts,       # (B, K, ndim) int32 slab window starts (pre-clamped)
+    coeffs, mats, offs, extents, wgrids, wcoeffs, wmats, woffs,
+    view_valid, S_max, plan, wplan, out_shape, mode, use_bw,
+):
+    """Shear-tier batch kernel reading slabs from a DEVICE-RESIDENT tile
+    stack via dynamic_slice — repeated affine fuse() calls skip the
+    host->device slab uploads entirely (the tile stack rides the
+    _DeviceTileCache like the translation tiers)."""
+    from multiview_stitcher_tpu.ops import shear as shear_ops
+
+    ndim = len(out_shape)
+    tiles_f = tiles.astype(jnp.float32)
+    if jnp.issubdtype(tiles.dtype, jnp.floating):
+        tiles_f = jnp.nan_to_num(tiles_f)
+    # guarantee every S_max window fits: edge-replicate beyond the stack
+    pad = [(0, max(0, S_max[i] - int(tiles.shape[1 + i])))
+           for i in range(ndim)]
+    if any(p[1] for p in pad):
+        tiles_f = jnp.pad(tiles_f, [(0, 0)] + pad, mode="edge")
+
+    def one_chunk(idx_k, st_k, c_k, m_k, o_k, ex_k, wg_k, wc_k, wm_k,
+                  wo_k, vv_k):
+        def one_view(idx, st, c, m, o, ex):
+            slab = jax.lax.dynamic_slice(
+                tiles_f[idx], [st[i] for i in range(ndim)], S_max
+            )
+            return shear_ops.shear_resample(
+                slab, c, m, o, ex, plan, jnp.nan
+            )
+
+        data_t = jax.vmap(one_view)(idx_k, st_k, c_k, m_k, o_k, ex_k)
+        data_t = jnp.where(
+            vv_k.reshape((-1,) + (1,) * ndim), data_t, jnp.nan
+        )
+        bw = None
+        if use_bw:
+            wg = jax.vmap(lambda g: shear_ops.refine_grid(g, 4))(
+                wg_k.astype(jnp.float32)
+            )
+            wext = jnp.full_like(ex_k, 17.0)
+            wfn = lambda g, c2, m2, o2, ex2: shear_ops.shear_resample(
+                g, c2, m2, o2, ex2, wplan, 0.0
+            )
+            bw = jax.vmap(wfn)(wg, wc_k, wm_k, wo_k, wext)
+            bw = bw * vv_k.reshape((-1,) + (1,) * ndim)
+        fused, _ = _reduce_views(data_t, bw, out_shape, mode, use_bw)
+        return jnp.nan_to_num(fused)
+
+    return jax.vmap(one_chunk)(
+        tile_idx, starts, coeffs, mats, offs, extents, wgrids, wcoeffs,
+        wmats, woffs, view_valid,
+    )
+
+
 def _kernel_tile_shape(ndim: int):
     """Pallas output-tile shape: (256, 256) 2D / (8, 128, 256) 3D, or the
     MVS_TPU_PALLAS_TILE_{2D,3D} env override (comma-separated)."""
@@ -2104,59 +2166,110 @@ def _execute_fusion_plan_batched(
         [output_stack_properties["spacing"][d] for d in sdims]
     )
 
-    # precompute per-(entry, view) kernel parameters WITHOUT loading slab
-    # data: needed up-front so the shear tier can plan over every map in
-    # the whole execution (one static plan -> one compile)
-    for entry in entries:
-        chunk_bb_ov = entry["output_bb_overlap"]
-        # kernel output grid: chunk_bb_ov extended to O_max (same origin)
-        kernel_bb = {
-            "origin": dict(chunk_bb_ov["origin"]),
-            "spacing": dict(chunk_bb_ov["spacing"]),
-            "shape": {d: O_max[i] for i, d in enumerate(sdims)},
-        }
-        kp = []
-        for iview, window_bb in entry["views"]:
-            sim = field_sims[iview]
-            origin = si_utils.get_origin_from_sim(sim)
-            spacing = si_utils.get_spacing_from_sim(sim)
-            starts, extent = [], []
-            for d in sdims:
-                start = int(
-                    round((window_bb["origin"][d] - origin[d]) / spacing[d])
-                )
-                start = max(0, start)
-                stop = min(
-                    int(sim.sizes[d]), start + int(window_bb["shape"][d])
-                )
-                starts.append(start)
-                extent.append(stop - start)
-            slab_origin = {
-                d: origin[d] + starts[i] * spacing[d]
-                for i, d in enumerate(sdims)
+    # device-resident tiles (shear path only): whole tiles upload ONCE
+    # through the _DeviceTileCache and chunk slabs are sliced on device —
+    # repeated affine fuse() calls become download-only, like the
+    # translation tiers. Slab starts are then pre-clamped so the on-device
+    # dynamic_slice extracts exactly the window the host params assume.
+    import os as _os2
+
+    try:
+        total_tile_bytes = sum(
+            int(np.prod(s.data.shape)) * np.dtype(s.data.dtype).itemsize
+            for s in field_sims
+        )
+    except Exception:  # noqa: BLE001
+        total_tile_bytes = None
+    device_tiles = (
+        _shear_tier_enabled()
+        and _os2.environ.get("MVS_TPU_DEVICE_SLABS", "1") != "0"
+        and total_tile_bytes is not None
+        and total_tile_bytes
+        <= int(_os2.environ.get("MVS_TPU_TILES_MAX_BYTES", 2 << 30))
+    )
+    stack_shape = None
+    if device_tiles:
+        stack_shape = tuple(
+            max(int(s.data.shape[i]) for s in field_sims)
+            for i in range(ndim)
+        )
+
+    def compute_params(clamp_sizes):
+        """Per-(entry, view) kernel params WITHOUT loading slab data
+        (needed up-front so the shear tier can plan over every map — one
+        static plan, one compile). ``clamp_sizes``: padded tile-stack
+        sizes for the device-slice path (starts clamped so an S_max
+        window fits), or None for host slab extraction."""
+        for entry in entries:
+            chunk_bb_ov = entry["output_bb_overlap"]
+            # kernel output grid: chunk_bb_ov extended to O_max
+            kernel_bb = {
+                "origin": dict(chunk_bb_ov["origin"]),
+                "spacing": dict(chunk_bb_ov["spacing"]),
+                "shape": {d: O_max[i] for i, d in enumerate(sdims)},
             }
-            pm = plan["sparams"][iview]
-            m, o = resample_ops.physical_to_pixel_params(
-                np.linalg.inv(pm),
-                input_spacing=spacing_arr[iview],
-                input_origin=np.array([slab_origin[d] for d in sdims]),
-                output_spacing=osp_spacing,
-                output_origin=np.array(
-                    [kernel_bb["origin"][d] for d in sdims]
-                ),
-            )
-            item = {"m": m, "o": o, "extent": extent}
-            if use_bw:
-                g, wm, wo = weights.blending_weights_pixel_params(
-                    kernel_bb,
-                    views_bb[iview],
-                    pm,
-                    blending_widths=blending_widths,
-                    shrink_distance=shrink_distance,
+            kp = []
+            for iview, window_bb in entry["views"]:
+                sim = field_sims[iview]
+                origin = si_utils.get_origin_from_sim(sim)
+                spacing = si_utils.get_spacing_from_sim(sim)
+                starts, extent = [], []
+                for i, d in enumerate(sdims):
+                    start = int(
+                        round(
+                            (window_bb["origin"][d] - origin[d])
+                            / spacing[d]
+                        )
+                    )
+                    start = max(0, start)
+                    stop = min(
+                        int(sim.sizes[d]),
+                        start + int(window_bb["shape"][d]),
+                    )
+                    if clamp_sizes is not None:
+                        start = min(
+                            start,
+                            max(0, clamp_sizes[i] - S_max[i]),
+                        )
+                    starts.append(start)
+                    extent.append(stop - start)
+                slab_origin = {
+                    d: origin[d] + starts[i] * spacing[d]
+                    for i, d in enumerate(sdims)
+                }
+                pm = plan["sparams"][iview]
+                m, o = resample_ops.physical_to_pixel_params(
+                    np.linalg.inv(pm),
+                    input_spacing=spacing_arr[iview],
+                    input_origin=np.array(
+                        [slab_origin[d] for d in sdims]
+                    ),
+                    output_spacing=osp_spacing,
+                    output_origin=np.array(
+                        [kernel_bb["origin"][d] for d in sdims]
+                    ),
                 )
-                item.update(g=g, wm=wm, wo=wo)
-            kp.append(item)
-        entry["_kernel_params"] = kp
+                item = {
+                    "m": m, "o": o, "extent": extent,
+                    "start": starts, "iview": iview,
+                }
+                if use_bw:
+                    g, wm, wo = weights.blending_weights_pixel_params(
+                        kernel_bb,
+                        views_bb[iview],
+                        pm,
+                        blending_widths=blending_widths,
+                        shrink_distance=shrink_distance,
+                    )
+                    item.update(g=g, wm=wm, wo=wo)
+                kp.append(item)
+            entry["_kernel_params"] = kp
+
+    compute_params(
+        tuple(max(stack_shape[i], S_max[i]) for i in range(ndim))
+        if device_tiles
+        else None
+    )
 
     # shear tier: one static decomposition over every map in the plan;
     # any failure (large rotation, extreme scale, non-factorable) falls
@@ -2191,9 +2304,28 @@ def _execute_fusion_plan_batched(
             else:
                 shear_bundle = (splan, sctx, None, None)
 
+    if device_tiles and shear_bundle is None:
+        # params were start-clamped for the device slice path; the gather
+        # fallback extracts host slabs at unclamped starts — recompute
+        device_tiles = False
+        compute_params(None)
+
+    tiles_dev = None
+    if device_tiles and shear_bundle is not None:
+        try:
+            tiles_dev, _nbits = _tiles_to_device(field_sims)
+        except Exception as e:  # noqa: BLE001
+            warnings.warn(
+                f"device-tile upload failed ({type(e).__name__}: {e}); "
+                "falling back to host slab extraction.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            device_tiles = False
+            compute_params(None)
+
     def build_batch(batch):
         B = len(batch)
-        slabs = np.full((B, K_max) + S_max, np.nan, dtype=np.float32)
         mats = np.tile(np.eye(ndim, dtype=np.float32), (B, K_max, 1, 1))
         offs = np.zeros((B, K_max, ndim), dtype=np.float32)
         extents = np.ones((B, K_max, ndim), dtype=np.float32)
@@ -2201,29 +2333,42 @@ def _execute_fusion_plan_batched(
         wmats = np.tile(np.eye(ndim, dtype=np.float32), (B, K_max, 1, 1))
         woffs = np.zeros((B, K_max, ndim), dtype=np.float32)
         valid = np.zeros((B, K_max), dtype=bool)
+        if device_tiles:
+            slabs = None
+            tile_idx = np.zeros((B, K_max), dtype=np.int32)
+            starts = np.zeros((B, K_max, ndim), dtype=np.int32)
+        else:
+            slabs = np.full((B, K_max) + S_max, np.nan, dtype=np.float32)
+            tile_idx = starts = None
 
         for bi, entry in enumerate(batch):
             for vi, (iview, window_bb) in enumerate(entry["views"]):
-                slab, _ = _slab_from_sim(field_sims[iview], window_bb)
-                slab = np.asarray(slab, dtype=np.float32)
-                if shear_bundle is not None:
-                    # edge-replicate padding: shear-chain support near the
-                    # TRUE extent edge then reads plausible values instead
-                    # of zeros (the analytic mask still voids outputs
-                    # beyond the extent)
-                    slabs[bi, vi] = np.pad(
-                        slab,
-                        [
-                            (0, S_max[i] - slab.shape[i])
-                            for i in range(ndim)
-                        ],
-                        mode="edge",
-                    )
-                else:
-                    slabs[bi, vi][
-                        tuple(slice(0, s) for s in slab.shape)
-                    ] = slab
                 it = entry["_kernel_params"][vi]
+                if device_tiles:
+                    tile_idx[bi, vi] = it["iview"]
+                    starts[bi, vi] = it["start"]
+                else:
+                    slab, _ = _slab_from_sim(
+                        field_sims[iview], window_bb
+                    )
+                    slab = np.asarray(slab, dtype=np.float32)
+                    if shear_bundle is not None:
+                        # edge-replicate padding: shear-chain support
+                        # near the TRUE extent edge then reads plausible
+                        # values instead of zeros (the analytic mask
+                        # still voids outputs beyond the extent)
+                        slabs[bi, vi] = np.pad(
+                            slab,
+                            [
+                                (0, S_max[i] - slab.shape[i])
+                                for i in range(ndim)
+                            ],
+                            mode="edge",
+                        )
+                    else:
+                        slabs[bi, vi][
+                            tuple(slice(0, s) for s in slab.shape)
+                        ] = slab
                 mats[bi, vi] = it["m"]
                 offs[bi, vi] = it["o"]
                 extents[bi, vi] = it["extent"]
@@ -2232,10 +2377,12 @@ def _execute_fusion_plan_batched(
                     wgrids[bi, vi] = it["g"]
                     wmats[bi, vi] = it["wm"]
                     woffs[bi, vi] = it["wo"]
-        return slabs, mats, offs, extents, wgrids, wmats, woffs, valid
+        return (slabs, tile_idx, starts, mats, offs, extents, wgrids,
+                wmats, woffs, valid)
 
     def dispatch(arrays):
-        slabs, mats, offs, extents, wgrids, wmats, woffs, valid = arrays
+        (slabs, tile_idx, starts, mats, offs, extents, wgrids, wmats,
+         woffs, valid) = arrays
         if shear_bundle is not None:
             splan, sctx, wplan, wctx = shear_bundle
             coeffs = sctx.coeffs(mats, offs)
@@ -2245,6 +2392,19 @@ def _execute_fusion_plan_batched(
             else:
                 wcoeffs = np.zeros(
                     coeffs.shape[:2] + (1, 3), dtype=np.float32
+                )
+            if device_tiles:
+                return _fuse_chunk_batch_kernel_shear_devtiles(
+                    tiles_dev, jnp.asarray(tile_idx),
+                    jnp.asarray(starts), jnp.asarray(coeffs),
+                    jnp.asarray(mats, dtype=jnp.float32),
+                    jnp.asarray(offs, dtype=jnp.float32),
+                    jnp.asarray(extents), jnp.asarray(wgrids),
+                    jnp.asarray(wcoeffs),
+                    jnp.asarray(wmats, dtype=jnp.float32),
+                    jnp.asarray(woffs, dtype=jnp.float32),
+                    jnp.asarray(valid), S_max, splan, wplan, O_max,
+                    mode, use_bw,
                 )
             return _fuse_chunk_batch_kernel_shear(
                 jnp.asarray(slabs), jnp.asarray(coeffs),

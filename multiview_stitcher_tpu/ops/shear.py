@@ -471,9 +471,16 @@ def _shear_pass(x, d, e, out_ext, a, b, t):
     in_ext = x.shape[d]
     dt = x.dtype
     i = jnp.arange(out_ext, dtype=jnp.float32)
+    # HIGHEST precision: the default TPU MXU bf16 pass loses ~0.4% per
+    # shear pass, compounding to ~1% intensity error over a 3-pass chain
+    # (measured mean |err| 20 counts on uint16 microscopy-range data vs
+    # the CPU oracle; HIGHEST brings it to float32 rounding).
+    prec = jax.lax.Precision.HIGHEST
     if e < 0:
         W = _banded_matrix(a * i + t, in_ext, dt)  # (out, in)
-        return jnp.moveaxis(jnp.tensordot(W, x, axes=(1, d)), 0, d)
+        return jnp.moveaxis(
+            jnp.tensordot(W, x, axes=(1, d), precision=prec), 0, d
+        )
     m_e = x.shape[e]
     s = jnp.arange(m_e, dtype=jnp.float32)
     C = a * i[None, :] + b * s[:, None] + t  # (m_e, out)
@@ -482,7 +489,8 @@ def _shear_pass(x, d, e, out_ext, a, b, t):
     xt = jnp.transpose(x, (e, d) + rest)
     rest_shape = tuple(x.shape[ax] for ax in rest)
     R = int(np.prod(rest_shape)) if rest_shape else 1
-    y = jnp.matmul(W, xt.reshape(m_e, in_ext, R))  # MXU batched matmul
+    # MXU batched matmul
+    y = jnp.matmul(W, xt.reshape(m_e, in_ext, R), precision=prec)
     y = y.reshape((m_e, out_ext) + rest_shape)
     inv = tuple(np.argsort((e, d) + rest))
     return jnp.transpose(y, inv)

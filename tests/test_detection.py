@@ -154,3 +154,70 @@ class TestMarkerRegistration:
         # resolved param for view 1 cancels the bead displacement
         m = np.asarray(params[1].squeeze())
         np.testing.assert_allclose(m[:2, 2], -shift, atol=0.05)
+
+
+def test_detect_beads_custom_detection_func():
+    """detect_beads plugs a user detection function per chunk and returns
+    intrinsic physical positions (reference test_detection.py:126)."""
+    img = np.zeros((64, 64), np.float32)
+    img[10, 12] = img[40, 50] = 100.0
+    sim = si_utils.get_sim_from_array(
+        img, dims=("y", "x"), scale={"y": 0.5, "x": 2.0},
+        translation={"y": 0.0, "x": 0.0},
+    )
+
+    calls = {"n": 0}
+
+    def my_detect(image, spacing=None, threshold=50.0):
+        from scipy.ndimage import label
+
+        calls["n"] += 1
+        return label(np.asarray(image) > threshold)[0]
+
+    pts = detection.detect_beads(
+        sim, detection_func=my_detect, chunksize=32,
+        detection_overlap=4,
+    )
+    assert calls["n"] >= 1
+    assert len(pts) == 2
+    got = set(map(tuple, np.round(np.asarray(pts), 3)))
+    # intrinsic PHYSICAL coords: index * spacing
+    assert (10 * 0.5, 12 * 2.0) in got
+    assert (40 * 0.5, 50 * 2.0) in got
+
+
+def test_detect_beads_max_detection_spacing_selects_coarse_level():
+    """max_detection_spacing routes detection to a coarser pyramid level
+    (reference test_detection.py:195)."""
+    rng = np.random.default_rng(0)
+    img = rng.random((128, 128)).astype(np.float32)
+    img[40:43, 60:63] += 30.0
+    sim = si_utils.get_sim_from_array(img, dims=("y", "x"))
+    msim = msi_utils.get_msim_from_sim(sim, scale_factors=[2])
+
+    seen = {}
+
+    def probing_detect(image, spacing=None):
+        seen["shape"] = np.asarray(image).shape
+        seen["spacing"] = spacing
+        return np.zeros(np.asarray(image).shape, dtype=np.int32)
+
+    detection.detect_beads(
+        msim, detection_func=probing_detect,
+        max_detection_spacing=2.0, chunksize=256,
+    )
+    # the coarse level (spacing 2) was handed to the detector
+    assert max(seen["shape"]) <= 64 + 16  # level-1 size (+halo)
+
+
+def test_detect_beads_required_overlap_declared():
+    """log_detect declares required_overlap (a function of target size
+    and spacing) so chunked detection dedups border beads exactly once
+    (reference detection.py:137)."""
+    from multiview_stitcher_tpu.utils import misc as misc_utils
+
+    ov = misc_utils.get_required_overlap(
+        detection.log_detect,
+        {"target_size_physical": 6.0, "spacing": {"y": 1.0, "x": 2.0}},
+    )
+    assert ov and all(v > 0 for v in ov.values())

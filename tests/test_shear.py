@@ -235,10 +235,15 @@ def test_fusion_shear_tier_matches_gather(ndim, cs, monkeypatch):
     matches the gather tier within the documented tolerance."""
     calls = {"n": 0}
     orig = _core._fuse_chunk_batch_kernel_shear
+    orig_dev = _core._fuse_chunk_batch_kernel_shear_devtiles
 
     def spy(*a):
         calls["n"] += 1
         return orig(*a)
+
+    def spy_dev(*a):
+        calls["n"] += 1
+        return orig_dev(*a)
 
     monkeypatch.setenv("MVS_TPU_SHEAR", "0")
     ref = fusion.fuse(
@@ -246,6 +251,9 @@ def test_fusion_shear_tier_matches_gather(ndim, cs, monkeypatch):
     ).to_numpy()
     monkeypatch.setenv("MVS_TPU_SHEAR", "1")
     monkeypatch.setattr(_core, "_fuse_chunk_batch_kernel_shear", spy)
+    monkeypatch.setattr(
+        _core, "_fuse_chunk_batch_kernel_shear_devtiles", spy_dev
+    )
     out = fusion.fuse(
         _rotated_sims(ndim), transform_key="affine", output_chunksize=cs
     ).to_numpy()
