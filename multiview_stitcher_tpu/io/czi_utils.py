@@ -269,8 +269,101 @@ def get_info_from_mosaic_czi(fn) -> dict:
     return {"tiles": tiles, "spacing": spacing}
 
 
-def read_mosaic_into_sims_czifile(fn, scene_index: int = 0):
-    """Read mosaic tiles into sims with stage-position translations."""
+class LazyCziTile:
+    """Lazy (c[, z], y, x) plane stack over one mosaic tile's subblocks.
+
+    Satisfies the minimal lazy-array protocol (``shape``/``ndim``/``dtype``/
+    ``__getitem__`` returning numpy), so mosaic sims stay out-of-core until
+    a window is actually read — the reference reads CZI tiles lazily
+    through dask (czi_utils.py:186-250). Each plane read decodes only that
+    subblock from disk; y/x cropping happens after the (whole-plane) decode
+    since ZISRAW subblocks are stored as single compressed units.
+    """
+
+    def __init__(self, czi: "CziFile", planes, c_vals, z_vals, has_z):
+        self._czi = czi
+        self._planes = planes  # (c, z) -> CziSubBlock
+        self._c_vals = list(c_vals)
+        self._z_vals = list(z_vals)
+        self._has_z = has_z
+        sb0 = planes[(self._c_vals[0], self._z_vals[0])]
+        lead = (
+            (len(c_vals), len(z_vals)) if has_z else (len(c_vals),)
+        )
+        self.shape = lead + (
+            sb0.dimensions["Y"][1], sb0.dimensions["X"][1]
+        )
+        self.ndim = len(self.shape)
+        self.dtype = _PIXEL_TYPES[sb0.pixel_type]
+
+    def _plane(self, lead_idx):
+        if self._has_z:
+            c, z = lead_idx
+            key = (self._c_vals[c], self._z_vals[z])
+        else:
+            key = (self._c_vals[lead_idx[0]], self._z_vals[0])
+        return self._czi.read_subblock(self._planes[key])
+
+    def __getitem__(self, key):
+        if key is Ellipsis:
+            key = ()
+        if not isinstance(key, tuple):
+            key = (key,)
+        if Ellipsis in key:
+            i = key.index(Ellipsis)
+            key = (
+                key[:i]
+                + (slice(None),) * (self.ndim - (len(key) - 1))
+                + key[i + 1:]
+            )
+        key = key + (slice(None),) * (self.ndim - len(key))
+        n_lead = self.ndim - 2
+        lead_sel, keep = [], []
+        for ax in range(n_lead):
+            k, n = key[ax], self.shape[ax]
+            if isinstance(k, (int, np.integer)):
+                k = int(k)
+                if not -n <= k < n:
+                    raise IndexError(f"index {k} out of range for axis {ax}")
+                lead_sel.append([k % n])
+            elif isinstance(k, slice):
+                lead_sel.append(list(range(*k.indices(n))))
+                keep.append(ax)
+            else:
+                raise TypeError(
+                    f"LazyCziTile supports int/slice indexing, got {k!r}"
+                )
+        ykey, xkey = key[n_lead], key[n_lead + 1]
+        import itertools
+
+        blocks = np.empty([len(s) for s in lead_sel], dtype=object)
+        for out_idx in itertools.product(
+            *[range(len(s)) for s in lead_sel]
+        ):
+            lead_idx = tuple(s[i] for s, i in zip(lead_sel, out_idx))
+            blocks[out_idx] = self._plane(lead_idx)[ykey, xkey]
+        sample = blocks[(0,) * blocks.ndim]
+        out = np.empty(blocks.shape + np.shape(sample), dtype=self.dtype)
+        for out_idx in itertools.product(
+            *[range(len(s)) for s in lead_sel]
+        ):
+            out[out_idx] = blocks[out_idx]
+        # drop int-indexed leading axes (basic-slicing semantics)
+        squeeze = tuple(ax for ax in range(n_lead) if ax not in keep)
+        return out.squeeze(axis=squeeze) if squeeze else out
+
+    def __array__(self, dtype=None):
+        arr = self[...]
+        return arr.astype(dtype) if dtype is not None else arr
+
+
+def read_mosaic_into_sims_czifile(fn, scene_index: int = 0, lazy=True):
+    """Read mosaic tiles into sims with stage-position translations.
+
+    ``lazy=True`` (default, matching the reference's dask-backed reads)
+    wraps each tile in a :class:`LazyCziTile` so opening a large mosaic
+    does not materialize every tile; pass ``lazy=False`` for eager numpy.
+    """
     czi = CziFile(fn)
     info = get_info_from_mosaic_czi(czi)
     spacing = info["spacing"] or {"y": 1.0, "x": 1.0}
@@ -288,9 +381,34 @@ def read_mosaic_into_sims_czifile(fn, scene_index: int = 0):
         for sb in sbs:
             c = sb.dimensions.get("C", (0, 1))[0]
             z = sb.dimensions.get("Z", (0, 1))[0]
-            planes[(c, z)] = czi.read_subblock(sb)
-        sample = next(iter(planes.values()))
+            planes[(c, z)] = sb
         has_z = len(z_vals) > 1
+        # lazy only when every plane is a single-z 2D subblock (a z-stack
+        # packed into ONE subblock decodes as 3D; keep the eager path)
+        plane_is_2d = all(
+            sb.dimensions.get("Z", (0, 1))[1] <= 1 for sb in sbs
+        )
+        if lazy and plane_is_2d:
+            data = LazyCziTile(czi, planes, c_vals, z_vals, has_z)
+            dims = ("c", "z", "y", "x") if has_z else ("c", "y", "x")
+            scale = {
+                d: spacing.get(d, 1.0) for d in dims if d != "c"
+            }
+            translation = {d: 0.0 for d in scale}
+            translation["y"] = tile["y_start"] * scale["y"]
+            translation["x"] = tile["x_start"] * scale["x"]
+            sims.append(
+                si_utils.get_sim_from_array(
+                    data,
+                    dims=dims,
+                    scale=scale,
+                    translation=translation,
+                    transform_key=METADATA_TRANSFORM_KEY,
+                    c_coords=channel_names[: len(c_vals)] or None,
+                )
+            )
+            continue
+        planes = {k: czi.read_subblock(sb) for k, sb in planes.items()}
         if has_z:
             data = np.stack(
                 [

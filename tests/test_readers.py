@@ -104,6 +104,32 @@ class TestCzi:
         # second tile starts at 832 px in x
         assert sims[1].origin["x"] == pytest.approx(832 * 1.0833, abs=0.1)
 
+    def test_lazy_mosaic_reads_match_eager(self):
+        """Default lazy tiles defer subblock decodes; windows and full
+        reads match the eager path bit-exactly (the reference reads CZI
+        lazily through dask, czi_utils.py:186-250)."""
+        from multiview_stitcher_tpu.io import czi_utils
+
+        lazy = czi_utils.read_mosaic_into_sims_czifile(CZI_TEST_FILE)
+        eager = czi_utils.read_mosaic_into_sims_czifile(
+            CZI_TEST_FILE, lazy=False
+        )
+        assert all(
+            isinstance(s.data, czi_utils.LazyCziTile) for s in lazy
+        )
+        for sl, se in zip(lazy, eager):
+            assert sl.data.shape == se.data.shape
+            assert sl.data.dtype == se.data.dtype
+            np.testing.assert_array_equal(sl.data[...], se.data)
+            # window read with int channel + y/x slices
+            np.testing.assert_array_equal(
+                sl.data[0, 10:20, 5:40], se.data[0, 10:20, 5:40]
+            )
+            # negative int + full slice
+            np.testing.assert_array_equal(
+                sl.data[-1, :, ::2], se.data[-1, :, ::2]
+            )
+
     def test_real_file_registration_ground_truth(self):
         """Pairwise shift recovered within 1.5 px of the known [2.5, 7.5] px
         ground truth (reference test_registration.py:96-111)."""
