@@ -267,6 +267,37 @@ def concat(msims: Sequence[Msim], dim: str) -> Msim:
     return Msim(sims=out_sims)
 
 
+def get_store_decorator(store_path, store_overwrite: bool = False):
+    """Decorator factory caching an msim-producing function on disk.
+
+    The wrapped function runs only when ``store_path`` is missing (or
+    ``store_overwrite``); its msim is written as OME-Zarr and the returned
+    msim is the lazily zarr-backed reload — so expensive readers run once
+    per store (reference msi_utils.py:82).  ``store_path=None`` is a no-op.
+    """
+    import functools
+    from pathlib import Path
+
+    if store_path is None:
+        return lambda func: func
+    store_path = Path(store_path)
+
+    def deco(func):
+        @functools.wraps(func)
+        def wrapper(*args, **kwargs):
+            from multiview_stitcher_tpu.io import ngff_utils
+
+            if not store_path.exists() or store_overwrite:
+                ngff_utils.write_msim_to_ome_zarr(
+                    func(*args, **kwargs), str(store_path), overwrite=True
+                )
+            return ngff_utils.read_msim_from_ome_zarr(str(store_path))
+
+        return wrapper
+
+    return deco
+
+
 def stack(msims: Sequence[Msim], dim: str = "t", coords=None) -> Msim:
     """Stack msims along a NEW dim, per scale (reference msi_utils.py:869).
 

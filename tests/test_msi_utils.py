@@ -150,6 +150,38 @@ def test_stack_msims_and_scale_selection():
     ) == "scale0"
 
 
+def test_get_store_decorator_caches_reader(tmp_path):
+    """The decorated reader runs once; later calls reload the zarr store
+    lazily (reference msi_utils.py:82)."""
+    calls = {"n": 0}
+    store = tmp_path / "cache.ome.zarr"
+
+    @msi_utils.get_store_decorator(store)
+    def expensive_reader():
+        calls["n"] += 1
+        return msi_utils.get_msim_from_sim(
+            si_utils.get_sim_from_array(
+                np.arange(64, dtype=np.uint16).reshape(8, 8)
+            ),
+            scale_factors=[],
+        )
+
+    m1 = expensive_reader()
+    m2 = expensive_reader()
+    assert calls["n"] == 1
+    np.testing.assert_array_equal(
+        m2.get_scale("scale0").to_numpy(),
+        np.arange(64, dtype=np.uint16).reshape(8, 8),
+    )
+    # None store path -> identity decorator
+    @msi_utils.get_store_decorator(None)
+    def plain():
+        calls["n"] += 1
+        return 42
+
+    assert plain() == 42 and calls["n"] == 2
+
+
 def test_point_set_roundtrip():
     """Bead/marker point sets attach to an msim and persist selection."""
     sim = si_utils.get_sim_from_array(np.zeros((8, 8), np.float32))
