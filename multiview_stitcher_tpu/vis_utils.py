@@ -229,9 +229,21 @@ def imshow(
     nscoord: Optional[dict] = None,
     resolution_level: int = 0,
     ax=None,
+    project_dim: Optional[str] = None,
+    horizontal_dim: Optional[str] = None,
+    vertical_dim: Optional[str] = None,
+    points_key: Optional[str] = None,
+    scatter_kwargs: Optional[dict] = None,
     **imshow_kwargs,
 ):
-    """Display a (projected) sim with physical extent (reference :420)."""
+    """Display a (projected) sim with physical extent (reference :420).
+
+    ``project_dim`` picks the max-projected spatial dim for 3D input
+    (default: whichever is not displayed); ``horizontal_dim`` /
+    ``vertical_dim`` choose the displayed axes (defaults x / y).
+    ``points_key`` overlays the sim's named point set (intrinsic physical
+    coords) on the displayed plane.
+    """
     import matplotlib.pyplot as plt
 
     sim = (
@@ -247,13 +259,53 @@ def imshow(
             {nd: nscoord.get(nd, np.asarray(sim.coords[nd])[0]) for nd in nsdims},
         )
     sdims = si_utils.get_spatial_dims_from_sim(sim)
+    for name, val in [
+        ("project_dim", project_dim),
+        ("horizontal_dim", horizontal_dim),
+        ("vertical_dim", vertical_dim),
+    ]:
+        if val is not None and val not in sdims:
+            raise ValueError(f"{name} must be one of {sdims}, got {val!r}")
+
+    def _pick(requested, preferred, other):
+        if requested is not None:
+            if requested == project_dim:
+                raise ValueError(
+                    "horizontal/vertical_dim must differ from project_dim"
+                )
+            return requested
+        for d in preferred:
+            if d in sdims and d != project_dim and d != other:
+                return d
+        for d in sdims:
+            if d != project_dim and d != other:
+                return d
+        raise ValueError("need two displayed spatial dimensions")
+
+    horizontal_dim = _pick(horizontal_dim, ["x", "z", "y"], vertical_dim)
+    vertical_dim = _pick(vertical_dim, ["y", "z", "x"], horizontal_dim)
+
+    points = None
+    if points_key is not None:
+        pts = np.asarray(si_utils.get_point_set(sim, points_key=points_key))
+        # columns are ordered like the sim's spatial dims
+        col = {d: i for i, d in enumerate(sdims)}
+        points = pts[:, [col[horizontal_dim], col[vertical_dim]]]
+
     if len(sdims) == 3:
-        sim = si_utils.max_project_sim(sim, dim="z")
+        drop = project_dim or next(
+            d for d in sdims if d not in (horizontal_dim, vertical_dim)
+        )
+        if drop in (horizontal_dim, vertical_dim):
+            raise ValueError("3D display needs a projected dimension")
+        sim = si_utils.max_project_sim(sim, dim=drop)
         sdims = sim.spatial_dims
 
     data = sim.to_numpy()
-    y0, x0 = sim.origin[sdims[0]], sim.origin[sdims[1]]
-    sy, sx = sim.spacing[sdims[0]], sim.spacing[sdims[1]]
+    if (vertical_dim, horizontal_dim) != tuple(sdims):
+        data = data.T
+    y0, x0 = sim.origin[vertical_dim], sim.origin[horizontal_dim]
+    sy, sx = sim.spacing[vertical_dim], sim.spacing[horizontal_dim]
     extent = [
         x0 - sx / 2,
         x0 + (data.shape[1] - 0.5) * sx,
@@ -263,8 +315,13 @@ def imshow(
     if ax is None:
         _, ax = plt.subplots()
     ax.imshow(data, extent=extent, **imshow_kwargs)
-    ax.set_xlabel(sdims[1])
-    ax.set_ylabel(sdims[0])
+    if points is not None and len(points):
+        ax.scatter(
+            points[:, 0], points[:, 1],
+            **{"ec": "red", "fc": "none", "s": 40, **(scatter_kwargs or {})},
+        )
+    ax.set_xlabel(horizontal_dim)
+    ax.set_ylabel(vertical_dim)
     return ax
 
 

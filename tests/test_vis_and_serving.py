@@ -84,6 +84,44 @@ def test_imshow():
     plt.close("all")
 
 
+def test_imshow_projection_axes_and_points():
+    """project_dim / horizontal_dim / vertical_dim select the displayed
+    plane; points_key overlays the sim's point set (reference
+    test_vis_utils.py imshow family)."""
+    import matplotlib.pyplot as plt
+
+    data = np.zeros((6, 30, 20), np.float32)
+    sim = si_utils.get_sim_from_array(
+        data, dims=("z", "y", "x"),
+        scale={"z": 2.0, "y": 1.0, "x": 1.0},
+        translation={"z": 0.0, "y": 5.0, "x": 3.0},
+    )
+    si_utils.set_point_set(
+        sim, np.array([[4.0, 10.0, 7.0], [8.0, 20.0, 12.0]]),
+        points_key="beads",
+    )
+
+    # default: z-projected y/x
+    ax = vis_utils.imshow(sim, points_key="beads")
+    assert ax.get_xlabel() == "x" and ax.get_ylabel() == "y"
+    assert len(ax.collections) == 1
+    sc = ax.collections[0].get_offsets()
+    np.testing.assert_allclose(np.asarray(sc), [[7, 10], [12, 20]])
+    plt.close(ax.figure)
+
+    # project y: show z vs x (z vertical)
+    ax = vis_utils.imshow(sim, project_dim="y", vertical_dim="z")
+    assert ax.get_ylabel() == "z" and ax.get_xlabel() == "x"
+    im = ax.images[0].get_array()
+    assert im.shape == (6, 20)
+    plt.close(ax.figure)
+
+    with pytest.raises(ValueError, match="must be one of"):
+        vis_utils.imshow(sim, project_dim="q")
+    with pytest.raises(ValueError, match="differ from"):
+        vis_utils.imshow(sim, project_dim="z", vertical_dim="z")
+
+
 def test_neuroglancer_json_and_url():
     sims = [
         si_utils.get_sim_from_array(
