@@ -41,13 +41,30 @@ def _normalize_size(value, ndim):
     raise TypeError("size must be a float or dict[str, float].")
 
 
-def _target_size_pixels(target_size_physical, spacing):
+def _aligned_size(value, spacing, ndim):
+    """_normalize_size, but when BOTH value and spacing are dicts the
+    values are aligned by spacing's key order (insertion-order zipping
+    silently paired sizes with the wrong axis's spacing)."""
+    if isinstance(value, dict) and isinstance(spacing, dict):
+        if set(value) != set(spacing):
+            raise TypeError(
+                f"size dict keys {sorted(value)} must match spacing keys "
+                f"{sorted(spacing)}."
+            )
+        return tuple(float(value[d]) for d in spacing)
+    return _normalize_size(value, ndim)
+
+
+def _spacing_values(spacing):
     if isinstance(spacing, dict):
-        spacing = tuple(float(spacing[d]) for d in spacing)
-    else:
-        spacing = tuple(float(s) for s in spacing)
-    target = _normalize_size(target_size_physical, len(spacing))
-    return tuple(t / s for t, s in zip(target, spacing))
+        return tuple(float(spacing[d]) for d in spacing)
+    return tuple(float(s) for s in spacing)
+
+
+def _target_size_pixels(target_size_physical, spacing):
+    vals = _spacing_values(spacing)
+    target = _aligned_size(target_size_physical, spacing, len(vals))
+    return tuple(t / s for t, s in zip(target, vals))
 
 
 def _log_detect_required_overlap(kwargs):

@@ -828,12 +828,20 @@ def clear_device_tile_cache():
 
 @partial(jax.jit, static_argnames=("max_shape",))
 def _pad_stack(views, max_shape):
-    """Zero-pad views to a common shape and stack, on device (module-level
-    jit so repeated mixed-shape uploads don't retrace)."""
+    """Edge-pad views to a common shape and stack, on device.
+
+    Edge replication (not zeros) matters for the shear tier: its
+    interpolation support near a smaller tile's TRUE edge must read
+    plausible values, matching the host slab path's ``mode="edge"`` pad
+    (the analytic extents mask still voids outputs beyond the extent).
+    The translation tiers mask by extents and are insensitive to the
+    padding values.
+    """
     padded = [
         jnp.pad(
             v,
             tuple((0, m - s) for s, m in zip(v.shape, max_shape)),
+            mode="edge",
         )
         for v in views
     ]
@@ -849,10 +857,11 @@ def _tiles_to_device(field_sims):
     source arrays.
 
     Mixed tile shapes are supported: views are grouped by shape, each group
-    uploaded raw, then zero-padded to the common maximum shape ON DEVICE
+    uploaded raw, then edge-padded to the common maximum shape ON DEVICE
     (host-side padding would inflate the transferred bytes) and reassembled
     in view order. Per-view validity stays exact through the kernels'
-    ``extents`` arrays.
+    ``extents`` arrays; edge replication keeps the shear tier's
+    interpolation support consistent with the host slab path.
     """
     from multiview_stitcher_tpu.ops import link_codec
 

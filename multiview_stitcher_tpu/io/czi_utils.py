@@ -337,6 +337,16 @@ class LazyCziTile:
         import itertools
 
         blocks = np.empty([len(s) for s in lead_sel], dtype=object)
+        if blocks.size == 0:
+            # empty selection on a leading axis: match eager numpy by
+            # returning an empty array with the sliced plane shape
+            # (broadcast_to avoids materializing a full plane)
+            plane_shape = np.broadcast_to(
+                np.empty((), dtype=self.dtype), self.shape[n_lead:]
+            )[ykey, xkey].shape
+            out = np.empty(blocks.shape + plane_shape, dtype=self.dtype)
+            squeeze = tuple(ax for ax in range(n_lead) if ax not in keep)
+            return out.squeeze(axis=squeeze) if squeeze else out
         for out_idx in itertools.product(
             *[range(len(s)) for s in lead_sel]
         ):

@@ -274,6 +274,12 @@ def serve_virtual_ome_zarrs(
         names = [f"{i}.ome.zarr" for i in range(len(images))]
     if omero_channels is None:
         omero_channels = [None] * len(images)
+    if len(names) != len(images) or len(omero_channels) != len(images):
+        raise ValueError(
+            f"names ({len(names)}) and omero_channels "
+            f"({len(omero_channels)}) must match len(images) "
+            f"({len(images)}); zip would silently drop stores."
+        )
 
     handler_cls = type(
         "Handler",

@@ -159,6 +159,12 @@ def generate_neuroglancer_json(
     # straight into per-layer neuroglancer shaders)
     layer_shaders = None
     if use_positional_colors:
+        if single_layer:
+            raise ValueError(
+                "use_positional_colors needs one shader per view; a "
+                "single merged layer has a single shader. Pass "
+                "single_layer=False (or drop use_positional_colors)."
+            )
         if transform_key is None:
             raise ValueError(
                 "use_positional_colors requires a transform_key."

@@ -284,6 +284,11 @@ def imshow(
 
     horizontal_dim = _pick(horizontal_dim, ["x", "z", "y"], vertical_dim)
     vertical_dim = _pick(vertical_dim, ["y", "z", "x"], horizontal_dim)
+    if horizontal_dim == vertical_dim:
+        raise ValueError(
+            f"horizontal_dim and vertical_dim must differ, both are "
+            f"{horizontal_dim!r}"
+        )
 
     points = None
     if points_key is not None:

@@ -221,3 +221,30 @@ def test_detect_beads_required_overlap_declared():
         {"target_size_physical": 6.0, "spacing": {"y": 1.0, "x": 2.0}},
     )
     assert ov and all(v > 0 for v in ov.values())
+
+
+def test_required_overlap_dict_keys_align_by_axis():
+    """Dict target sizes pair with spacing BY KEY, not by insertion
+    order: {'x': 8, 'y': 2} against spacing {'y': 1, 'x': 4} must give
+    y->2px, x->2px regardless of either dict's ordering (review finding:
+    order-based zipping silently computed sizes against the wrong
+    axis's spacing, under-sizing dedup halos)."""
+    from multiview_stitcher_tpu.utils import misc as misc_utils
+
+    spacing = {"y": 1.0, "x": 4.0}
+    a = misc_utils.get_required_overlap(
+        detection.log_detect,
+        {"target_size_physical": {"x": 8.0, "y": 2.0}, "spacing": spacing},
+    )
+    b = misc_utils.get_required_overlap(
+        detection.log_detect,
+        {"target_size_physical": {"y": 2.0, "x": 8.0}, "spacing": spacing},
+    )
+    assert a == b
+    # both axes resolve to 2 px -> identical per-axis overlaps
+    assert a["y"] == a["x"]
+    with pytest.raises(TypeError, match="must match spacing keys"):
+        misc_utils.get_required_overlap(
+            detection.log_detect,
+            {"target_size_physical": {"z": 8.0}, "spacing": spacing},
+        )

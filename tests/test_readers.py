@@ -130,6 +130,24 @@ class TestCzi:
                 sl.data[-1, :, ::2], se.data[-1, :, ::2]
             )
 
+    def test_lazy_empty_slice_matches_eager(self):
+        """Zero-length slices of a leading axis return an empty array
+        like eager numpy instead of IndexError (review finding: the
+        block-sample probe crashed on empty selections)."""
+        from multiview_stitcher_tpu.io import czi_utils
+
+        lazy = czi_utils.read_mosaic_into_sims_czifile(CZI_TEST_FILE)
+        eager = czi_utils.read_mosaic_into_sims_czifile(
+            CZI_TEST_FILE, lazy=False
+        )
+        for sl, se in zip(lazy, eager):
+            out = sl.data[0:0]
+            assert out.shape == se.data[0:0].shape
+            assert out.dtype == se.data.dtype
+            np.testing.assert_array_equal(
+                sl.data[0:0, 5:10, 2:4], se.data[0:0, 5:10, 2:4]
+            )
+
     def test_real_file_registration_ground_truth(self):
         """Pairwise shift recovered within 1.5 px of the known [2.5, 7.5] px
         ground truth (reference test_registration.py:96-111)."""

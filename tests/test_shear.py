@@ -265,3 +265,55 @@ def test_fusion_shear_tier_matches_gather(ndim, cs, monkeypatch):
     assert np.percentile(d, 99) < 3.0
     assert d.mean() < 0.5
     assert (d > 0.05 * ref.max()).mean() < 0.002
+
+def _mixed_shape_sims():
+    """Two overlapping views with DIFFERENT shapes, one rotated: routes
+    the shear tier's device-tiles path through _pad_stack (mixed-shape
+    stack assembly). Regression layout for the zero- vs edge-padding
+    parity bug (review finding: devtiles read zero padding where the
+    host slab path edge-replicates, up to 74-count errors)."""
+    rng = np.random.default_rng(1)
+    th = 0.05
+    R = np.eye(3)
+    R[:2, :2] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+    sims = []
+    for i, (shp, org) in enumerate(
+        [((40, 80), (0.0, 0.0)), ((60, 60), (20.0, 30.0))]
+    ):
+        data = rng.integers(100, 1100, size=shp).astype(np.uint16)
+        sim = si_utils.get_sim_from_array(
+            data, dims=("y", "x"),
+            scale={"y": 1.0, "x": 1.0},
+            translation={"y": org[0], "x": org[1]},
+        )
+        si_utils.set_sim_affine(
+            sim, R if i % 2 else np.eye(3), transform_key="affine"
+        )
+        sims.append(sim)
+    return sims
+
+
+def test_shear_devtiles_mixed_shapes_match_host_slabs(monkeypatch):
+    """Device-resident-tiles shear fusion is bit-exact vs the host slab
+    path for MIXED tile shapes (edge-replicated _pad_stack; zero padding
+    regressed this by up to 74 intensity counts at small-tile edges)."""
+    monkeypatch.setenv("MVS_TPU_SHEAR", "1")
+    calls = {"dev": 0}
+    orig_dev = _core._fuse_chunk_batch_kernel_shear_devtiles
+
+    def spy_dev(*a, **k):
+        calls["dev"] += 1
+        return orig_dev(*a, **k)
+
+    monkeypatch.setattr(
+        _core, "_fuse_chunk_batch_kernel_shear_devtiles", spy_dev
+    )
+    monkeypatch.setenv("MVS_TPU_DEVICE_SLABS", "1")
+    _core.clear_device_tile_cache()
+    a = fusion.fuse(_mixed_shape_sims(), transform_key="affine").to_numpy()
+    assert calls["dev"] >= 1, "device-tiles shear kernel not engaged"
+    monkeypatch.setenv("MVS_TPU_DEVICE_SLABS", "0")
+    _core.clear_device_tile_cache()
+    b = fusion.fuse(_mixed_shape_sims(), transform_key="affine").to_numpy()
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(a, b)

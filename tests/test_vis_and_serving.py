@@ -429,3 +429,52 @@ def test_virtual_server_concurrent_readers():
         assert whole_results == ["whole"] * 4
     finally:
         server.shutdown()
+
+
+def test_imshow_rejects_duplicate_display_axes():
+    """horizontal_dim == vertical_dim is a silent-garbage hazard (both
+    axes labeled the same dim, transposed data): must raise like the
+    project_dim conflict does."""
+    sim = si_utils.get_sim_from_array(
+        np.zeros((4, 10, 12), np.float32), dims=("z", "y", "x")
+    )
+    with pytest.raises(ValueError, match="must differ"):
+        vis_utils.imshow(sim, horizontal_dim="x", vertical_dim="x")
+
+
+def test_neuroglancer_positional_colors_rejects_single_layer():
+    """use_positional_colors assigns one shader per view; a merged
+    single layer has a single shader, so the combination must raise
+    instead of silently dropping the coloring."""
+    sims = [
+        si_utils.get_sim_from_array(
+            np.zeros((8, 8), np.uint16), translation={"y": 0.0, "x": 6.0 * i}
+        )
+        for i in range(2)
+    ]
+    for s in sims:
+        si_utils.set_sim_affine(s, np.eye(3), transform_key="affine")
+    with pytest.raises(ValueError, match="single merged layer"):
+        neuroglancer.generate_neuroglancer_json(
+            ome_zarr_paths=None,
+            ome_zarr_urls=["http://h/0.zarr", "http://h/1.zarr"],
+            sims=sims,
+            transform_key="affine",
+            use_positional_colors=True,
+            single_layer=True,
+        )
+
+
+def test_serve_virtual_ome_zarrs_rejects_length_mismatch():
+    """A short names/omero_channels list would silently truncate the
+    served stores through zip: reject it at setup time."""
+    sims = [
+        si_utils.get_sim_from_array(np.zeros((5, 6), dtype=np.uint16))
+        for _ in range(3)
+    ]
+    with pytest.raises(ValueError, match="must match len"):
+        virtual_ngff.serve_virtual_ome_zarrs(
+            sims, port=0, omero_channels=[{"channels": []}]
+        )
+    with pytest.raises(ValueError, match="must match len"):
+        virtual_ngff.serve_virtual_ome_zarrs(sims, port=0, names=["only.zarr"])
