@@ -106,3 +106,66 @@ def get_number_of_scenes_in_mosaic(filepath) -> int:
 
         return czi_utils.get_czi_shape(filepath).get("S", 1)
     return 1
+
+
+def read_mosaic_into_sims_czifile(filepath, scene_index: int = 0, lazy=True):
+    """Re-export of the first-party CZI mosaic reader (reference io.py
+    exposes it at module level)."""
+    from multiview_stitcher_tpu.io import czi_utils
+
+    return czi_utils.read_mosaic_into_sims_czifile(
+        filepath, scene_index=scene_index, lazy=lazy
+    )
+
+
+def read_mosaic_image_into_list_of_spatial_xarrays(
+    filepath, scene_index: int = 0
+):
+    """Deprecated reference alias for :func:`read_mosaic_into_sims`
+    (reference io.py keeps it with a DeprecationWarning)."""
+    import warnings
+
+    warnings.warn(
+        "read_mosaic_image_into_list_of_spatial_xarrays is deprecated; "
+        "use read_mosaic_into_sims.",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    return read_mosaic_into_sims(filepath, scene_index=scene_index)
+
+
+def read_tiff_into_spatial_xarray(filename, **kwargs):
+    """Deprecated reference alias for the TIFF sim reader."""
+    import warnings
+
+    from multiview_stitcher_tpu.io import tif_utils
+
+    warnings.warn(
+        "read_tiff_into_spatial_xarray is deprecated; use "
+        "tif_utils.read_tiff_into_sim.",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    return tif_utils.read_tiff_into_sim(filename, **kwargs)
+
+
+def read_tif_into_msim(
+    filename,
+    dims=None,
+    scale=None,
+    translation=None,
+    transform_key=METADATA_TRANSFORM_KEY,
+    scale_factors=None,
+):
+    """Read a TIFF into a multiscale spatial image (reference io.py:251)."""
+    from multiview_stitcher_tpu import msi_utils
+    from multiview_stitcher_tpu.io import tif_utils
+
+    sim = tif_utils.read_tiff_into_sim(
+        filename,
+        dims=dims,
+        scale=scale,
+        translation=translation,
+        transform_key=transform_key,
+    )
+    return msi_utils.get_msim_from_sim(sim, scale_factors=scale_factors)

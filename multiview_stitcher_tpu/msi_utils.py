@@ -421,3 +421,9 @@ def get_res_level_from_binning_factors(msim: Msim, binning_factors: Dict[str, in
         else:
             break
     return chosen
+
+
+def ensure_dim(msim: Msim, dim: str) -> Msim:
+    """Expand ``dim`` on every scale when absent (reference
+    msi_utils.py:620)."""
+    return Msim(sims=[si_utils.ensure_dim(s, dim) for s in msim.sims])

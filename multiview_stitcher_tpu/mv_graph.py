@@ -775,3 +775,22 @@ def get_connected_labels(labels, structure=None):
     pairs = unique_along_axis(pairs, axis=1).T
     pairs -= 1
     return pairs
+
+
+def compute_graph_edges(input_g, weight_name: str = "transform"):
+    """Materialize the named edge attribute on every edge (reference
+    mv_graph.py:355 dask-computes them simultaneously; here transforms
+    are eager arrays or device arrays, so this forces them to host
+    numpy in one pass)."""
+    g = input_g.copy()
+    for e in g.edges:
+        if weight_name not in g.edges[e]:
+            continue
+        w = g.edges[e][weight_name]
+        if isinstance(w, param_utils.XAffine):
+            g.edges[e][weight_name] = param_utils.XAffine(
+                np.asarray(w.data), t_coords=w.t_coords
+            )
+        elif hasattr(w, "__array__"):
+            g.edges[e][weight_name] = np.asarray(w)
+    return g

@@ -306,3 +306,17 @@ def transform_pts(pts, affine) -> np.ndarray:
     affine = np.asarray(affine, dtype=float)
     ndim = affine.shape[-1] - 1
     return pts @ affine[:ndim, :ndim].T + affine[:ndim, ndim]
+
+
+def get_spatial_dims_from_params(xparams) -> list:
+    """Matrix dims of a params object (reference param_utils.py:246 —
+    there the xarray dims named x_in/x_out; XAffine stores the matrix in
+    its trailing two axes)."""
+    return ["x_in", "x_out"]
+
+
+def get_non_spatial_dims_from_params(xparams) -> list:
+    """Leading (non-matrix) dims — ['t'] for time-resolved params
+    (reference param_utils.py:251)."""
+    p = to_xaffine(xparams)
+    return ["t"] if p.has_t else []

@@ -101,3 +101,19 @@ def generate_tiled_dataset(
         )
         sims.append(sim)
     return sims
+
+
+def get_mosaic_sample_data_path():
+    """Path to the bundled 2-tile mosaic CZI used across the test suite
+    (reference sample_data.py:143 ships test-datasets/mosaic_test.czi)."""
+    from pathlib import Path
+
+    path = Path(
+        "/root/reference/src/multiview_stitcher/test-datasets/"
+        "mosaic_test.czi"
+    )
+    if not path.exists():
+        raise FileNotFoundError(
+            "mosaic_test.czi sample not available in this environment."
+        )
+    return path

@@ -453,20 +453,60 @@ def sim_sel_coords(sim: Sim, sel_dict: Dict[str, Any]) -> Sim:
             )
     out = sim.isel(indexers)
     if spatial_window and "point_sets" in out.attrs:
-        filtered = {}
-        for key, pts in out.attrs["point_sets"].items():
-            pts = np.asarray(pts)
-            keep = np.ones(len(pts), dtype=bool)
-            for i, d in enumerate(sdims):
-                if d in spatial_window:
-                    lo, hi = spatial_window[d]
-                    keep &= (pts[:, i] >= lo - 1e-9) & (
-                        pts[:, i] <= hi + 1e-9
-                    )
-            filtered[key] = pts[keep]
         out.attrs = dict(out.attrs)
-        out.attrs["point_sets"] = filtered
+        out.attrs["point_sets"] = {
+            key: point_set_sel_coords(
+                pts,
+                {d: slice(*spatial_window[d]) for d in spatial_window},
+                sdims=sdims,
+            )
+            for key, pts in out.attrs["point_sets"].items()
+        }
     return out
+
+
+def point_set_sel_coords(point_set, sel_dict, sdims=("z", "y", "x")):
+    """Filter an (N, ndim) point set by world-coordinate bounds.
+
+    ``sel_dict`` maps spatial dims to slices (inclusive bounds) or
+    scalar values (exact match within tolerance); columns are ordered
+    like ``sdims`` (trailing ndim entries used). Reference:
+    spatial_image_utils.point_set_sel_coords:1185.
+    """
+    pts = np.asarray(point_set, dtype=float)
+    if pts.ndim != 2:
+        raise ValueError(f"point set must be (N, ndim), got {pts.shape}")
+    dims = list(sdims)[-pts.shape[1]:]
+    keep = np.ones(len(pts), dtype=bool)
+    for i, d in enumerate(dims):
+        if d not in sel_dict:
+            continue
+        v = sel_dict[d]
+        if isinstance(v, slice):
+            lo = v.start if v.start is not None else -np.inf
+            hi = v.stop if v.stop is not None else np.inf
+            keep &= (pts[:, i] >= lo - 1e-9) & (pts[:, i] <= hi + 1e-9)
+        else:
+            keep &= np.abs(pts[:, i] - float(v)) <= 1e-9
+    return pts[keep]
+
+
+def process_fields(sim: Sim, func, **func_kwargs) -> Sim:
+    """Apply ``func`` to every non-spatial field's spatial block and
+    reassemble (reference spatial_image_utils.process_fields:1318, an
+    xr.apply_ufunc over core spatial dims). ``func`` maps an
+    ndim-spatial array to a same-shape array."""
+    nsdims = get_nonspatial_dims_from_sim(sim)
+    data = np.asarray(sim.data)
+    lead = data.shape[: len(nsdims)]
+    flat = data.reshape((-1,) + data.shape[len(nsdims):])
+    out = np.stack([np.asarray(func(f, **func_kwargs)) for f in flat])
+    if out.shape[1:] != flat.shape[1:]:
+        raise ValueError(
+            f"func changed the spatial shape {flat.shape[1:]} -> "
+            f"{out.shape[1:]}; process_fields requires same-shape output."
+        )
+    return sim.copy(data=out.reshape(lead + out.shape[1:]))
 
 
 def ensure_time_dim(sim: Sim) -> Sim:

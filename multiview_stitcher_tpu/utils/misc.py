@@ -10,6 +10,7 @@ backend; executors keep the same hook shape so alternative schedulers plug in
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 from typing import Callable, Iterable, List, Sequence
 
@@ -168,3 +169,15 @@ def process_batch_using_ray(func: Callable, batch: Sequence) -> list:
         ray.init(ignore_reinit_error=True)
     remote_func = ray.remote(func)
     return ray.get([remote_func.remote(item) for item in batch])
+
+
+@contextlib.contextmanager
+def temporary_log_level(logger, level):
+    """Temporarily set ``logger``'s level inside a with-block (reference
+    misc_utils.py:45)."""
+    old_level = logger.level
+    logger.setLevel(level)
+    try:
+        yield logger
+    finally:
+        logger.setLevel(old_level)

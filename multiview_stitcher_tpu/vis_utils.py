@@ -538,3 +538,33 @@ def get_contrast_min_max_from_ome_zarr_omero_metadata(ome_zarr_path):
         (ch["window"]["start"], ch["window"]["end"])
         for ch in attrs["omero"]["channels"]
     ]
+
+
+def plot_msim_with_points(*args, **kwargs):
+    """Alias of :func:`imshow` (reference vis_utils.py:709)."""
+    return imshow(*args, **kwargs)
+
+
+def plot_stack_props(stack_props, ax, color="black", size=10, linewidth=1):
+    """Draw a stack-properties bounding box on an existing axes
+    (reference vis_utils.py:713). Works for 2D and 3D axes; edges
+    connect vertices differing in exactly one bit of the index
+    hypercube, robust to arbitrary affines."""
+    verts = mv_graph.get_vertices_from_stack_props(stack_props)
+    ndim = verts.shape[1]
+    bits = np.array(list(np.ndindex((2,) * ndim)))
+    for i in range(len(verts)):
+        for j in range(i + 1, len(verts)):
+            if np.sum(bits[i] != bits[j]) == 1:
+                seg = np.stack([verts[i], verts[j]])
+                if ndim == 3:
+                    ax.plot(
+                        seg[:, 2], seg[:, 1], seg[:, 0],
+                        color=color, linewidth=linewidth,
+                    )
+                else:
+                    ax.plot(
+                        seg[:, 1], seg[:, 0],
+                        color=color, linewidth=linewidth,
+                    )
+    return ax

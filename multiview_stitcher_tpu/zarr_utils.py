@@ -172,3 +172,34 @@ class VirtualMap:
 
 def map_blocks(array, func, *args, dtype=None, **kwargs):
     return VirtualMap(array, func, *args, dtype=dtype, **kwargs)
+
+
+def is_stackable(arrays) -> bool:
+    """True when :func:`stack` would succeed (reference
+    zarr_utils.is_stackable): same shapes and dtypes. Index-mapping
+    virtual views have no chunk/codec constraints beyond that."""
+    arrays = list(arrays)
+    if not arrays:
+        return False
+    first = arrays[0]
+    return all(
+        tuple(a.shape) == tuple(first.shape)
+        and np.dtype(a.dtype) == np.dtype(first.dtype)
+        for a in arrays[1:]
+    )
+
+
+def is_chunk_aligned_concatenate(arrays, axis: int) -> bool:
+    """True when :func:`concatenate` along ``axis`` would succeed
+    (reference zarr_utils.is_chunk_aligned_concatenate): compatible
+    non-axis extents. Virtual views read through index mapping, so no
+    chunk-grid alignment is required here."""
+    arrays = list(arrays)
+    if not arrays:
+        return False
+    shapes = [tuple(a.shape) for a in arrays]
+    axis = int(axis)
+    return all(
+        s[:axis] == shapes[0][:axis] and s[axis + 1:] == shapes[0][axis + 1:]
+        for s in shapes[1:]
+    )
