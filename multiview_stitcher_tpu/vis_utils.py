@@ -233,18 +233,33 @@ def imshow(
     horizontal_dim: Optional[str] = None,
     vertical_dim: Optional[str] = None,
     points_key: Optional[str] = None,
+    points_tolerance: float = 1.0,
+    figure_kwargs: Optional[dict] = None,
+    imshow_kwargs: Optional[dict] = None,
     scatter_kwargs: Optional[dict] = None,
-    **imshow_kwargs,
+    show_plot: bool = False,
+    **extra_imshow_kwargs,
 ):
-    """Display a (projected) sim with physical extent (reference :420).
+    """Display a (projected or sliced) sim with physical extent
+    (reference :420).
 
     ``project_dim`` picks the max-projected spatial dim for 3D input
     (default: whichever is not displayed); ``horizontal_dim`` /
     ``vertical_dim`` choose the displayed axes (defaults x / y).
     ``points_key`` overlays the sim's named point set (intrinsic physical
-    coords) on the displayed plane.
+    coords) on the displayed plane. When ``nscoord`` carries a WORLD
+    coordinate for the hidden spatial dim, that slice is shown instead of
+    the projection and points farther than ``points_tolerance`` pixels
+    from it are hidden (the static analog of the reference's slider +
+    tolerance, vis_utils.py:424/668). ``imshow_kwargs``/extra kwargs
+    forward to ``ax.imshow``; ``figure_kwargs`` to ``plt.subplots``.
     """
     import matplotlib.pyplot as plt
+
+    imshow_kwargs = {**(imshow_kwargs or {}), **extra_imshow_kwargs}
+    points_tolerance = float(points_tolerance)
+    if points_tolerance < 0:
+        raise ValueError("points_tolerance must be >= 0.")
 
     sim = (
         image.get_scale(f"scale{resolution_level}")
@@ -290,12 +305,11 @@ def imshow(
             f"{horizontal_dim!r}"
         )
 
-    points = None
+    pts = keep = None
+    col = {d: i for i, d in enumerate(sdims)}
     if points_key is not None:
         pts = np.asarray(si_utils.get_point_set(sim, points_key=points_key))
-        # columns are ordered like the sim's spatial dims
-        col = {d: i for i, d in enumerate(sdims)}
-        points = pts[:, [col[horizontal_dim], col[vertical_dim]]]
+        keep = np.ones(len(pts), dtype=bool)
 
     if len(sdims) == 3:
         drop = project_dim or next(
@@ -303,8 +317,30 @@ def imshow(
         )
         if drop in (horizontal_dim, vertical_dim):
             raise ValueError("3D display needs a projected dimension")
-        sim = si_utils.max_project_sim(sim, dim=drop)
+        if drop in nscoord:
+            # WORLD coordinate for the hidden dim: show that slice and
+            # hide points beyond points_tolerance pixels from it
+            o, sp = sim.origin[drop], sim.spacing[drop]
+            idx = int(
+                np.clip(
+                    round((float(nscoord[drop]) - o) / sp),
+                    0,
+                    sim.sizes[drop] - 1,
+                )
+            )
+            sim = sim.isel({drop: idx})
+            if pts is not None:
+                keep &= (
+                    np.abs(pts[:, col[drop]] - (o + idx * sp))
+                    <= points_tolerance * sp
+                )
+        else:
+            sim = si_utils.max_project_sim(sim, dim=drop)
         sdims = sim.spatial_dims
+
+    points = None
+    if pts is not None:
+        points = pts[keep][:, [col[horizontal_dim], col[vertical_dim]]]
 
     data = sim.to_numpy()
     if (vertical_dim, horizontal_dim) != tuple(sdims):
@@ -318,7 +354,7 @@ def imshow(
         y0 - sy / 2,
     ]
     if ax is None:
-        _, ax = plt.subplots()
+        _, ax = plt.subplots(**(figure_kwargs or {}))
     ax.imshow(data, extent=extent, **imshow_kwargs)
     if points is not None and len(points):
         ax.scatter(
@@ -327,6 +363,8 @@ def imshow(
         )
     ax.set_xlabel(horizontal_dim)
     ax.set_ylabel(vertical_dim)
+    if show_plot:
+        plt.show()
     return ax
 
 
@@ -423,12 +461,15 @@ def plot_registration_summaries(
 
 
 class _CORSHandler(http.server.SimpleHTTPRequestHandler):
+    quiet = True
+
     def end_headers(self):
         self.send_header("Access-Control-Allow-Origin", "*")
         super().end_headers()
 
-    def log_message(self, *args):
-        pass
+    def log_message(self, fmt, *args):
+        if not self.quiet:
+            logger.info("%s - %s", self.address_string(), fmt % args)
 
 
 def serve_dir(dir_path: str, port: int = 8000):
@@ -509,11 +550,14 @@ def view_ome_zarr(image_path: str, port: int = 8000, **kwargs):
 
 
 def serve_dir_https(dir_path: str, port: int = 8000, host: str = "127.0.0.1",
-                    certfile: str = "cert.pem", keyfile: str = "key.pem"):
-    """HTTPS variant of :func:`serve_dir` (reference vis_utils.py:1118)."""
+                    certfile: str = "cert.pem", keyfile: str = "key.pem",
+                    quiet: bool = False):
+    """HTTPS variant of :func:`serve_dir` (reference vis_utils.py:1118);
+    ``quiet`` suppresses per-request logging."""
     import ssl
 
-    handler = lambda *args, **kw: _CORSHandler(
+    handler_cls = type("Handler", (_CORSHandler,), {"quiet": quiet})
+    handler = lambda *args, **kw: handler_cls(
         *args, directory=str(dir_path), **kw
     )
     server = socketserver.ThreadingTCPServer((host, port), handler)
@@ -526,18 +570,34 @@ def serve_dir_https(dir_path: str, port: int = 8000, host: str = "127.0.0.1",
     return server, thread
 
 
-def get_contrast_min_max_from_ome_zarr_omero_metadata(ome_zarr_path):
-    """Per-channel (start, end) display windows from omero metadata
-    (reference vis_utils.py:1188)."""
+def get_contrast_min_max_from_ome_zarr_omero_metadata(
+    ome_zarr_path, channel_label=None
+):
+    """(start, end) display window of one channel from omero metadata,
+    selected by label (first channel when None) — reference
+    vis_utils.py:1188 semantics and return type."""
     from multiview_stitcher_tpu.io import zarr_backend
 
     attrs, _ = zarr_backend.read_group_metadata(str(ome_zarr_path))
     if "omero" not in attrs:
         return None
-    return [
-        (ch["window"]["start"], ch["window"]["end"])
-        for ch in attrs["omero"]["channels"]
-    ]
+    channels = attrs["omero"]["channels"]
+    if channel_label is None:
+        channel_index = 0
+    else:
+        matches = [
+            ic
+            for ic, c in enumerate(channels)
+            if str(c.get("label")) == str(channel_label)
+        ]
+        if len(matches) != 1:
+            raise ValueError(
+                f"Channel {channel_label} not found in metadata in "
+                f"{ome_zarr_path}"
+            )
+        channel_index = matches[0]
+    window = channels[channel_index]["window"]
+    return np.array([window["start"], window["end"]])
 
 
 def plot_msim_with_points(*args, **kwargs):

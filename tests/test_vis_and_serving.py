@@ -478,3 +478,58 @@ def test_serve_virtual_ome_zarrs_rejects_length_mismatch():
         )
     with pytest.raises(ValueError, match="must match len"):
         virtual_ngff.serve_virtual_ome_zarrs(sims, port=0, names=["only.zarr"])
+
+
+def test_imshow_slice_with_points_tolerance():
+    """A world coordinate for the hidden spatial dim selects that slice
+    (not the projection) and hides points beyond points_tolerance pixels
+    of it (static analog of reference vis_utils.py:424/668)."""
+    import matplotlib.pyplot as plt
+
+    data = np.zeros((6, 30, 20), np.float32)
+    data[2] = 7.0  # marker plane
+    sim = si_utils.get_sim_from_array(
+        data, dims=("z", "y", "x"), scale={"z": 2.0, "y": 1.0, "x": 1.0}
+    )
+    si_utils.set_point_set(
+        sim,
+        np.array([[4.0, 10.0, 7.0], [12.0, 20.0, 12.0]]),  # z=4 and z=12
+        points_key="beads",
+    )
+    # nearest slice to world z=4.5 is index 2 (z=4): only the first point
+    # is within 1 px (=2.0 world units) of it
+    ax = vis_utils.imshow(
+        sim, nscoord={"z": 4.5}, points_key="beads", points_tolerance=1.0
+    )
+    im = np.asarray(ax.images[0].get_array())
+    assert im.max() == 7.0  # the selected slice, not a projection of zeros
+    pts = np.asarray(ax.collections[0].get_offsets())
+    np.testing.assert_allclose(pts, [[7.0, 10.0]])
+    plt.close(ax.figure)
+    with pytest.raises(ValueError, match=">= 0"):
+        vis_utils.imshow(sim, points_tolerance=-1)
+
+
+def test_contrast_from_omero_metadata_channel_label(tmp_path):
+    """Channel selection by label; first channel by default; unknown
+    labels raise (reference vis_utils.py:1188)."""
+    import numpy as np
+
+    from multiview_stitcher_tpu.io import ngff_utils
+
+    sim = si_utils.get_sim_from_array(
+        np.zeros((2, 8, 8), np.uint16), dims=("c", "y", "x"),
+        c_coords=["DAPI", "GFP"],
+    )
+    path = str(tmp_path / "omero.ome.zarr")
+    ngff_utils.write_sim_to_ome_zarr(sim, path)
+    first = vis_utils.get_contrast_min_max_from_ome_zarr_omero_metadata(path)
+    by_label = vis_utils.get_contrast_min_max_from_ome_zarr_omero_metadata(
+        path, channel_label="GFP"
+    )
+    assert first is not None and len(first) == 2
+    assert by_label is not None and len(by_label) == 2
+    with pytest.raises(ValueError, match="not found"):
+        vis_utils.get_contrast_min_max_from_ome_zarr_omero_metadata(
+            path, channel_label="nope"
+        )
