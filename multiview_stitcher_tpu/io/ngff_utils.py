@@ -406,10 +406,112 @@ def read_sim_from_ome_zarr(
         transform_key=transform_key,
         c_coords=c_coords,
     )
+    if "t" in axes:
+        it = axes.index("t")
+        unit = next(
+            (a.get("unit") for a in ms["axes"] if a["name"] == "t"), None
+        )
+        tt = {
+            "scale": float(scale[it]),
+            "translation": float(translation[it]),
+            "unit": unit,
+        }
+        if tt != DEFAULT_NGFF_TIME_TRANSFORM:
+            sim.attrs["ngff_time_transform"] = tt
     if prior_sim is not None:
         for key, xaff in prior_sim.transforms.items():
             sim.transforms[key] = xaff.copy()
     return sim
+
+
+def get_ngff_time_transform(image) -> dict:
+    """The NGFF time calibration (scale/translation/unit) carried by a sim
+    or msim; identity when none is stored (reference ngff_utils.py:70)."""
+    sims = image.sims if msi_utils.is_msim(image) else [image]
+    stored = sims[0].attrs.get("ngff_time_transform") if sims else None
+    return {**DEFAULT_NGFF_TIME_TRANSFORM, **(stored or {})}
+
+
+def set_ngff_time_transform(image, time_transform):
+    """Attach an NGFF time calibration to a sim or msim; the identity is
+    stored as the ABSENCE of the attr so never-calibrated images stay
+    byte-identical (reference ngff_utils.py:81). Msims store one copy per
+    scale."""
+    time_transform = {
+        **DEFAULT_NGFF_TIME_TRANSFORM,
+        **(time_transform or {}),
+    }
+    sims = image.sims if msi_utils.is_msim(image) else [image]
+    for s in sims:
+        if time_transform == DEFAULT_NGFF_TIME_TRANSFORM:
+            s.attrs.pop("ngff_time_transform", None)
+        else:
+            s.attrs["ngff_time_transform"] = dict(time_transform)
+    return image
+
+
+def copy_ngff_time_transform(source, target):
+    """Give ``target`` the time calibration of ``source`` — e.g. a fused
+    stack built from a bare array spans the same timepoints as its inputs
+    (reference ngff_utils.py:99)."""
+    return set_ngff_time_transform(target, get_ngff_time_transform(source))
+
+
+def mean_dtype(arr, **kwargs):
+    """dtype-preserving mean, for pyramid coarsening of integer data
+    (reference ngff_utils.py:1284)."""
+    return np.mean(arr, **kwargs).astype(arr.dtype)
+
+
+def update_ome_zarr_multiscales_metadata(zarr_path, msim, transform_key):
+    """Rewrite the on-disk multiscales scale/translation from an in-memory
+    msim's levels, preserving every other attr (reference
+    ngff_utils.py:1814). ``transform_key`` optionally contributes the
+    TRANSLATIONAL component of that key's affine; pass None to use each
+    level's origin only. Raises when the level counts differ."""
+    zarr_path = str(zarr_path)
+    attrs, zarr_format = zarr_backend.read_group_metadata(zarr_path)
+    ms, _ = _parse_multiscales(attrs)
+    datasets = ms["datasets"]
+    scale_keys = msi_utils.get_sorted_scale_keys(msim)
+    if len(datasets) != len(scale_keys):
+        raise ValueError(
+            f"On-disk OME-Zarr has {len(datasets)} resolution levels, "
+            f"msim has {len(scale_keys)}."
+        )
+    axes = [a["name"] for a in ms["axes"]]
+    sdims = [a for a in axes if a in si_utils.SPATIAL_DIMS]
+    for ds, skey in zip(datasets, scale_keys):
+        sim = msim.get_scale(skey)
+        origin = dict(sim.origin)
+        if transform_key is not None:
+            aff = np.asarray(
+                si_utils.get_affine_from_sim(sim, transform_key).squeeze()
+            )
+            if aff.ndim == 3:
+                aff = aff[0]
+            shift = aff[:-1, -1]
+            for i, d in enumerate(sdims):
+                origin[d] = origin[d] + float(shift[i])
+        for tf in ds.get("coordinateTransformations", []):
+            if tf["type"] == "scale":
+                tf["scale"] = [
+                    float(sim.spacing[a]) if a in sdims else s
+                    for a, s in zip(axes, tf["scale"])
+                ]
+            elif tf["type"] == "translation":
+                tf["translation"] = [
+                    float(origin[a]) if a in sdims else t
+                    for a, t in zip(axes, tf["translation"])
+                ]
+    zarr_backend.write_group_metadata(zarr_path, attrs, zarr_format)
+
+
+def serve_virtual_ome_zarrs(*args, **kwargs):
+    """Re-export (reference exposes virtual serving from ngff_utils)."""
+    from multiview_stitcher_tpu.io import virtual_ngff
+
+    return virtual_ngff.serve_virtual_ome_zarrs(*args, **kwargs)
 
 
 TRANSFORMS_ATTR_KEY = "multiview_stitcher_tpu:transforms"

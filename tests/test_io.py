@@ -356,3 +356,76 @@ def test_ngff04_shards_rejected(tmp_path):
             sim, str(tmp_path / "x.ome.zarr"), overwrite=True,
             ngff_version="0.4", shards=[8, 8],
         )
+
+
+def test_ngff_time_transform_accessors_and_roundtrip(tmp_path):
+    """get/set/copy_ngff_time_transform carry the NGFF time calibration;
+    the write path emits it on the t axis and the reader restores it
+    (reference ngff_utils.py:70-108)."""
+    data = np.arange(2 * 8 * 8, dtype=np.uint16).reshape(2, 8, 8)
+    sim = si_utils.get_sim_from_array(data, dims=("t", "y", "x"))
+    # identity by default; setting identity stores nothing
+    assert ngff_utils.get_ngff_time_transform(sim)["scale"] == 1.0
+    ngff_utils.set_ngff_time_transform(sim, {"scale": 1.0})
+    assert "ngff_time_transform" not in sim.attrs
+    tt = {"scale": 2.5, "translation": 10.0, "unit": "second"}
+    ngff_utils.set_ngff_time_transform(sim, tt)
+    assert ngff_utils.get_ngff_time_transform(sim) == tt
+
+    url = str(tmp_path / "tt.ome.zarr")
+    ngff_utils.write_sim_to_ome_zarr(sim, url, overwrite=True)
+    back = ngff_utils.read_sim_from_ome_zarr(url)
+    assert ngff_utils.get_ngff_time_transform(back) == tt
+
+    # derived image (bare array) inherits via copy
+    fused = si_utils.get_sim_from_array(data, dims=("t", "y", "x"))
+    ngff_utils.copy_ngff_time_transform(back, fused)
+    assert ngff_utils.get_ngff_time_transform(fused) == tt
+
+    # msim: one copy per scale
+    msim = msi_utils.get_msim_from_sim(
+        si_utils.get_sim_from_array(
+            np.zeros((32, 32), np.uint16), dims=("y", "x")
+        ),
+        scale_factors=[2],
+    )
+    ngff_utils.set_ngff_time_transform(msim, tt)
+    assert all(
+        s.attrs["ngff_time_transform"] == tt for s in msim.sims
+    )
+
+
+def test_mean_dtype_preserves_dtype():
+    arr = np.array([[1, 2], [3, 4]], dtype=np.uint16)
+    out = ngff_utils.mean_dtype(arr, axis=0)
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, [2, 3])
+
+
+def test_update_ome_zarr_multiscales_metadata(tmp_path):
+    """Registered origins written back into on-disk multiscales metadata
+    without touching other attrs (reference ngff_utils.py:1814)."""
+    sim = si_utils.get_sim_from_array(
+        np.zeros((32, 32), np.uint16), dims=("y", "x"),
+        translation={"y": 0.0, "x": 0.0},
+    )
+    url = str(tmp_path / "u.ome.zarr")
+    ngff_utils.write_sim_to_ome_zarr(sim, url, overwrite=True)
+    msim = ngff_utils.read_msim_from_ome_zarr(url)
+    msi_utils.set_affine_transform(
+        msim,
+        np.array([[1.0, 0, 7.0], [0, 1.0, -2.0], [0, 0, 1]]),
+        transform_key="registered",
+    )
+    ngff_utils.update_ome_zarr_multiscales_metadata(url, msim, "registered")
+    back = ngff_utils.read_sim_from_ome_zarr(url)
+    assert back.origin["y"] == pytest.approx(7.0)
+    assert back.origin["x"] == pytest.approx(-2.0)
+
+    # level-count mismatch raises
+    short = msi_utils.Msim(sims=[msim.sims[0]])
+    if len(msim.sims) > 1:
+        with pytest.raises(ValueError, match="resolution levels"):
+            ngff_utils.update_ome_zarr_multiscales_metadata(
+                url, short, None
+            )
