@@ -427,3 +427,27 @@ def ensure_dim(msim: Msim, dim: str) -> Msim:
     """Expand ``dim`` on every scale when absent (reference
     msi_utils.py:620)."""
     return Msim(sims=[si_utils.ensure_dim(s, dim) for s in msim.sims])
+
+
+def multiscale_spatial_image_from_zarr(path, **kwargs) -> Msim:
+    """Reference-named alias of ngff_utils.read_msim_from_ome_zarr
+    (reference msi_utils.py exposes zarr round trips here)."""
+    from multiview_stitcher_tpu.io import ngff_utils
+
+    return ngff_utils.read_msim_from_ome_zarr(path, **kwargs)
+
+
+def multiscale_spatial_image_to_zarr(msim: Msim, path, **kwargs):
+    """Reference-named alias of ngff_utils.write_msim_to_ome_zarr."""
+    from multiview_stitcher_tpu.io import ngff_utils
+
+    return ngff_utils.write_msim_to_ome_zarr(msim, str(path), **kwargs)
+
+
+def update_msim_transforms_zarr(msim_or_transforms, zarr_path):
+    """Reference-named alias of ngff_utils.update_msim_transforms_zarr."""
+    from multiview_stitcher_tpu.io import ngff_utils
+
+    return ngff_utils.update_msim_transforms_zarr(
+        msim_or_transforms, zarr_path
+    )

@@ -669,3 +669,72 @@ def stack(sims: Sequence[Sim], dim: str, coords=None) -> Sim:
     if coords is not None:
         out.coords[dim] = np.asarray(coords)
     return out
+
+
+def serialize_zarr_backed_sim(sim: Sim) -> dict:
+    """Lightweight JSON-able payload for task graphs: the tensorstore
+    spec of the backing zarr array + physical metadata + transforms
+    (reference spatial_image_utils.py:712 — data is reopened at the
+    worker, never shipped)."""
+    from multiview_stitcher_tpu.io.zarr_backend import LazyTSArray
+
+    data = sim.data
+    if not isinstance(data, LazyTSArray):
+        raise ValueError(
+            "serialize_zarr_backed_sim requires a zarr-backed sim "
+            "(data opened through io.zarr_backend / io.ngff_utils)."
+        )
+    return {
+        "ts_spec": data._store.spec(minimal_spec=True).to_json(),
+        "dims": list(sim.dims),
+        "spacing": {d: float(v) for d, v in sim.spacing.items()},
+        "origin": {d: float(v) for d, v in sim.origin.items()},
+        "c_coords": (
+            np.asarray(sim.coords["c"]).tolist() if "c" in sim.dims else None
+        ),
+        "t_coords": (
+            np.asarray(sim.coords["t"]).tolist() if "t" in sim.dims else None
+        ),
+        "transforms": {
+            k: {
+                "data": np.asarray(v.data).tolist(),
+                "t_coords": (
+                    np.asarray(v.t_coords).tolist()
+                    if v.t_coords is not None
+                    else None
+                ),
+            }
+            for k, v in sim.transforms.items()
+        },
+    }
+
+
+def deserialize_zarr_backed_sim(payload: dict) -> Sim:
+    """Rebuild a lazy zarr-backed sim from
+    :func:`serialize_zarr_backed_sim`'s payload (reference
+    spatial_image_utils.py:761)."""
+    import tensorstore as ts
+
+    from multiview_stitcher_tpu.io.zarr_backend import LazyTSArray
+
+    data = LazyTSArray(ts.open(payload["ts_spec"]).result())
+    sim = get_sim_from_array(
+        data,
+        dims=tuple(payload["dims"]),
+        scale=payload["spacing"],
+        translation=payload["origin"],
+        c_coords=payload["c_coords"],
+        t_coords=payload["t_coords"],
+    )
+    sim.transforms = {
+        k: XAffine(
+            np.asarray(v["data"]),
+            t_coords=(
+                np.asarray(v["t_coords"])
+                if v["t_coords"] is not None
+                else None
+            ),
+        )
+        for k, v in payload["transforms"].items()
+    }
+    return sim

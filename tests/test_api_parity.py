@@ -142,3 +142,39 @@ def test_sample_data_path_points_at_mosaic_czi():
     path = sample_data.get_mosaic_sample_data_path()
     sims = mio.read_mosaic_into_sims(path)
     assert len(sims) == 2
+
+
+def test_serialize_zarr_backed_sim_roundtrip(tmp_path):
+    """Task-graph payloads ship the tensorstore spec + metadata, never
+    the data; the worker reopens the store lazily (reference
+    spatial_image_utils.py:712/761)."""
+    import json
+
+    from multiview_stitcher_tpu.io import ngff_utils
+
+    data = np.arange(2 * 8 * 8, dtype=np.uint16).reshape(2, 8, 8)
+    sim = si_utils.get_sim_from_array(
+        data, dims=("c", "y", "x"),
+        scale={"y": 0.5, "x": 0.5}, translation={"y": 1.0, "x": -2.0},
+        c_coords=["a", "b"],
+    )
+    si_utils.set_sim_affine(
+        sim, np.array([[1.0, 0, 3.0], [0, 1, 0], [0, 0, 1]]),
+        transform_key="registered",
+    )
+    url = str(tmp_path / "s.ome.zarr")
+    ngff_utils.write_sim_to_ome_zarr(sim, url, overwrite=True)
+    zsim = ngff_utils.read_sim_from_ome_zarr(url, prior_sim=sim)
+
+    payload = si_utils.serialize_zarr_backed_sim(zsim)
+    payload = json.loads(json.dumps(payload))  # must be JSON-able
+    back = si_utils.deserialize_zarr_backed_sim(payload)
+    assert back.dims == zsim.dims
+    assert back.spacing == zsim.spacing and back.origin == zsim.origin
+    np.testing.assert_array_equal(back.to_numpy(), data)
+    np.testing.assert_array_equal(
+        np.asarray(back.transforms["registered"].data),
+        np.asarray(zsim.transforms["registered"].data),
+    )
+    with pytest.raises(ValueError, match="zarr-backed"):
+        si_utils.serialize_zarr_backed_sim(sim)
