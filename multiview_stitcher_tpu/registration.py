@@ -1227,6 +1227,7 @@ def register(
     pairwise_executor: Optional[Callable] = None,
     return_dict: bool = False,
     mesh=None,
+    scheduler=None,  # deprecated (reference registration.py:2248)
 ):
     """Register a list of views to a common extrinsic coordinate system.
 
@@ -1242,6 +1243,15 @@ def register(
     pairwise_reg_func_kwargs = pairwise_reg_func_kwargs or {}
     groupwise_resolution_kwargs = groupwise_resolution_kwargs or {}
     pre_reg_pruning_method_kwargs = pre_reg_pruning_method_kwargs or {}
+
+    if scheduler is not None:
+        warnings.warn(
+            "register(..., scheduler=) is deprecated and unused here, "
+            "mirroring the reference (registration.py:2395); use "
+            "pairwise_executor / n_parallel_pairwise_regs / mesh instead.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
 
     msims = [
         m if isinstance(m, Msim) else msi_utils.get_msim_from_sim(m, scale_factors=[])
