@@ -171,6 +171,18 @@ def process_batch_using_ray(func: Callable, batch: Sequence) -> list:
     return ray.get([remote_func.remote(item) for item in batch])
 
 
+def process_batch_using_dask(func: Callable, batch: Sequence,
+                             scheduler: str = "threads") -> list:
+    """dask batch executor (optional dependency; reference
+    misc_utils.py:215 runs blocks through dask.delayed)."""
+    try:
+        import dask
+    except ImportError as e:
+        raise ImportError("dask is not installed") from e
+    tasks = [dask.delayed(func)(item) for item in batch]
+    return list(dask.compute(*tasks, scheduler=scheduler))
+
+
 @contextlib.contextmanager
 def temporary_log_level(logger, level):
     """Temporarily set ``logger``'s level inside a with-block (reference
