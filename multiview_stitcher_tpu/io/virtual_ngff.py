@@ -76,6 +76,10 @@ class VirtualOMEZarr:
             },
             abs_factors,
             nsdims=self.nsdims,
+            # serve the source's time calibration (reference
+            # test_virtual_ome_zarr_reports_the_time_scale_of_its_source);
+            # identity -> scale 1.0 and no time unit in the axes
+            time_transform=sim0.attrs.get("ngff_time_transform"),
         )
         self.attrs = {
             "multiscales": [

@@ -533,3 +533,35 @@ def test_contrast_from_omero_metadata_channel_label(tmp_path):
         vis_utils.get_contrast_min_max_from_ome_zarr_omero_metadata(
             path, channel_label="nope"
         )
+
+
+def test_virtual_ome_zarr_reports_source_time_scale():
+    """A served store carries its source's NGFF time calibration on the
+    t axis, and omits the time unit when none is stored (reference
+    test_virtual_ome_zarr_reports_the_time_scale_of_its_source)."""
+    from multiview_stitcher_tpu.io import ngff_utils
+
+    data = np.zeros((2, 8, 8), np.uint16)
+    sim = si_utils.get_sim_from_array(data, dims=("t", "y", "x"))
+    ngff_utils.set_ngff_time_transform(
+        sim, {"scale": 3.0, "translation": 1.5, "unit": "minute"}
+    )
+    store = virtual_ngff.VirtualOMEZarr(sim)
+    ms = json.loads(store.get(".zattrs"))["multiscales"][0]
+    tf = ms["datasets"][0]["coordinateTransformations"]
+    scale = next(t for t in tf if t["type"] == "scale")["scale"]
+    trans = next(t for t in tf if t["type"] == "translation")["translation"]
+    it = [a["name"] for a in ms["axes"]].index("t")
+    assert scale[it] == 3.0 and trans[it] == 1.5
+    assert ms["axes"][it].get("unit") == "minute"
+
+    plain = virtual_ngff.VirtualOMEZarr(
+        si_utils.get_sim_from_array(data, dims=("t", "y", "x"))
+    )
+    ms2 = json.loads(plain.get(".zattrs"))["multiscales"][0]
+    it2 = [a["name"] for a in ms2["axes"]].index("t")
+    assert "unit" not in ms2["axes"][it2]
+    assert next(
+        t for t in ms2["datasets"][0]["coordinateTransformations"]
+        if t["type"] == "scale"
+    )["scale"][it2] == 1.0
