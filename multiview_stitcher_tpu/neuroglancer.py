@@ -118,6 +118,20 @@ def generate_neuroglancer_json(
         sims = [
             ngff_utils.read_sim_from_ome_zarr(p) for p in ome_zarr_paths
         ]
+        ome_zarr_paths = None  # stores match the sims by construction
+
+    # on-disk spacing/origin per store: when these differ from the
+    # in-memory sims (user rescaled/shifted after writing), the source
+    # transform needs a zarr-physical -> mem-physical correction before
+    # the registered affine (reference neuroglancer.py:247-265)
+    zarr_geometry = None
+    if ome_zarr_paths is not None:
+        from multiview_stitcher_tpu.io import ngff_utils
+
+        zarr_geometry = []
+        for p in ome_zarr_paths:
+            zsim = ngff_utils.read_sim_from_ome_zarr(p)
+            zarr_geometry.append((zsim.spacing, zsim.origin))
 
     sim0 = sims[0]
     sdims = si_utils.get_spatial_dims_from_sim(sim0)
@@ -195,15 +209,30 @@ def generate_neuroglancer_json(
             aff = _select_affine_sample(
                 sim.transforms[transform_key], time_index
             )
-            aff_full = np.eye(len(dims) + 1)
+            aff = np.array(aff, dtype=float)
             nd = aff.shape[-1] - 1
-            spatial_idx = [dims.index(d) for d in sdims[-nd:]]
+            aff_sdims = sdims[-nd:]
+            if zarr_geometry is not None:
+                spacing_zarr, origin_zarr = zarr_geometry[i]
+            else:
+                spacing_zarr, origin_zarr = sim.spacing, sim.origin
+            # zarr-physical -> mem-physical correction (identity when the
+            # store geometry matches the sim)
+            correction = np.eye(nd + 1)
+            for a, d in enumerate(aff_sdims):
+                sc = sim.spacing[d] / spacing_zarr[d]
+                correction[a, a] = sc
+                correction[a, nd] = sim.origin[d] - origin_zarr[d] * sc
+            aff = aff @ correction
+            aff_full = np.eye(len(dims) + 1)
+            spatial_idx = [dims.index(d) for d in aff_sdims]
             for a, ia in enumerate(spatial_idx):
                 for b, ib in enumerate(spatial_idx):
                     aff_full[ia, ib] = aff[a, b]
                 aff_full[ia, -1] = aff[a, nd]
             spacing_all = {
-                d: spacing.get(d, 1.0) if d in sdims else 1.0 for d in dims
+                d: spacing_zarr.get(d, 1.0) if d in sdims else 1.0
+                for d in dims
             }
             aff_full = _affine_to_source_transform(
                 aff_full, dims, spacing_all

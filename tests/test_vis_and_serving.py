@@ -565,3 +565,59 @@ def test_virtual_ome_zarr_reports_source_time_scale():
         t for t in ms2["datasets"][0]["coordinateTransformations"]
         if t["type"] == "scale"
     )["scale"][it2] == 1.0
+
+
+def test_neuroglancer_corrects_spacing_origin_mismatch(tmp_path):
+    """When the in-memory sim's spacing/origin differ from the on-disk
+    OME-Zarr's, the source transform composes a zarr-phys -> mem-phys
+    correction so pixel -> world matches applying the registered affine
+    in in-memory coordinates (reference test_vis_utils.py:432)."""
+    from multiview_stitcher_tpu.io import ngff_utils
+
+    spacing_zarr = {"y": 0.5, "x": 0.5}
+    sim_disk = si_utils.get_sim_from_array(
+        np.zeros((16, 16), np.uint16), dims=("y", "x"), scale=spacing_zarr,
+    )
+    path = str(tmp_path / "m.ome.zarr")
+    ngff_utils.write_sim_to_ome_zarr(sim_disk, path)
+
+    spacing_mem = {"y": 1.0, "x": 2.0}
+    origin_mem = {"y": 10.0, "x": -5.0}
+    theta = np.deg2rad(15)
+    linear = np.array(
+        [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
+    )
+    translation = np.array([3.0, -2.0])
+    mem_affine = np.eye(3)
+    mem_affine[:2, :2] = linear
+    mem_affine[:2, 2] = translation
+    sim_mem = si_utils.get_sim_from_array(
+        np.zeros((16, 16), np.uint16), dims=("y", "x"),
+        scale=spacing_mem, translation=origin_mem,
+    )
+    si_utils.set_sim_affine(sim_mem, mem_affine, transform_key="registered")
+
+    state = neuroglancer.generate_neuroglancer_json(
+        ome_zarr_paths=[path],
+        ome_zarr_urls=["http://h/m.ome.zarr"],
+        sims=[sim_mem],
+        transform_key="registered",
+    )
+    m = np.asarray(state["layers"][0]["source"]["transform"]["matrix"])
+    ng_affine = np.vstack([m, [0, 0, 1]])
+
+    # neuroglancer's internal pixel -> world math (reference
+    # test_vis_utils.py:480-501) must equal the in-memory mapping
+    pixel = np.array([3.0, 7.0])
+    sdims = ["y", "x"]
+    mem_phys = np.array(
+        [pixel[i] * spacing_mem[d] + origin_mem[d]
+         for i, d in enumerate(sdims)]
+    )
+    expected_world = linear @ mem_phys + translation
+
+    zsp = np.array([spacing_zarr[d] for d in sdims])
+    source_coords = pixel  # zarr origin is 0 here
+    ng_linear = ng_affine[:2, :2] * zsp[None, :] / zsp[:, None]
+    ng_world = zsp * (ng_linear @ source_coords + ng_affine[:2, 2])
+    np.testing.assert_allclose(ng_world, expected_world, atol=1e-9)
