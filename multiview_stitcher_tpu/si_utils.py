@@ -663,7 +663,11 @@ def concat(sims: Sequence[Sim], dim: str) -> Sim:
 
 def stack(sims: Sequence[Sim], dim: str, coords=None) -> Sim:
     """Stack sims along a new non-spatial dim."""
-    assert dim not in sims[0].dims
+    if dim in sims[0].dims:
+        raise ValueError(
+            f"stack dim {dim!r} already exists; use concat to join along "
+            "an existing dim."
+        )
     expanded = [s.expand_dims(dim, coords=[i]) for i, s in enumerate(sims)]
     out = concat(expanded, dim)
     if coords is not None:
