@@ -520,8 +520,16 @@ def view_neuroglancer(
         ]
     else:
         sims = _to_sims(images)
+        omero_channels = None
+        channel_colormaps = ng_kwargs.pop("channel_colormaps", None)
+        if channel_colormaps is not None:
+            omero_channels = [
+                _omero_channels_for_colormaps(s, channel_colormaps)
+                for s in sims
+            ]
         server = virtual_ngff.serve_virtual_ome_zarrs(
-            sims, port=port, transform_key=transform_key
+            sims, port=port, transform_key=transform_key,
+            omero_channels=omero_channels,
         )
         urls = [
             f"http://127.0.0.1:{port}/{i}.ome.zarr" for i in range(len(sims))
@@ -540,6 +548,54 @@ def view_neuroglancer(
 
         webbrowser.open(url)
     return url, server
+
+
+def _colormap_to_omero_color(colormap) -> str:
+    """A colormap's high-intensity color as an OMERO RRGGBB value
+    (reference vis_utils.py:1223)."""
+    from matplotlib import colormaps as mpl_colormaps
+    from matplotlib import colors as mpl_colors
+
+    cmap = (
+        mpl_colormaps.get_cmap(colormap)
+        if isinstance(colormap, str)
+        else colormap
+    )
+    return mpl_colors.to_hex(cmap(1.0), keep_alpha=False)[1:].upper()
+
+
+def _omero_channels_for_colormaps(sim, channel_colormaps) -> dict:
+    """Per-channel OMERO display metadata with colors drawn from the
+    given colormaps (reference vis_utils.py:1265 builds this for each
+    served source without mutating it)."""
+    labels = (
+        [str(c) for c in np.asarray(sim.coords["c"])]
+        if "c" in sim.dims
+        else ["0"]
+    )
+    if len(channel_colormaps) != len(labels):
+        raise ValueError(
+            "The number of colormaps must match the number of channels; "
+            f"expected {len(labels)}, got {len(channel_colormaps)}."
+        )
+    try:
+        hi = float(np.iinfo(np.dtype(sim.dtype)).max)
+    except ValueError:
+        hi = 1.0
+    return {
+        "channels": [
+            {
+                "label": label,
+                "color": (
+                    _colormap_to_omero_color(cm) if cm is not None
+                    else "FFFFFF"
+                ),
+                "active": True,
+                "window": {"min": 0, "max": hi, "start": 0, "end": hi},
+            }
+            for label, cm in zip(labels, channel_colormaps)
+        ]
+    }
 
 
 def view_ome_zarr(image_path: str, port: int = 8000, **kwargs):

@@ -621,3 +621,32 @@ def test_neuroglancer_corrects_spacing_origin_mismatch(tmp_path):
     ng_linear = ng_affine[:2, :2] * zsp[None, :] / zsp[:, None]
     ng_world = zsp * (ng_linear @ source_coords + ng_affine[:2, 2])
     np.testing.assert_allclose(ng_world, expected_world, atol=1e-9)
+
+
+def test_view_neuroglancer_channel_colormaps():
+    """channel_colormaps color the served stores' OMERO metadata (one
+    entry per channel, colormap high-intensity color) — reference
+    vis_utils.py:1223/1265."""
+    sims = [
+        si_utils.get_sim_from_array(
+            np.zeros((2, 8, 8), np.uint16), dims=("c", "y", "x"),
+            c_coords=["dapi", "gfp"],
+        )
+    ]
+    for s in sims:
+        si_utils.set_sim_affine(s, np.eye(3), transform_key="registered")
+    url, server = vis_utils.view_neuroglancer(
+        images=sims, transform_key="registered", port=0,
+        channel_colormaps=["Blues", "Greens"],
+    )
+    try:
+        store = next(iter(server.RequestHandlerClass.stores.values()))
+        omero = json.loads(store.get(".zattrs"))["omero"]
+        labels = [c["label"] for c in omero["channels"]]
+        colors = [c["color"] for c in omero["channels"]]
+        assert labels == ["dapi", "gfp"]
+        assert len(set(colors)) == 2 and all(len(c) == 6 for c in colors)
+    finally:
+        server.shutdown()
+    with pytest.raises(ValueError, match="number of colormaps"):
+        vis_utils._omero_channels_for_colormaps(sims[0], ["Blues"])
