@@ -512,7 +512,35 @@ def view_neuroglancer(
     server = None
     if ome_zarr_paths is not None:
         sims = None
+        channel_colormaps = ng_kwargs.pop("channel_colormaps", None)
+        restore = []
+        if channel_colormaps is not None:
+            # patch OMERO display metadata into the on-disk stores only
+            # while they are served; shutdown restores the originals
+            # (reference vis_utils: display metadata is temporary)
+            from multiview_stitcher_tpu.io import ngff_utils, zarr_backend
+
+            for p in ome_zarr_paths:
+                attrs, zf = zarr_backend.read_group_metadata(str(p))
+                restore.append((str(p), dict(attrs), zf))
+                zsim = ngff_utils.read_sim_from_ome_zarr(p)
+                patched = dict(attrs)
+                patched["omero"] = _omero_channels_for_colormaps(
+                    zsim, channel_colormaps
+                )
+                zarr_backend.write_group_metadata(str(p), patched, zf)
         server, _ = serve_dir(os.path.commonpath(ome_zarr_paths), port=port)
+        if restore:
+            orig_shutdown = server.shutdown
+
+            def shutdown(_restore=restore, _orig=orig_shutdown):
+                from multiview_stitcher_tpu.io import zarr_backend
+
+                for p, attrs, zf in _restore:
+                    zarr_backend.write_group_metadata(p, attrs, zf)
+                _orig()
+
+            server.shutdown = shutdown
         urls = [
             f"http://127.0.0.1:{port}/"
             + os.path.relpath(p, os.path.commonpath(ome_zarr_paths))

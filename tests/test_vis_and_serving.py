@@ -650,3 +650,32 @@ def test_view_neuroglancer_channel_colormaps():
         server.shutdown()
     with pytest.raises(ValueError, match="number of colormaps"):
         vis_utils._omero_channels_for_colormaps(sims[0], ["Blues"])
+
+
+def test_view_neuroglancer_ondisk_display_metadata_is_restored(tmp_path):
+    """With channel_colormaps on on-disk stores, OMERO display metadata
+    exists only while the directory is served (reference
+    test_vis_utils.py:1233)."""
+    from multiview_stitcher_tpu.io import ngff_utils, zarr_backend
+
+    sim = si_utils.get_sim_from_array(
+        np.zeros((2, 8, 8), np.uint16), dims=("c", "y", "x"),
+        c_coords=["a", "b"],
+    )
+    path = str(tmp_path / "sim.ome.zarr")
+    ngff_utils.write_sim_to_ome_zarr(sim, path)
+    original, _ = zarr_backend.read_group_metadata(path)
+
+    url, server = vis_utils.view_neuroglancer(
+        ome_zarr_paths=[path], port=0,
+        channel_colormaps=["Reds", "Greens"],
+    )
+    try:
+        served, _ = zarr_backend.read_group_metadata(path)
+        colors = [c["color"] for c in served["omero"]["channels"]]
+        assert len(set(colors)) == 2
+        assert served != original
+    finally:
+        server.shutdown()
+    restored, _ = zarr_backend.read_group_metadata(path)
+    assert restored == original
