@@ -157,21 +157,24 @@ def log_detect(
     )
 
     if max_neigh_intensity is not None:
+        spacing_vals = _spacing_values(spacing)
         if max_neigh_sigma is not None:
-            sig = _normalize_size(max_neigh_sigma, ndim)
+            sig = _aligned_size(max_neigh_sigma, spacing, ndim)
             max_neigh_sigma_pixels = tuple(
-                s / sp for s, sp in zip(sig, spacing)
+                s / sp for s, sp in zip(sig, spacing_vals)
             )
         else:
             max_neigh_sigma_pixels = None
-        size_phys = _normalize_size(
+        size_phys = _aligned_size(
             max_neigh_sample_size
             if max_neigh_sample_size is not None
             else target_size_physical,
+            spacing,
             ndim,
         )
         min_filter_size = tuple(
-            max(1, int(round(s / sp))) for s, sp in zip(size_phys, spacing)
+            max(1, int(round(s / sp)))
+            for s, sp in zip(size_phys, spacing_vals)
         )
     else:
         max_neigh_sigma_pixels = None

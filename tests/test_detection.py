@@ -248,3 +248,25 @@ def test_required_overlap_dict_keys_align_by_axis():
             detection.log_detect,
             {"target_size_physical": {"z": 8.0}, "spacing": spacing},
         )
+
+
+def test_log_detect_dict_spacing_with_max_neigh_options():
+    """Dict spacing works through the max-neigh filtering options too
+    (the sigma/sample sizes pair with spacing BY KEY)."""
+    rng = np.random.default_rng(0)
+    img = np.zeros((48, 48), np.float32)
+    for y, x in [(12, 12), (30, 35)]:
+        img[y, x] = 100.0
+    from scipy.ndimage import gaussian_filter
+
+    img = gaussian_filter(img, 1.5) + rng.normal(0, 0.01, img.shape)
+    spacing = {"y": 1.0, "x": 2.0}
+    labels = detection.log_detect(
+        img,
+        spacing=spacing,
+        target_size_physical={"x": 8.0, "y": 4.0},
+        max_neigh_intensity=1e9,
+        max_neigh_sigma={"x": 4.0, "y": 2.0},
+        max_neigh_sample_size={"x": 8.0, "y": 4.0},
+    )
+    assert labels.max() == 2
