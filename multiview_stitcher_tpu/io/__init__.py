@@ -40,9 +40,17 @@ def read_mosaic_into_sims(filepath, scene_index: int = 0):
         from multiview_stitcher_tpu.io import ngff_utils
 
         return [ngff_utils.read_sim_from_ome_zarr(filepath)]
-    # catch-all: delegate any other bioformat to the optional aicsimageio
-    # stack, exactly like the reference (io.py:25,87-167; optional there
-    # too — a clear ImportError when the package is absent)
+    # catch-all 1/2: first-party imageio/PIL fallback for everyday image
+    # formats (the reference needs aicsimageio here, io.py:25)
+    from multiview_stitcher_tpu.io import fallback
+
+    if fallback.can_read(filepath):
+        return fallback.read_image_into_sims(
+            filepath, scene_index=scene_index
+        )
+    # catch-all 2/2: delegate any other bioformat to the optional
+    # aicsimageio stack, exactly like the reference (io.py:25,87-167;
+    # optional there too — a clear ImportError when the package is absent)
     return read_mosaic_into_sims_aicsimageio(
         filepath, scene_index=scene_index
     )

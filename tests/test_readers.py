@@ -373,3 +373,93 @@ def test_aicsimageio_fallback_with_fake_backend(monkeypatch):
     np.testing.assert_allclose(s1.origin["x"], 8 * 0.5)
     np.testing.assert_allclose(s0.spacing["x"], 0.5)
     assert list(np.asarray(s0.coords["c"])) == ["DAPI"]
+
+
+# ---------------------------------------------------------------------------
+# First-party fallback reader (imageio/PIL catch-all; reference io.py:25
+# delegates these formats to the optional aicsimageio package)
+# ---------------------------------------------------------------------------
+
+
+def test_fallback_reads_png_grayscale_with_physical_resolution(tmp_path):
+    from PIL import Image
+
+    from multiview_stitcher_tpu import io as mio
+    from multiview_stitcher_tpu import si_utils
+
+    arr = np.arange(24 * 17, dtype=np.uint8).reshape(24, 17)
+    p = tmp_path / "gray.png"
+    # 2000 dots/meter -> 500 um/px
+    Image.fromarray(arr).save(p, dpi=(2000 * 0.0254, 2000 * 0.0254))
+
+    (sim,) = mio.read_mosaic_into_sims(p)
+    assert sim.dims == ("y", "x")
+    np.testing.assert_array_equal(np.asarray(sim.data), arr)
+    spacing = si_utils.get_spacing_from_sim(sim)
+    assert abs(spacing["x"] - 500.0) < 1.0 and abs(spacing["y"] - 500.0) < 1.0
+
+
+def test_fallback_reads_rgb_png_as_channel_dim(tmp_path):
+    from PIL import Image
+
+    from multiview_stitcher_tpu import io as mio
+
+    rgb = np.random.default_rng(0).integers(0, 255, (10, 12, 3)).astype(
+        np.uint8
+    )
+    p = tmp_path / "color.png"
+    Image.fromarray(rgb).save(p)
+
+    (sim,) = mio.read_mosaic_into_sims(p)
+    assert sim.dims == ("c", "y", "x")
+    assert list(sim.coords["c"]) == ["R", "G", "B"]
+    np.testing.assert_array_equal(
+        np.asarray(sim.data), np.moveaxis(rgb, -1, 0)
+    )
+
+
+def test_fallback_reads_multiframe_gif_as_time(tmp_path):
+    from PIL import Image
+
+    from multiview_stitcher_tpu.io import fallback
+
+    frames = [
+        Image.fromarray(np.full((8, 9), v, np.uint8)) for v in (0, 120, 250)
+    ]
+    p = tmp_path / "anim.gif"
+    frames[0].save(p, save_all=True, append_images=frames[1:])
+
+    sim = fallback.read_image_into_sim(p)
+    assert sim.dims[0] == "t" and sim.shape[0] == 3
+    # GIF palettes may expand to RGB; collapse any channel dim for values
+    data = np.asarray(sim.data)
+    if "c" in sim.dims:
+        data = data[:, 0]
+    assert data[0].max() == 0 and data[2].min() >= 200
+
+
+def test_fallback_default_unit_spacing_and_scene_guard(tmp_path):
+    from PIL import Image
+
+    import pytest
+
+    from multiview_stitcher_tpu.io import fallback
+    from multiview_stitcher_tpu import si_utils
+
+    p = tmp_path / "plain.bmp"
+    Image.fromarray(np.zeros((5, 6), np.uint8)).save(p)
+    (sim,) = fallback.read_image_into_sims(p)
+    assert si_utils.get_spacing_from_sim(sim) == {"y": 1.0, "x": 1.0}
+    with pytest.raises(ValueError, match="single scene"):
+        fallback.read_image_into_sims(p, scene_index=2)
+
+
+def test_unknown_suffix_still_raises_clear_aicsimageio_error(tmp_path):
+    import pytest
+
+    from multiview_stitcher_tpu import io as mio
+
+    p = tmp_path / "mystery.nd2"
+    p.write_bytes(b"\x00" * 16)
+    with pytest.raises(ImportError, match="aicsimageio"):
+        mio.read_mosaic_into_sims(p)
