@@ -5,6 +5,8 @@ from multiview_stitcher_tpu.fusion._core import (  # noqa: F401
     combine_stack_props,
     fuse,
     fuse_np,
+    fuse_to_multiscale_ome_zarr,
+    fuse_to_zarr,
     max_fusion,
     process_output_stack_properties,
     simple_average_fusion,

@@ -1014,7 +1014,18 @@ def fuse(
     if images is None:
         if sims is None:
             raise TypeError("fuse() missing required argument 'images'")
+        warnings.warn(
+            "The fuse(..., sims=...) parameter is deprecated; use "
+            "images=... instead.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
         images = sims
+    elif sims is not None:
+        raise TypeError(
+            "fuse() got both 'images' and deprecated 'sims'. "
+            "Use only 'images'."
+        )
     if not len(images):
         raise ValueError("images must contain at least one image.")
 
@@ -2846,6 +2857,53 @@ def _fuse_msims(msims, output_chunksize=None, output_spacing=None, **kwargs):
         output_stack_mode=kwargs.get("output_stack_mode", "union"),
         transform_key=transform_key,
     )
+    if kwargs.get("output_zarr_url") is not None:
+        # The zarr path writes ONE sim at the scale0 output geometry from
+        # the input level matching that spacing; an OME-Zarr write grows
+        # its pyramid in the store and is read back as an msim
+        # (reference :957-1005).
+        zarr_kwargs = dict(kwargs)
+        for k in (
+            "output_stack_mode",
+            "output_stack_properties",
+            "output_origin",
+            "output_shape",
+        ):
+            zarr_kwargs.pop(k, None)
+        output_zarr_url = zarr_kwargs.pop("output_zarr_url")
+        zarr_options = zarr_kwargs.pop("zarr_options", None)
+        selected = [
+            msi_utils.get_sim_from_msim(
+                m,
+                scale=msi_utils.get_res_level_from_spacing(
+                    m, props0["spacing"]
+                ),
+            )
+            for m in msims
+        ]
+        fused = fuse(
+            selected,
+            output_stack_properties={
+                k: dict(props0[k]) for k in ("shape", "spacing", "origin")
+            },
+            output_chunksize=output_chunksize,
+            output_zarr_url=output_zarr_url,
+            zarr_options=zarr_options,
+            **zarr_kwargs,
+        )
+        if (zarr_options or {}).get("ome_zarr", False):
+            from multiview_stitcher_tpu.io import ngff_utils
+
+            return ngff_utils.read_msim_from_ome_zarr(
+                output_zarr_url,
+                transform_key=(
+                    transform_key
+                    if transform_key is not None
+                    else si_utils.DEFAULT_TRANSFORM_KEY
+                ),
+            )
+        return msi_utils.get_msim_from_sim(fused, scale_factors=[])
+
     shapes, rel_factors, abs_factors = msi_utils.calc_resolution_levels(
         {d: int(props0["shape"][d]) for d in sdims}
     )
@@ -2889,3 +2947,35 @@ def _fuse_msims(msims, output_chunksize=None, output_spacing=None, **kwargs):
             )
         )
     return msi_utils.Msim(sims=out_sims)
+
+
+def fuse_to_zarr(*args, **kwargs):
+    """Deprecated reference alias (reference fusion/_core.py:2304): use
+    ``fuse(..., output_zarr_url=<path>)`` instead."""
+    warnings.warn(
+        "fuse_to_zarr() is deprecated. Use fuse(..., output_zarr_url=<path>)"
+        " instead.",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    raise RuntimeError(
+        "fuse_to_zarr() is deprecated. Please call "
+        "fuse(..., output_zarr_url=<path>) instead."
+    )
+
+
+def fuse_to_multiscale_ome_zarr(*args, **kwargs):
+    """Deprecated reference alias (reference fusion/_core.py:2318): use
+    ``fuse(..., output_zarr_url=..., zarr_options={'ome_zarr': True})``."""
+    warnings.warn(
+        "fuse_to_multiscale_ome_zarr() is deprecated. Use "
+        "fuse(..., output_zarr_url=<path>, zarr_options={'ome_zarr': True})"
+        " instead.",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    raise RuntimeError(
+        "fuse_to_multiscale_ome_zarr() is deprecated. Please call "
+        "fuse(..., output_zarr_url=<path>, zarr_options={'ome_zarr': True})"
+        " instead."
+    )

@@ -776,3 +776,185 @@ def test_fuse_singleton_chunk_preserves_spacing():
         (2, 1),
     )
     np.testing.assert_array_equal(np.squeeze(fused.to_numpy()), expected)
+
+
+def test_fuse_sims_keyword_deprecated_and_both_rejected():
+    """fuse(sims=) warns, fuse(images=, sims=) raises
+    (reference fusion/_core.py:910-926)."""
+    full, sims = _two_tile_sims(shape=(16, 24), overlap=8)
+    with pytest.warns(DeprecationWarning, match="sims"):
+        fused = fusion.fuse(
+            sims=sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY
+        )
+    np.testing.assert_allclose(fused.to_numpy(), full, atol=1e-3)
+    with pytest.raises(TypeError, match="both"):
+        fusion.fuse(
+            images=sims, sims=sims,
+            transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        )
+    with pytest.raises(TypeError, match="images"):
+        fusion.fuse(transform_key=si_utils.DEFAULT_TRANSFORM_KEY)
+
+
+def test_fuse_to_zarr_aliases_are_deprecated_stubs():
+    """reference fusion/_core.py:2304-2331."""
+    for alias in (fusion.fuse_to_zarr, fusion.fuse_to_multiscale_ome_zarr):
+        with pytest.warns(DeprecationWarning):
+            with pytest.raises(RuntimeError, match="deprecated"):
+                alias()
+
+
+def test_fuse_msims_to_zarr_uses_suitable_input_level(tmp_path):
+    """Fusing msims straight to zarr at coarse output spacing reads the
+    coarse input level, not scale0 (reference fusion/_core.py:957-980,
+    test_fusion.py:709). Asserted behaviorally: the input pyramids'
+    scale1 data is replaced with a sentinel constant, which must appear
+    in the output."""
+    _, sims = _two_tile_sims(shape=(32, 48), overlap=16)
+    msims = []
+    for s in sims:
+        m = msi_utils.get_msim_from_sim(
+            s, scale_factors=[{"y": 2, "x": 2}]
+        )
+        lvl1 = m.get_scale("scale1")
+        sentinel = si_utils.get_sim_from_array(
+            np.full(lvl1.shape, 7.0, np.float32),
+            dims=lvl1.dims,
+            scale=si_utils.get_spacing_from_sim(lvl1),
+            translation=si_utils.get_origin_from_sim(lvl1),
+        )
+        msims.append(msi_utils.Msim(sims=[m.get_scale("scale0"), sentinel]))
+
+    spacing0 = si_utils.get_spacing_from_sim(sims[0])
+    out = fusion.fuse(
+        msims,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_spacing={d: 2 * v for d, v in spacing0.items()},
+        output_zarr_url=str(tmp_path / "coarse.zarr"),
+    )
+    assert msi_utils.is_msim(out)
+    vals = msi_utils.get_sim_from_msim(out, scale="scale0").to_numpy()
+    interior = vals[1:-1, 1:-1]
+    np.testing.assert_allclose(interior, 7.0, atol=1e-4)
+
+
+def test_fuse_msims_to_ome_zarr_returns_msim(tmp_path):
+    """msims + output_zarr_url + ome_zarr read back as a lazy msim
+    (reference test_fusion.py:733)."""
+    full, sims = _two_tile_sims(shape=(256, 300), overlap=40)
+    msims = [msi_utils.get_msim_from_sim(s) for s in sims]
+    out = fusion.fuse(
+        msims,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_zarr_url=str(tmp_path / "fused.ome.zarr"),
+        zarr_options={"ome_zarr": True},
+    )
+    assert msi_utils.is_msim(out)
+    s0 = msi_utils.get_sim_from_msim(out, scale="scale0")
+    np.testing.assert_allclose(
+        np.asarray(s0.to_numpy(), np.float32).squeeze(), full, atol=0.51
+    )
+    assert len(out.sims) >= 2  # pyramid written in the store
+
+
+def test_fused_field_coverage():
+    """Every ground-truth pixel of a 2x2 mosaic is covered and exact
+    (identical overlapping data; reference test_fusion.py:899)."""
+    rng = np.random.default_rng(3)
+    full = rng.random((70, 90)).astype(np.float32) * 50
+    tiles, offs = [], []
+    for oy in (0, 34):
+        for ox in (0, 44):
+            tiles.append(full[oy : oy + 36, ox : ox + 46])
+            offs.append((oy, ox))
+    sims = [
+        si_utils.get_sim_from_array(
+            t, translation={"y": float(oy), "x": float(ox)}
+        )
+        for t, (oy, ox) in zip(tiles, offs)
+    ]
+    fused = fusion.fuse(sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY)
+    out = fused.to_numpy()
+    assert out.shape == full.shape
+    np.testing.assert_allclose(out, full, atol=1e-3)
+
+
+def test_fused_field_slice_matches_full_fusion():
+    """Restricting output_stack_properties to a window reproduces that
+    window of the full fusion (reference test_fusion.py:932)."""
+    full, sims = _two_tile_sims(shape=(40, 60), overlap=20)
+    tk = si_utils.DEFAULT_TRANSFORM_KEY
+    whole = fusion.fuse(sims, transform_key=tk)
+    props = {
+        "origin": {"y": 10.0, "x": 30.0},
+        "spacing": {"y": 1.0, "x": 1.0},
+        "shape": {"y": 20, "x": 50},
+    }
+    window = fusion.fuse(
+        sims, transform_key=tk, output_stack_properties=props
+    )
+    np.testing.assert_allclose(
+        window.to_numpy(), whole.to_numpy()[10:30, 30:80], atol=1e-4
+    )
+
+
+@pytest.mark.parametrize(
+    "chunksize", [16, {"y": 8, "x": 32}], ids=["int", "dict"]
+)
+def test_fusion_output_chunksizes_do_not_change_values(chunksize, tmp_path):
+    """Chunk layout is an execution detail: values identical across
+    chunksizes, and the zarr sink honors the requested grid (reference
+    test_fusion.py:1076)."""
+    import tensorstore as ts
+
+    full, sims = _two_tile_sims(shape=(40, 60), overlap=20)
+    tk = si_utils.DEFAULT_TRANSFORM_KEY
+    ref = fusion.fuse(sims, transform_key=tk).to_numpy()
+    fused = fusion.fuse(sims, transform_key=tk, output_chunksize=chunksize)
+    np.testing.assert_allclose(fused.to_numpy(), ref, atol=1e-4)
+
+    url = str(tmp_path / "chunked.zarr")
+    fusion.fuse(
+        sims, transform_key=tk, output_chunksize=chunksize,
+        output_zarr_url=url,
+    )
+    arr = ts.open({
+        "driver": "zarr", "kvstore": {"driver": "file", "path": url + "/0"}
+    }).result()
+    np.testing.assert_allclose(np.asarray(arr.read().result()), ref, atol=1e-4)
+    expected = (
+        (16, 16) if chunksize == 16 else (8, 32)
+    )
+    assert tuple(arr.chunk_layout.read_chunk.shape) == expected
+
+
+def test_fuse_concat_c_zarr_backed_sims(tmp_path):
+    """Virtually concatenated (along c) zarr-backed tiles fuse per channel
+    like the individually fused channels (reference test_fusion.py:1269)."""
+    from multiview_stitcher_tpu.io import ngff_utils
+
+    tk = si_utils.DEFAULT_TRANSFORM_KEY
+    per_channel = []
+    combined_tiles = []
+    rng = np.random.default_rng(5)
+    fulls = [rng.random((30, 44)).astype(np.float32) for _ in range(2)]
+    for tile_idx, xoff in enumerate((0, 22)):
+        chans = []
+        for ci, full in enumerate(fulls):
+            t = full[:, xoff : xoff + 22]
+            s = si_utils.get_sim_from_array(
+                t, dims=("y", "x"), translation={"y": 0.0, "x": float(xoff)}
+            )
+            chans.append(
+                ngff_utils.write_sim_to_ome_zarr(
+                    s,
+                    str(tmp_path / f"t{tile_idx}c{ci}.ome.zarr"),
+                    overwrite=True,
+                )
+            )
+        combined_tiles.append(si_utils.stack(chans, "c"))
+    fused = fusion.fuse(combined_tiles, transform_key=tk)
+    out = fused.to_numpy()
+    assert out.shape[0] == 2
+    for ci, full in enumerate(fulls):
+        np.testing.assert_allclose(out[ci], full, atol=0.51)
