@@ -611,16 +611,24 @@ def max_project_sim(sim: Sim, dim: str) -> Sim:
 
 
 def _merge_transforms(sims: Sequence[Sim], dim: str, coords) -> Dict[str, XAffine]:
-    """Transform-key merge semantics: concat over t when all sims share the key
-    and dim=='t'; otherwise share the first sim's transform.
+    """Transform-key merge semantics: the key set is the UNION over the
+    inputs (a key carried by only one view — e.g. a separately registered
+    sim — survives the combine); per key, concat over t when dim=='t' and
+    every sim carries it, otherwise share the first carrier's transform.
 
     Reference: spatial_image_utils.py:1416-1439 (Appendix D of SURVEY.md).
     """
     out = {}
-    keys = set(sims[0].transforms.keys())
-    for s in sims[1:]:
-        keys &= set(s.transforms.keys())
+    keys: list = []
+    for s in sims:
+        for k in s.transforms:
+            if k not in keys:
+                keys.append(k)
     for key in keys:
+        carriers = [s for s in sims if key in s.transforms]
+        if len(carriers) < len(sims):
+            out[key] = carriers[0].transforms[key].copy()
+            continue
         xaffs = [s.transforms[key] for s in sims]
         if dim == "t" and all(x.has_t or True for x in xaffs):
             datas, tcs = [], []

@@ -190,3 +190,80 @@ def test_point_set_roundtrip():
     msi_utils.set_point_set(msim, pts, points_key="beads")
     got = msi_utils.get_point_set(msim, points_key="beads")
     np.testing.assert_allclose(np.asarray(got), pts)
+
+
+@pytest.mark.parametrize("ndim", [2, 3])
+@pytest.mark.parametrize("origin0", [0.0, 13.7])
+def test_multiscale_origins_follow_pixel_centers(ndim, origin0):
+    """Level k's origin is origin0 + (abs_factor-1)/2 * spacing0 per dim:
+    the coarsened pixel's center is the mean of its sources' centers
+    (reference test_msi_utils.py:128)."""
+    dims = ("z", "y", "x")[-ndim:]
+    shape = (32,) * ndim
+    sim = si_utils.get_sim_from_array(
+        np.zeros(shape, np.float32),
+        dims=dims,
+        scale={d: 0.5 for d in dims},
+        translation={d: origin0 for d in dims},
+    )
+    msim = msi_utils.get_msim_from_sim(
+        sim, scale_factors=[{d: 2 for d in dims}, {d: 2 for d in dims}]
+    )
+    for k, abs_factor in enumerate((1, 2, 4)):
+        lvl = msim.get_scale(f"scale{k}")
+        spacing = si_utils.get_spacing_from_sim(lvl)
+        origin = si_utils.get_origin_from_sim(lvl)
+        for d in dims:
+            assert spacing[d] == pytest.approx(0.5 * abs_factor)
+            assert origin[d] == pytest.approx(
+                origin0 + (abs_factor - 1) / 2 * 0.5
+            )
+
+
+def test_res_level_selection_by_spacing_and_binning():
+    """Level pickers choose the coarsest level still fine enough
+    (reference msi_utils.py:655/:688)."""
+    sim = si_utils.get_sim_from_array(
+        np.zeros((64, 64), np.float32), dims=("y", "x"),
+        scale={"y": 1.0, "x": 1.0},
+    )
+    msim = msi_utils.get_msim_from_sim(
+        sim, scale_factors=[{"y": 2, "x": 2}, {"y": 2, "x": 2}]
+    )
+    pick = msi_utils.get_res_level_from_spacing
+    assert pick(msim, {"y": 1.0, "x": 1.0}) == "scale0"
+    assert pick(msim, {"y": 2.0, "x": 2.0}) == "scale1"
+    assert pick(msim, {"y": 3.0, "x": 3.0}) == "scale1"
+    assert pick(msim, {"y": 100.0, "x": 100.0}) == "scale2"
+    # requested spacing finer than scale0: stay at scale0
+    assert pick(msim, {"y": 0.1, "x": 0.1}) == "scale0"
+
+    pickb = msi_utils.get_res_level_from_binning_factors
+    assert pickb(msim, {"y": 1, "x": 1}) == "scale0"
+    assert pickb(msim, {"y": 2, "x": 2}) == "scale1"
+    assert pickb(msim, {"y": 4, "x": 2}) == "scale1"  # limited by x
+    assert pickb(msim, {"y": 4, "x": 4}) == "scale2"
+
+
+def test_update_msim_transforms_zarr_roundtrip(tmp_path):
+    """Transform keys persist into an existing OME-Zarr store's attrs and
+    restore on read (reference msi_utils.update_msim_transforms_zarr:247)."""
+    from multiview_stitcher_tpu import param_utils
+    from multiview_stitcher_tpu.io import ngff_utils
+
+    sim = si_utils.get_sim_from_array(
+        np.arange(64, dtype=np.float32).reshape(8, 8), dims=("y", "x")
+    )
+    url = str(tmp_path / "im.ome.zarr")
+    ngff_utils.write_sim_to_ome_zarr(sim, url, overwrite=True)
+
+    m = np.eye(3)
+    m[:2, -1] = (4.0, -2.0)
+    ngff_utils.update_msim_transforms_zarr(
+        {"registered": param_utils.affine_to_xaffine(m)}, url
+    )
+    back = ngff_utils.read_msim_from_ome_zarr(url)
+    assert "registered" in back.transforms
+    np.testing.assert_allclose(
+        np.asarray(back.transforms["registered"].squeeze()), m
+    )

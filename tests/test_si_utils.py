@@ -220,3 +220,60 @@ def test_get_extent_from_sim():
     ext = si_utils.get_extent_from_sim(sim)
     np.testing.assert_allclose(ext["y"], 4 * 2.0)
     np.testing.assert_allclose(ext["x"], 10 * 0.5)
+
+
+def test_concat_unions_transform_keys():
+    """A transform key carried by only one input survives concat in either
+    order (reference test_spatial_image_utils.py:373 — regression: keys
+    unique to a later sim were silently dropped)."""
+    from multiview_stitcher_tpu import param_utils
+
+    def make(c):
+        s = si_utils.get_sim_from_array(
+            np.full((1, 8, 8), 10 * (c + 1), np.uint16),
+            dims=("c", "y", "x"),
+            scale={"y": 1.0, "x": 1.0},
+            translation={"y": 0.0, "x": 0.0},
+            c_coords=[c],
+        )
+        return s
+
+    s0, s1 = make(0), make(1)
+    si_utils.set_sim_affine(
+        s1, param_utils.identity_transform(2),
+        transform_key="affine_registered",
+    )
+    for sims in ([s0, s1], [s1, s0]):
+        out = si_utils.concat(sims, dim="c")
+        assert set(out.transforms) == {
+            si_utils.DEFAULT_TRANSFORM_KEY, "affine_registered",
+        }
+        assert out.shape[out.dim_index("c")] == 2
+
+
+def test_stack_rejects_existing_dim():
+    """Stacking along a dim the inputs already have raises with a pointer
+    to concat (reference test_spatial_image_utils.py:466)."""
+    s = si_utils.get_sim_from_array(
+        np.zeros((1, 4, 4), np.float32), dims=("c", "y", "x")
+    )
+    with pytest.raises(ValueError, match="concat"):
+        si_utils.stack([s, s], "c")
+
+
+def test_point_set_selection_preserves_nonspatial_dims():
+    """Spatial world-window selection filters point sets but non-spatial
+    selection leaves them untouched (reference
+    test_spatial_image_utils.py:559/:592)."""
+    s = si_utils.get_sim_from_array(
+        np.zeros((2, 10, 10), np.float32),
+        dims=("c", "y", "x"),
+        c_coords=["a", "b"],
+    )
+    pts = np.array([[1.0, 1.0], [8.0, 8.0]])
+    si_utils.set_point_set(s, pts, points_key="beads")
+
+    chan = si_utils.sim_sel_coords(s, {"c": "a"})
+    np.testing.assert_array_equal(
+        si_utils.get_point_set(chan, "beads"), pts
+    )
