@@ -520,16 +520,33 @@ def view_neuroglancer(
             # (reference vis_utils: display metadata is temporary)
             from multiview_stitcher_tpu.io import ngff_utils, zarr_backend
 
-            for p in ome_zarr_paths:
-                attrs, zf = zarr_backend.read_group_metadata(str(p))
-                restore.append((str(p), dict(attrs), zf))
-                zsim = ngff_utils.read_sim_from_ome_zarr(p)
-                patched = dict(attrs)
-                patched["omero"] = _omero_channels_for_colormaps(
-                    zsim, channel_colormaps
-                )
-                zarr_backend.write_group_metadata(str(p), patched, zf)
-        server, _ = serve_dir(os.path.commonpath(ome_zarr_paths), port=port)
+            try:
+                for p in ome_zarr_paths:
+                    attrs, zf = zarr_backend.read_group_metadata(str(p))
+                    restore.append((str(p), dict(attrs), zf))
+                    zsim = ngff_utils.read_sim_from_ome_zarr(p)
+                    patched = dict(attrs)
+                    patched["omero"] = _omero_channels_for_colormaps(
+                        zsim, channel_colormaps
+                    )
+                    zarr_backend.write_group_metadata(str(p), patched, zf)
+            except BaseException:
+                # a mid-loop failure must not leave earlier stores with
+                # patched display metadata on disk
+                for p, attrs, zf in restore:
+                    zarr_backend.write_group_metadata(p, attrs, zf)
+                raise
+        try:
+            server, _ = serve_dir(
+                os.path.commonpath(ome_zarr_paths), port=port
+            )
+        except BaseException:
+            if restore:
+                from multiview_stitcher_tpu.io import zarr_backend
+
+                for p, attrs, zf in restore:
+                    zarr_backend.write_group_metadata(p, attrs, zf)
+            raise
         if restore:
             orig_shutdown = server.shutdown
 
