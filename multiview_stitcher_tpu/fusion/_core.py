@@ -1126,6 +1126,16 @@ def fuse(
     ns_coord_lists = {
         nd: np.asarray(sims_in[0].coords[nd]) for nd in nsdims
     }
+    for nd, vals in ns_coord_lists.items():
+        if len(np.unique(vals)) != len(vals):
+            # selection is by coord value; duplicates would silently fuse
+            # the first match into every duplicate slot (e.g. t-concat of
+            # timepoints that both read back as t=0)
+            raise ValueError(
+                f"duplicate {nd!r} coordinates {vals.tolist()} in the "
+                "fusion input; give each entry a distinct coordinate "
+                f"(e.g. sim.coords[{nd!r}] = range(n)) before fusing."
+            )
     ns_combos = (
         list(product(*[ns_coord_lists[nd] for nd in nsdims]))
         if nsdims

@@ -958,3 +958,85 @@ def test_fuse_concat_c_zarr_backed_sims(tmp_path):
     assert out.shape[0] == 2
     for ci, full in enumerate(fulls):
         np.testing.assert_allclose(out[ci], full, atol=0.51)
+
+
+def test_fuse_fractional_translations_extent_and_coverage():
+    """Fractional (subpixel) translations: the union output grid must not
+    grow an empty border row (last tile pixel center 17.5 -> output stops
+    at center 17) and every output pixel is covered (reference
+    test_fusion.py:756; there the assertion is that the fast translation
+    planner handles fractional offsets — this build's single overlap path
+    is already dense corner math, so the behavioral contract is the
+    extent/coverage)."""
+    a = 8.5
+    tile_translations = [
+        {"y": 0, "x": 0}, {"y": a, "x": 0}, {"y": 0, "x": a},
+        {"y": a, "x": a},
+    ]
+    sims = [
+        si_utils.get_sim_from_array(
+            np.full((2, 10, 10), i + 1, np.uint16),
+            dims=("c", "y", "x"),
+            translation=tr,
+            c_coords=["DAPI", "GFP"],
+        )
+        for i, tr in enumerate(tile_translations)
+    ]
+    fused = fusion.fuse(
+        sims,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        output_chunksize={"y": 5, "x": 5},
+    )
+    data = fused.to_numpy()
+    assert data.shape == (2, 18, 18)
+    assert data.max() == 4
+    assert data.min() > 0
+
+
+def test_fuse_concat_t_zarr_backed_sims(tmp_path):
+    """Tiles virtually concatenated along t fuse per timepoint like the
+    individually fused timepoints (reference test_fusion.py:1301; NGFF t
+    coords are frame indices, so each timepoint store is re-labeled
+    after reading, like the reference's zarr-backed fixtures)."""
+    from multiview_stitcher_tpu.io import ngff_utils
+
+    tk = si_utils.DEFAULT_TRANSFORM_KEY
+    rng = np.random.default_rng(11)
+    fulls = [rng.random((26, 40)).astype(np.float32) for _ in range(2)]
+    tiles = []
+    for tile_idx, xoff in enumerate((0, 20)):
+        per_t = []
+        for ti, full in enumerate(fulls):
+            s = si_utils.get_sim_from_array(
+                full[:, xoff : xoff + 20][None],
+                dims=("t", "y", "x"),
+                translation={"y": 0.0, "x": float(xoff)},
+            )
+            back = ngff_utils.write_sim_to_ome_zarr(
+                s,
+                str(tmp_path / f"t{tile_idx}tp{ti}.ome.zarr"),
+                overwrite=True,
+            )
+            back.coords["t"] = np.array([ti])
+            per_t.append(back)
+        combined = si_utils.concat(per_t, "t")
+        assert list(np.asarray(combined.coords["t"])) == [0, 1]
+        tiles.append(combined)
+    fused = fusion.fuse(tiles, transform_key=tk)
+    out = np.asarray(fused.to_numpy(), np.float32)
+    assert out.shape[0] == 2
+    for ti, full in enumerate(fulls):
+        np.testing.assert_allclose(out[ti], full, atol=0.51)
+
+
+def test_fuse_rejects_duplicate_nonspatial_coords(tmp_path):
+    """Duplicate t coords would silently fuse the first timepoint into
+    every duplicate slot; fuse() raises instead."""
+    sims = [
+        si_utils.get_sim_from_array(
+            np.zeros((2, 8, 8), np.float32), dims=("t", "y", "x"),
+            t_coords=[0, 0],
+        )
+    ]
+    with pytest.raises(ValueError, match="duplicate 't'"):
+        fusion.fuse(sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY)
