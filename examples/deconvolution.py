@@ -8,6 +8,13 @@ given per view or synthesized from imaging parameters.
 Run: ``PYTHONPATH=. python examples/deconvolution.py``
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)  # allow running straight from the repo: python examples/<name>.py
+
 import jax
 import numpy as np
 

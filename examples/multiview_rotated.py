@@ -8,6 +8,13 @@ phase correlation cannot handle large rotations — and then fused.
 Runs on CPU in under a minute: ``python examples/multiview_rotated.py``.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)  # allow running straight from the repo: python examples/<name>.py
+
 import jax
 import numpy as np
 

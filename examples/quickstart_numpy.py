@@ -3,6 +3,13 @@
 Mirrors the reference's README quickstart (docs-as-tests, SURVEY.md §4).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)  # allow running straight from the repo: python examples/<name>.py
+
 import numpy as np
 
 from multiview_stitcher_tpu import fusion, msi_utils, registration, si_utils

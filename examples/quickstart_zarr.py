@@ -4,6 +4,13 @@ Tiles live in OME-Zarr stores; registration reads lazily; fusion streams
 chunkwise into a new OME-Zarr (nothing assembled in memory).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)  # allow running straight from the repo: python examples/<name>.py
+
 import tempfile
 
 import numpy as np

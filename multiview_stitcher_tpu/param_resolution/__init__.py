@@ -43,12 +43,26 @@ logger = logging.getLogger(__name__)
 _RESOLVER_REGISTRY: dict = {}
 
 
-def register_groupwise_resolution_method(name, resolver):
+def register_groupwise_resolution_method(name, resolver=None):
     """Add a resolver to the registry under ``name`` (see module docstring
-    for the resolver contract)."""
+    for the resolver contract).
+
+    Usable directly — ``register_groupwise_resolution_method("m", f)`` —
+    or as a decorator::
+
+        @register_groupwise_resolution_method("m")
+        def f(g_reg, reference_view=None, **kwargs): ...
+    """
+    if resolver is None:
+        def _decorator(f):
+            register_groupwise_resolution_method(name, f)
+            return f
+
+        return _decorator
     if not callable(resolver):
         raise TypeError("Resolver must be callable.")
     _RESOLVER_REGISTRY[name] = resolver
+    return resolver
 
 
 def _lookup_resolver(method):

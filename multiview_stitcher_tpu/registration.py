@@ -1664,7 +1664,13 @@ def _try_batched_phase_correlation(msims, edges, register_kwargs, mesh=None):
             else:
                 shifts, qualities = _resample_and_register_batch(*args)
             # async dispatch: collect device handles now, fetch later so
-            # later buckets' compute overlaps earlier buckets' downloads
+            # later buckets' compute overlaps earlier buckets' downloads.
+            # On the CPU backend there is nothing to overlap and entering
+            # the NEXT bucket's XLA compile while this one still executes
+            # has segfaulted XLA's CPU compiler on single-core boxes
+            # (CLAUDE.md) — block per bucket there.
+            if jax.default_backend() == "cpu":
+                jax.block_until_ready((shifts, qualities))
             pending.append((chunk, shifts, qualities))
 
     def _fetch(entry):
@@ -1676,10 +1682,16 @@ def _try_batched_phase_correlation(msims, edges, register_kwargs, mesh=None):
         )
 
     if pending:
-        from concurrent.futures import ThreadPoolExecutor
+        # parallel fetch pays off only over the device link; on CPU the
+        # data is already host-resident and concurrent materialization
+        # just adds thread churn next to XLA compiles
+        if jax.default_backend() == "cpu":
+            fetched = list(map(_fetch, pending))
+        else:
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(min(8, len(pending))) as ex:
-            fetched = list(ex.map(_fetch, pending))
+            with ThreadPoolExecutor(min(8, len(pending))) as ex:
+                fetched = list(ex.map(_fetch, pending))
         for chunk, shifts, qualities in fetched:
             for u, t_vec, q in zip(chunk, shifts, qualities):
                 ei, ti = u[0], u[1]

@@ -7,9 +7,18 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
+    xla_flags = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+if "xla_cpu_parallel_codegen_split_count" not in xla_flags:
+    # XLA's CPU backend JITs each program via parallel LLVM codegen
+    # (default 32 splits); on this 1-core box full-suite runs have
+    # flakily segfaulted inside backend_compile_and_load (CLAUDE.md).
+    # Single-split codegen removes the compile-time thread fan-out.
+    xla_flags = (
+        xla_flags + " --xla_cpu_parallel_codegen_split_count=1"
+    ).strip()
+os.environ["XLA_FLAGS"] = xla_flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -312,3 +312,22 @@ def test_empty_graph_raises():
     from multiview_stitcher_tpu import mv_graph
     with pytest.raises(mv_graph.NotEnoughOverlapError):
         param_resolution.groupwise_resolution(g)
+
+
+def test_resolver_registry_decorator_form():
+    """register_groupwise_resolution_method works as a decorator
+    (docs/extension_api.md)."""
+    from multiview_stitcher_tpu.param_utils import identity_transform
+
+    @param_resolution.register_groupwise_resolution_method(
+        "test_decorator_resolver"
+    )
+    def my_resolver(sub, **kwargs):
+        return {n: identity_transform(2) for n in sub.nodes}, {}
+
+    assert my_resolver.__name__ == "my_resolver"  # decorator returns f
+    g, _ = _grid_graph(nx_tiles=2, ny_tiles=1)
+    params, _ = param_resolution.groupwise_resolution(
+        g, method="test_decorator_resolver"
+    )
+    assert set(params) == set(g.nodes)

@@ -463,3 +463,36 @@ def test_unknown_suffix_still_raises_clear_aicsimageio_error(tmp_path):
     p.write_bytes(b"\x00" * 16)
     with pytest.raises(ImportError, match="aicsimageio"):
         mio.read_mosaic_into_sims(p)
+
+
+def test_lazy_czi_reads_are_thread_safe():
+    """Parallel window reads from many threads return the same planes as
+    serial reads (reference test_io.py:204-252 pins handle-per-thread
+    semantics; this build opens a fresh handle per subblock read, which
+    must stay correct under concurrency)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from multiview_stitcher_tpu.io import czi_utils
+
+    sims = czi_utils.read_mosaic_into_sims_czifile(
+        "/root/reference/src/multiview_stitcher/test-datasets/"
+        "mosaic_test.czi",
+        lazy=True,
+    )
+    eager = [np.asarray(s.data) for s in sims]
+
+    def window(args):
+        i, y, x = args
+        return i, y, x, np.asarray(sims[i].data[..., y : y + 7, x : x + 9])
+
+    jobs = [
+        (i, y, x)
+        for i in range(len(sims))
+        for y in (0, 3, 11)
+        for x in (0, 5, 17)
+    ]
+    with ThreadPoolExecutor(8) as ex:
+        for i, y, x, got in ex.map(window, jobs * 4):
+            np.testing.assert_array_equal(
+                got, eager[i][..., y : y + 7, x : x + 9]
+            )
