@@ -848,3 +848,11 @@ def main():
 
 if __name__ == "__main__":
     main()
+    # exit immediately: abandoned watchdog threads (_bounded shuts its
+    # executor down with wait=False) are non-daemon, and concurrent.futures'
+    # atexit hook would JOIN them — a single weather-stalled transfer thread
+    # would hold the exit code hostage until the driver's outer timeout
+    # (rc=124) even though the JSON line already shipped
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)

@@ -192,12 +192,16 @@ def fuse_block_subset(
     output_chunksize=None,
     create_output: bool = False,
     create_only: bool = False,
+    block_ids: Optional[Sequence[int]] = None,
     **fuse_kwargs,
 ):
     """Fuse this worker's disjoint chunk subset into a shared output store.
 
     ``create_only=True`` creates the output array and returns immediately
     (multi-host driver: host 0 creates, all hosts barrier, everyone fuses).
+
+    ``block_ids`` overrides the contiguous partition with an explicit block
+    subset (the service runtime's scheduler assigns ids itself).
 
     Worker 0 (or any single caller with ``create_output=True``) creates the
     output array; every other worker attaches. Mirrors the reference's
@@ -226,9 +230,17 @@ def fuse_block_subset(
         for k, v in osp.items()
     }
     chunk_bbs, block_indices = mv_graph.get_chunk_bbs(osp, output_chunksize)
-    my_blocks = set(
-        partition_blocks(len(chunk_bbs), n_workers, worker_index)
-    )
+    if block_ids is not None:
+        bad = [b for b in block_ids if not 0 <= int(b) < len(chunk_bbs)]
+        if bad:
+            raise ValueError(
+                f"block_ids {bad} out of range for {len(chunk_bbs)} blocks"
+            )
+        my_blocks = set(int(b) for b in block_ids)
+    else:
+        my_blocks = set(
+            partition_blocks(len(chunk_bbs), n_workers, worker_index)
+        )
 
     # restrict fusion to this worker's chunks by fusing each chunk bbox
     # directly into the shared store
