@@ -169,6 +169,100 @@ def unpack_jax(buf: jax.Array, nbits: int, count: int, dtype=jnp.uint16) -> jax.
 
 
 # ---------------------------------------------------------------------------
+# delta transform: row-segmented zigzag residuals
+# ---------------------------------------------------------------------------
+#
+# Smooth image data has far lower first-difference entropy than raw counts:
+# delta + zigzag often drops the required bit width from 10-12 to 8, a
+# further 20-33% off the wire bytes on top of plain bit-packing. Lossless
+# and self-deciding: callers compare the packed byte count of the residual
+# stream against the plain stream and send whichever is smaller (a hard
+# edge or noisy data simply falls back to plain).
+#
+# Layout: values are padded (edge mode) to rows of _DELTA_ROW, the first
+# value of each row travels raw (uint16), the remaining R-1 per row travel
+# as zigzag-coded wrapped differences. Rows make reconstruction a single
+# segmented cumsum (parallel on host and device) instead of one serial
+# chain over the whole stream.
+
+_DELTA_ROW = 2048
+
+
+def _delta_rows(count: int) -> int:
+    return -(-count // _DELTA_ROW)
+
+
+def delta_byte_count(count: int, nbits_resid: int) -> int:
+    """Wire bytes for the delta encoding of ``count`` values."""
+    n_rows = _delta_rows(count)
+    return 2 * n_rows + packed_byte_count(
+        n_rows * (_DELTA_ROW - 1), nbits_resid
+    )
+
+
+def delta_encode_np(flat: np.ndarray):
+    """uint16 stream -> (firsts, zigzag residuals), both uint16."""
+    flat = flat.reshape(-1).astype(np.uint16, copy=False)
+    n_rows = _delta_rows(flat.size)
+    pad = n_rows * _DELTA_ROW - flat.size
+    m = np.pad(flat, (0, pad), mode="edge").reshape(n_rows, _DELTA_ROW)
+    firsts = m[:, 0].copy()
+    d = m[:, 1:] - m[:, :-1]  # uint16 wraparound
+    di = d.view(np.int16).astype(np.int32)
+    z = (((di << 1) ^ (di >> 15)) & 0xFFFF).astype(np.uint16)
+    return firsts, z.reshape(-1)
+
+
+def delta_decode_np(firsts: np.ndarray, resid_z: np.ndarray, count: int):
+    """Inverse of :func:`delta_encode_np`."""
+    n_rows = firsts.size
+    zi = resid_z.reshape(n_rows, _DELTA_ROW - 1).astype(np.int32)
+    d = (zi >> 1) ^ -(zi & 1)
+    m = np.concatenate(
+        [firsts[:, None].astype(np.int32), d], axis=1
+    )
+    vals = (np.cumsum(m, axis=1, dtype=np.int64) & 0xFFFF).astype(np.uint16)
+    return vals.reshape(-1)[:count]
+
+
+@jax.jit
+def delta_encode_jax(flat: jax.Array):
+    """Device-side :func:`delta_encode_np` (same wire values)."""
+    flat = flat.reshape(-1).astype(jnp.uint16)
+    n_rows = _delta_rows(flat.size)
+    pad = n_rows * _DELTA_ROW - flat.size
+    m = jnp.pad(flat, (0, pad), mode="edge").reshape(n_rows, _DELTA_ROW)
+    firsts = m[:, 0]
+    d = m[:, 1:] - m[:, :-1]
+    di = jax.lax.bitcast_convert_type(d, jnp.int16).astype(jnp.int32)
+    z = (((di << 1) ^ (di >> 15)) & 0xFFFF).astype(jnp.uint16)
+    return firsts, z.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("count",))
+def delta_decode_jax(firsts: jax.Array, resid_z: jax.Array, count: int):
+    """Device-side inverse of the delta transform."""
+    n_rows = firsts.size
+    zi = resid_z.reshape(n_rows, _DELTA_ROW - 1).astype(jnp.int32)
+    d = (zi >> 1) ^ -(zi & 1)
+    m = jnp.concatenate(
+        [firsts[:, None].astype(jnp.int32), d], axis=1
+    )
+    # row sums stay within int32: |start| < 2^16, 2047 steps of |d|<2^15
+    vals = (jnp.cumsum(m, axis=1) & 0xFFFF).astype(jnp.uint16)
+    return vals.reshape(-1)[:count]
+
+
+@jax.jit
+def _delta_probe_jax(flat: jax.Array):
+    """(plain max, residual zigzag max) in one device computation."""
+    _, z = delta_encode_jax(flat)
+    return jnp.stack(
+        [jnp.max(flat.reshape(-1)).astype(jnp.uint16), jnp.max(z)]
+    )
+
+
+# ---------------------------------------------------------------------------
 # high-level transfers
 # ---------------------------------------------------------------------------
 
@@ -194,10 +288,33 @@ def _default_streams() -> int:
         return 32
 
 
+def _default_delta() -> bool:
+    """Env default for the delta transform (MVS_TPU_LINK_DELTA=1/auto/0).
+
+    Off by default: enable once A/B-validated on the live link (the extra
+    host/device pass is only worth it when residual entropy is lower).
+    """
+    import os
+
+    return os.environ.get("MVS_TPU_LINK_DELTA", "0").lower() in (
+        "1",
+        "true",
+        "auto",
+    )
+
+
+def _stream_bounds(count: int, n_streams: int, grain: int) -> np.ndarray:
+    bounds = _split_bounds(-(-count // grain), n_streams) * grain
+    bounds[-1] = count
+    return np.unique(bounds)
+
+
 def put_packed(
     arr: np.ndarray,
     nbits: int = None,
     n_streams: int = None,
+    delta: bool = None,
+    info: dict = None,
 ) -> jax.Array:
     """Host->device transfer of an integer array via packed parallel streams.
 
@@ -206,16 +323,25 @@ def put_packed(
     higher aggregate bandwidth), and unpacks + reshapes on device in one
     jitted call. Falls back to a plain ``device_put`` for non-packable
     dtypes or small arrays.
+
+    ``delta`` (default: MVS_TPU_LINK_DELTA env) additionally tries the
+    row-segmented delta transform and sends whichever representation packs
+    smaller. ``info`` (optional dict) receives the chosen encoding:
+    ``{"nbits", "delta", "bytes"}``.
     """
     from concurrent.futures import ThreadPoolExecutor
 
     arr = np.asarray(arr)
     if n_streams is None:
         n_streams = _default_streams()
+    if delta is None:
+        delta = _default_delta()
     if (
         not is_packable(arr.dtype)
         or arr.size * arr.dtype.itemsize < _MIN_PACK_SIZE
     ):
+        if info is not None:
+            info.update(nbits=None, delta=False, bytes=arr.nbytes)
         return jax.device_put(arr)
     if nbits is None:
         nbits = nbits_for_max(int(arr.max(initial=0)))
@@ -223,16 +349,38 @@ def put_packed(
             nbits = 16
     count = arr.size
     flat = arr.reshape(-1)
-    n_streams = max(1, min(n_streams, count * 2 // _STREAM_MIN_BYTES))
+
+    # try the delta representation (uint16 only: signed wraparound
+    # semantics are defined for the unsigned container)
+    firsts = resid = None
+    use_delta = False
+    nbits_send, count_send = nbits, count
+    if delta and arr.dtype == np.uint16:
+        firsts, resid = delta_encode_np(flat)
+        nbits_d = nbits_for_max(int(resid.max(initial=0)))
+        if delta_byte_count(count, nbits_d) < packed_byte_count(count, nbits):
+            use_delta = True
+            nbits_send, count_send = nbits_d, resid.size
+    send = resid if use_delta else flat
+    if info is not None:
+        info.update(
+            nbits=nbits_send,
+            delta=use_delta,
+            bytes=(
+                delta_byte_count(count, nbits_send)
+                if use_delta
+                else packed_byte_count(count, nbits_send)
+            ),
+        )
+
+    n_streams = max(1, min(n_streams, count_send * 2 // _STREAM_MIN_BYTES))
     # align stream boundaries to the high-bit packing granularity
-    grain = 8 if nbits < 16 else 1
-    bounds = _split_bounds(-(-count // grain), n_streams) * grain
-    bounds[-1] = count
-    bounds = np.unique(bounds)
+    grain = 8 if nbits_send < 16 else 1
+    bounds = _stream_bounds(count_send, n_streams, grain)
     n_streams = len(bounds) - 1
 
     def pack_part(i):
-        return pack_np(flat[bounds[i] : bounds[i + 1]], nbits)
+        return pack_np(send[bounds[i] : bounds[i + 1]], nbits_send)
 
     with ThreadPoolExecutor(n_streams) as ex:
         packed = list(ex.map(pack_part, range(n_streams)))
@@ -243,8 +391,14 @@ def put_packed(
 
     part_counts = tuple(int(bounds[i + 1] - bounds[i]) for i in range(n_streams))
 
+    if use_delta:
+        return _assemble_streams_delta(
+            jax.device_put(firsts), parts_dev,
+            nbits=nbits_send, counts=part_counts, count=count,
+            shape=arr.shape, dtype=np.dtype(arr.dtype).name,
+        )
     return _assemble_streams(
-        parts_dev, nbits=nbits, counts=part_counts,
+        parts_dev, nbits=nbits_send, counts=part_counts,
         shape=arr.shape, dtype=np.dtype(arr.dtype).name,
     )
 
@@ -256,6 +410,18 @@ def _assemble_streams(parts, nbits, counts, shape, dtype):
     compile-cache round trip every transfer)."""
     vals = [unpack_jax(p, nbits, c, dtype) for p, c in zip(parts, counts)]
     return jnp.concatenate(vals).reshape(shape)
+
+
+@partial(
+    jax.jit, static_argnames=("nbits", "counts", "count", "shape", "dtype")
+)
+def _assemble_streams_delta(firsts, parts, nbits, counts, count, shape, dtype):
+    """Delta variant of :func:`_assemble_streams`: unpack the residual
+    streams, then reconstruct values with the segmented cumsum."""
+    resid = jnp.concatenate(
+        [unpack_jax(p, nbits, c, jnp.uint16) for p, c in zip(parts, counts)]
+    )
+    return delta_decode_jax(firsts, resid, count).reshape(shape).astype(dtype)
 
 
 @partial(jax.jit, static_argnames=("nbits", "counts"))
@@ -272,11 +438,27 @@ def _pack_bands(x, nbits, counts):
     return parts
 
 
+@partial(jax.jit, static_argnames=("nbits", "counts"))
+def _pack_bands_delta(x, nbits, counts):
+    """Delta-transform a device array, then pack the residual stream into
+    independent byte bands; returns (firsts, [bands])."""
+    firsts, resid = delta_encode_jax(x.reshape(-1))
+    parts, o = [], 0
+    for c in counts:
+        parts.append(
+            pack_jax(jax.lax.dynamic_slice(resid, (o,), (c,)), nbits)
+        )
+        o += c
+    return firsts, parts
+
+
 def fetch_packed(
     arr: jax.Array,
     out: np.ndarray = None,
     nbits: int = None,
     n_streams: int = None,
+    delta: bool = None,
+    info: dict = None,
 ) -> np.ndarray:
     """Device->host transfer of an integer array via packed parallel streams.
 
@@ -284,12 +466,20 @@ def fetch_packed(
     each band on host as it lands. ``out`` (optional) receives the result
     in place (must be C-contiguous with matching shape/dtype). ``nbits``
     defaults to a device-side max probe (one scalar fetch).
+
+    ``delta`` (default: MVS_TPU_LINK_DELTA env) probes the residual
+    entropy device-side (one tiny fetch) and ships the delta transform
+    when it packs smaller. ``info`` receives the chosen encoding.
     """
     from concurrent.futures import ThreadPoolExecutor
 
     dtype = np.dtype(arr.dtype)
     if n_streams is None:
         n_streams = _default_streams()
+    if delta is None:
+        delta = _default_delta()
+    if info is not None:
+        info.update(nbits=None, delta=False, bytes=arr.size * dtype.itemsize)
     if arr.size * dtype.itemsize < _MIN_PACK_SIZE:
         res = np.asarray(arr)
         if out is not None:
@@ -301,38 +491,78 @@ def fetch_packed(
             out = np.empty(arr.shape, dtype=dtype)
         _fetch_bands_raw(arr, out, n_streams)
         return out
-    if nbits is None:
+
+    count = arr.size
+    use_delta = False
+    nbits_d = 16
+    if delta and dtype == np.uint16:
+        pm, zm = (int(v) for v in np.asarray(_delta_probe_jax(arr.reshape(-1))))
+        if nbits is None:
+            nbits = nbits_for_max(pm)
+        nbits_d = nbits_for_max(zm)
+        use_delta = delta_byte_count(count, nbits_d) < packed_byte_count(
+            count, nbits
+        )
+    elif nbits is None:
         nbits = nbits_for_max(int(jnp.max(arr)))
         if np.issubdtype(dtype, np.signedinteger) and int(jnp.min(arr)) < 0:
             nbits = 16
-    if nbits >= 16:
+    if nbits >= 16 and not use_delta:
         if out is None:
             out = np.empty(arr.shape, dtype=dtype)
         _fetch_bands_raw(arr, out, n_streams)
         return out
 
-    count = arr.size
     # pack each band on device separately so band fetches are independent
     # contiguous buffers (a slice of one big packed buffer would interleave
     # lo/hi planes across bands)
     grain = 8
-    n_streams = max(1, min(n_streams, count * 2 // _STREAM_MIN_BYTES))
-    bounds = _split_bounds(-(-count // grain), n_streams) * grain
-    bounds[-1] = count
-    bounds = np.unique(bounds)
+    count_send = _delta_rows(count) * (_DELTA_ROW - 1) if use_delta else count
+    nbits_send = nbits_d if use_delta else nbits
+    n_streams = max(1, min(n_streams, count_send * 2 // _STREAM_MIN_BYTES))
+    bounds = _stream_bounds(count_send, n_streams, grain)
     n_streams = len(bounds) - 1
     part_counts = tuple(int(bounds[i + 1] - bounds[i]) for i in range(n_streams))
 
-    bands = _pack_bands(arr, nbits=nbits, counts=part_counts)
+    if info is not None:
+        info.update(
+            nbits=nbits_send,
+            delta=use_delta,
+            bytes=(
+                delta_byte_count(count, nbits_send)
+                if use_delta
+                else packed_byte_count(count, nbits_send)
+            ),
+        )
 
     if out is None:
         out = np.empty(arr.shape, dtype=dtype)
     flat_out = out.reshape(-1)
 
+    if use_delta:
+        firsts_dev, bands = _pack_bands_delta(
+            arr, nbits=nbits_send, counts=part_counts
+        )
+        resid = np.empty(count_send, np.uint16)
+
+        def fetch_resid(i):
+            buf = np.asarray(bands[i])
+            v0, v1 = int(bounds[i]), int(bounds[i + 1])
+            resid[v0:v1] = unpack_np(buf, nbits_send, v1 - v0, np.uint16)
+
+        with ThreadPoolExecutor(n_streams + 1) as ex:
+            firsts_fut = ex.submit(np.asarray, firsts_dev)
+            list(ex.map(fetch_resid, range(n_streams)))
+            firsts = firsts_fut.result()
+        flat_out[:] = delta_decode_np(firsts, resid, count)
+        return out
+
+    bands = _pack_bands(arr, nbits=nbits_send, counts=part_counts)
+
     def fetch_part(i):
         buf = np.asarray(bands[i])
         v0, v1 = int(bounds[i]), int(bounds[i + 1])
-        flat_out[v0:v1] = unpack_np(buf, nbits, v1 - v0, dtype)
+        flat_out[v0:v1] = unpack_np(buf, nbits_send, v1 - v0, dtype)
 
     with ThreadPoolExecutor(n_streams) as ex:
         list(ex.map(fetch_part, range(n_streams)))

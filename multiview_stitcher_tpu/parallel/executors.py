@@ -34,12 +34,21 @@ import numpy as np
 
 @dataclass
 class SourceSpec:
-    """How a worker reopens one view: an OME-Zarr URL + transform overrides."""
+    """How a worker reopens one view: a file URL + transform overrides.
+
+    OME-Zarr URLs open directly; any other suffix goes through the mosaic
+    dispatcher (``io.read_mosaic_into_sims``, reference io.py:25 /
+    browser/dataset.py:11), where ``scene_index`` picks the scene and
+    ``view_index`` the tile/view within it (mosaic files yield several
+    views from one file).
+    """
 
     url: str
     transform_key: str = "affine_metadata"
     origin: Optional[Dict[str, float]] = None
     affines: Dict[str, list] = field(default_factory=dict)
+    scene_index: int = 0
+    view_index: int = 0
 
     def to_json(self) -> str:
         return json.dumps(asdict(self))
@@ -48,18 +57,37 @@ class SourceSpec:
     def from_json(cls, s: str) -> "SourceSpec":
         return cls(**json.loads(s))
 
-    def open_msim(self):
-        from multiview_stitcher_tpu import msi_utils, param_utils
+    def open_sim(self):
+        from multiview_stitcher_tpu import param_utils
         from multiview_stitcher_tpu.io import ngff_utils
 
-        sim = ngff_utils.read_sim_from_ome_zarr(
-            self.url, transform_key=self.transform_key
-        )
+        if str(self.url).endswith((".zarr", ".ome.zarr")):
+            sim = ngff_utils.read_sim_from_ome_zarr(
+                self.url, transform_key=self.transform_key
+            )
+        else:
+            from multiview_stitcher_tpu import io as msio
+
+            sims = msio.read_mosaic_into_sims(
+                self.url, scene_index=self.scene_index
+            )
+            if not 0 <= self.view_index < len(sims):
+                raise IndexError(
+                    f"view_index {self.view_index} out of range: "
+                    f"{self.url} scene {self.scene_index} has "
+                    f"{len(sims)} views"
+                )
+            sim = sims[self.view_index]
         if self.origin is not None:
             sim.origin = dict(self.origin)
         for key, mat in self.affines.items():
             sim.transforms[key] = param_utils.to_xaffine(np.asarray(mat))
-        return msi_utils.get_msim_from_sim(sim, scale_factors=[])
+        return sim
+
+    def open_msim(self):
+        from multiview_stitcher_tpu import msi_utils
+
+        return msi_utils.get_msim_from_sim(self.open_sim(), scale_factors=[])
 
 
 @dataclass

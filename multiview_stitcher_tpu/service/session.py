@@ -57,6 +57,7 @@ class Session:
         self.source_specs: List[Optional[SourceSpec]] = []
         self.generation = 0
         self._preview = None  # (route, VirtualOMEZarr)
+        self._server = None  # (http server, live stores dict)
 
     # -- view management (reference session.py:207-312) --------------------
 
@@ -72,6 +73,24 @@ class Session:
             self.msims.append(spec.open_msim())
             self.source_specs.append(spec)
         self.bump_generation(views=True)
+
+    def load_mosaic(self, path: str, scene_index: int = 0):
+        """Load every view of a mosaic file (CZI/TIFF/...) as one source per
+        view (reference worker.py:84 ``_cmd_load_czi``)."""
+        from multiview_stitcher_tpu import io as msio
+
+        n_views = len(
+            msio.read_mosaic_into_sims(path, scene_index=scene_index)
+        )
+        self.add(
+            [
+                SourceSpec(
+                    url=str(path), scene_index=scene_index, view_index=i
+                )
+                for i in range(n_views)
+            ]
+        )
+        return self.describe()
 
     def add_msims(self, msims: Sequence):
         """Attach in-memory msims; such views cannot travel to workers
@@ -164,6 +183,8 @@ class Session:
                     "transform_key": spec.transform_key,
                     "origin": spec.origin,
                     "affines": affines,
+                    "scene_index": spec.scene_index,
+                    "view_index": spec.view_index,
                 }
             )
         return SessionSpec(sources=sources, generation=self.generation)
@@ -226,7 +247,62 @@ class Session:
     def bump_generation(self, views: bool = False):
         self.generation += 1
         self._preview = None
+        self._sync_server(views=views)
         return self.generation
+
+    # -- integrated HTTP serving (reference session.py:579-598, :1012) ------
+
+    def serve(self, port: int = 8000) -> dict:
+        """Serve every view (and the current preview, when one exists) as
+        virtual OME-Zarr routes on one HTTP server.
+
+        Routes track session state live: view list changes and preview
+        re-fuses update the served store set in place; stale preview
+        routes 404. Returns route names; call ``stop_serving()`` to stop.
+        """
+        import socketserver
+        import threading
+
+        from multiview_stitcher_tpu.io.virtual_ngff import _VirtualHandler
+
+        self.stop_serving()
+        stores: dict = {}
+        handler_cls = type("Handler", (_VirtualHandler,), {"stores": stores})
+        server = socketserver.ThreadingTCPServer(
+            ("127.0.0.1", port), handler_cls
+        )
+        server.daemon_threads = True
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        self._server = (server, stores)
+        self._sync_server(views=True)
+        return {
+            "base_url": f"http://127.0.0.1:{server.server_address[1]}",
+            "routes": sorted(stores),
+        }
+
+    def stop_serving(self):
+        if self._server is not None:
+            self._server[0].shutdown()
+            self._server[0].server_close()
+            self._server = None
+
+    def _sync_server(self, views: bool = False):
+        """Refresh the live store dict behind the HTTP server."""
+        if self._server is None:
+            return
+        from multiview_stitcher_tpu.io.virtual_ngff import VirtualOMEZarr
+
+        _, stores = self._server
+        # retire stale fused routes; (re-)publish the current preview
+        for route in [r for r in stores if r.startswith("fused-")]:
+            del stores[route]
+        if self._preview is not None:
+            stores[self._preview[0]] = self._preview[1]
+        if views:
+            for route in [r for r in stores if not r.startswith("fused-")]:
+                del stores[route]
+            for i, msim in enumerate(self.msims):
+                stores[f"{i}.ome.zarr"] = VirtualOMEZarr(msim)
 
     # -- registration (reference session.py:599-709) -------------------------
 
@@ -369,6 +445,7 @@ class Session:
         fused = fusion.fuse(sims, **fuse_kwargs)
         route = f"fused-g{self.generation}.ome.zarr"
         self._preview = (route, VirtualOMEZarr(fused))
+        self._sync_server()
         return {
             "route": route,
             "generation": self.generation,

@@ -65,6 +65,14 @@ class WorkerRuntime:
         self.session.add(payload["sources"])
         return {"views": self.session.describe()}
 
+    def _cmd_load_mosaic(self, payload):
+        return {
+            "views": self.session.load_mosaic(
+                payload["path"],
+                scene_index=int(payload.get("scene_index", 0)),
+            )
+        }
+
     def _cmd_remove(self, payload):
         self.session.remove(int(payload["index"]))
         return {"views": self.session.describe()}

@@ -124,3 +124,111 @@ def test_concurrent_interleaved_put_then_fetch():
     for a, o, o2 in zip(arrays, outs, outs2):
         np.testing.assert_array_equal(a, o)
         np.testing.assert_array_equal(a, o2)
+
+
+# ---------------------------------------------------------------------------
+# delta transform
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("count", [1, 100, 2048, 2049, 5000, 2048 * 3 + 17])
+def test_delta_np_roundtrip(count):
+    rng = np.random.default_rng(count)
+    # mix smooth ramps with hard jumps and full-range values
+    vals = (
+        np.cumsum(rng.integers(-3, 4, count)) % 65536
+    ).astype(np.uint16)
+    vals[::97] = rng.integers(0, 65536, vals[::97].size)
+    firsts, resid = lc.delta_encode_np(vals)
+    assert firsts.dtype == np.uint16 and resid.dtype == np.uint16
+    assert firsts.size == lc._delta_rows(count)
+    assert resid.size == firsts.size * (lc._DELTA_ROW - 1)
+    back = lc.delta_decode_np(firsts, resid, count)
+    np.testing.assert_array_equal(back, vals)
+
+
+def test_delta_jax_matches_np_wire_format():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    vals = (np.cumsum(rng.integers(-5, 6, 6000)) % 65536).astype(np.uint16)
+    f_np, r_np = lc.delta_encode_np(vals)
+    f_j, r_j = (np.asarray(a) for a in lc.delta_encode_jax(jnp.asarray(vals)))
+    np.testing.assert_array_equal(f_j, f_np)
+    np.testing.assert_array_equal(r_j, r_np)
+    back = np.asarray(
+        lc.delta_decode_jax(jnp.asarray(f_np), jnp.asarray(r_np), vals.size)
+    )
+    np.testing.assert_array_equal(back, vals)
+
+
+def test_delta_byte_count_accounting():
+    count = 10000
+    n_rows = lc._delta_rows(count)
+    assert lc.delta_byte_count(count, 8) == 2 * n_rows + lc.packed_byte_count(
+        n_rows * (lc._DELTA_ROW - 1), 8
+    )
+
+
+def test_put_packed_delta_smooth_wins_and_roundtrips():
+    # smooth 12-bit data: residuals fit 8 bits -> delta must be chosen
+    rng = np.random.default_rng(1)
+    n = 1 << 20
+    vals = (2000 + np.cumsum(rng.integers(-2, 3, n))).astype(np.uint16)
+    assert vals.max() > 1 << 10  # needs 12-bit plain packing
+    info = {}
+    dev = lc.put_packed(vals.reshape(1024, 1024), delta=True, info=info)
+    assert info["delta"] is True and info["nbits"] == 8
+    assert info["bytes"] < lc.packed_byte_count(n, 12)
+    np.testing.assert_array_equal(
+        np.asarray(dev), vals.reshape(1024, 1024)
+    )
+
+
+def test_put_packed_delta_noisy_falls_back_to_plain():
+    rng = np.random.default_rng(2)
+    n = 1 << 20
+    vals = rng.integers(0, 1 << 10, n).astype(np.uint16)  # white noise
+    info = {}
+    dev = lc.put_packed(vals, delta=True, info=info)
+    assert info["delta"] is False and info["nbits"] == 10
+    np.testing.assert_array_equal(np.asarray(dev), vals)
+
+
+def test_fetch_packed_delta_smooth_wins_and_roundtrips():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    n = 1 << 20
+    vals = (2000 + np.cumsum(rng.integers(-2, 3, n))).astype(np.uint16)
+    dev = jnp.asarray(vals.reshape(64, 128, 128))
+    info = {}
+    out = lc.fetch_packed(dev, delta=True, info=info)
+    assert info["delta"] is True and info["nbits"] == 8
+    np.testing.assert_array_equal(out, vals.reshape(64, 128, 128))
+    # in-place variant
+    buf = np.empty((64, 128, 128), np.uint16)
+    out2 = lc.fetch_packed(dev, out=buf, delta=True)
+    assert out2 is buf
+    np.testing.assert_array_equal(buf, vals.reshape(64, 128, 128))
+
+
+def test_fetch_packed_delta_noisy_falls_back_to_plain():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 1 << 10, 1 << 20).astype(np.uint16)
+    dev = jnp.asarray(vals)
+    info = {}
+    out = lc.fetch_packed(dev, delta=True, info=info)
+    assert info["delta"] is False and info["nbits"] == 10
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_delta_env_default_off(monkeypatch):
+    monkeypatch.delenv("MVS_TPU_LINK_DELTA", raising=False)
+    assert lc._default_delta() is False
+    monkeypatch.setenv("MVS_TPU_LINK_DELTA", "auto")
+    assert lc._default_delta() is True
+    monkeypatch.setenv("MVS_TPU_LINK_DELTA", "0")
+    assert lc._default_delta() is False

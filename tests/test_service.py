@@ -340,6 +340,156 @@ def test_worker_session_cache_reuses_by_generation(tmp_path):
     assert len(runtime._session_cache) == SESSION_CACHE_SIZE
 
 
+def test_worker_register_command_full_flow(tmp_path):
+    """Stateful register through the command protocol (reference
+    worker.py:170 _cmd_register)."""
+    _, urls = _make_session_zarrs(tmp_path)
+    runtime = WorkerRuntime()
+    runtime.handle("load", {"sources": urls})
+    gen0 = runtime.handle("info")["generation"]
+    summary = runtime.handle(
+        "register", {"options": {"new_transform_key": "reg"}}
+    )
+    assert summary["transform_key"] == "reg"
+    assert len(summary["params"]) == 2
+    assert "reg" in runtime.handle("transform_keys")["transform_keys"]
+    assert runtime.handle("info")["generation"] > gen0
+    # fuse through the command protocol with the registered key
+    out = str(tmp_path / "cmd_fused.zarr")
+    r = runtime.handle(
+        "fuse_to_zarr",
+        {"output_zarr_url": out, "options": {"transform_key": "reg"}},
+    )
+    assert r["written"] == r["n_blocks"] >= 1
+
+
+def test_session_register_pairs_option_restricts_edges(tmp_path):
+    sims, urls = _make_session_zarrs(tmp_path)
+    session = Session()
+    session.load(urls + urls[:1])  # 3 views; full graph would have >1 edge
+    summary = session.register(
+        RegistrationOptions(new_transform_key="reg", pairs=[[0, 1]])
+    )
+    assert summary["edges"] == [[0, 1]]
+
+
+def test_fuse_preview_respects_fusion_func(tmp_path):
+    _, urls = _make_session_zarrs(tmp_path)
+    session = Session()
+    session.load(urls)
+    p_avg = session.fuse_preview(
+        FusionOptions(fusion_func="weighted_average"), max_voxels=48**2
+    )
+    store_avg = session.preview_store(p_avg["route"])
+    arr_avg = np.frombuffer(
+        store_avg.get("0/" + ".".join("0" for _ in p_avg["shape"])),
+        dtype=np.uint16,
+    )
+    session.bump_generation()
+    p_max = session.fuse_preview(
+        FusionOptions(fusion_func="max"), max_voxels=48**2
+    )
+    store_max = session.preview_store(p_max["route"])
+    arr_max = np.frombuffer(
+        store_max.get("0/" + ".".join("0" for _ in p_max["shape"])),
+        dtype=np.uint16,
+    )
+    # max fusion dominates the average everywhere they overlap
+    assert arr_max.size == arr_avg.size
+    assert np.all(arr_max.astype(np.int32) >= arr_avg.astype(np.int32) - 1)
+    assert np.any(arr_max > arr_avg)
+
+
+def test_fusion_plan_chunksize_override(tmp_path):
+    _, urls = _make_session_zarrs(tmp_path)
+    session = Session()
+    session.load(urls)
+    plan_small = session.fusion_plan(output_chunksize=16)
+    plan_big = session.fusion_plan(output_chunksize=1024)
+    assert plan_small["n_blocks"] > plan_big["n_blocks"] == 1
+    assert plan_small["shape"] == plan_big["shape"]
+
+
+def test_load_replace_semantics(tmp_path):
+    _, urls = _make_session_zarrs(tmp_path)
+    session = Session()
+    session.load(urls)
+    session.load(urls[:1], replace=False)
+    assert len(session.describe()) == 3
+    session.load(urls[:1], replace=True)
+    assert len(session.describe()) == 1
+
+
+REFERENCE_CZI = (
+    "/root/reference/src/multiview_stitcher/test-datasets/mosaic_test.czi"
+)
+
+
+def test_session_load_mosaic_czi_and_spec_roundtrip():
+    import os
+
+    if not os.path.exists(REFERENCE_CZI):
+        pytest.skip("reference sample CZI not available")
+    session = Session()
+    views = session.load_mosaic(REFERENCE_CZI)
+    assert len(views) == 2
+    assert views[0]["url"] == REFERENCE_CZI
+
+    # mosaic sources rebuild from the spec with per-view indices intact
+    rebuilt = Session.from_spec(session.spec().to_json())
+    assert len(rebuilt.msims) == 2
+    for a, b in zip(session.msims, rebuilt.msims):
+        np.testing.assert_allclose(
+            a.transforms["affine_metadata"].squeeze(),
+            b.transforms["affine_metadata"].squeeze(),
+        )
+    sim_a = msi_utils.get_sim_from_msim(session.msims[1])
+    sim_b = msi_utils.get_sim_from_msim(rebuilt.msims[1])
+    np.testing.assert_array_equal(
+        np.asarray(sim_a.data), np.asarray(sim_b.data)
+    )
+
+
+def test_source_spec_view_index_out_of_range():
+    import os
+
+    if not os.path.exists(REFERENCE_CZI):
+        pytest.skip("reference sample CZI not available")
+    from multiview_stitcher_tpu.parallel.executors import SourceSpec
+
+    with pytest.raises(IndexError, match="view_index 5 out of range"):
+        SourceSpec(url=REFERENCE_CZI, view_index=5).open_msim()
+
+
+def test_session_serve_routes_track_state(tmp_path):
+    import urllib.request
+
+    _, urls = _make_session_zarrs(tmp_path)
+    session = Session()
+    session.load(urls)
+    info = session.serve(port=0)
+    try:
+        base = info["base_url"]
+        assert info["routes"] == ["0.ome.zarr", "1.ome.zarr"]
+        with urllib.request.urlopen(f"{base}/0.ome.zarr/.zattrs") as r:
+            assert "multiscales" in json.loads(r.read())
+
+        prev = session.fuse_preview(max_voxels=32**2)
+        with urllib.request.urlopen(
+            f"{base}/{prev['route']}/.zattrs"
+        ) as r:
+            assert "multiscales" in json.loads(r.read())
+
+        # state change retires the fused route (404), views stay served
+        session.copy_transform("affine_metadata", "new")
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(f"{base}/{prev['route']}/.zattrs")
+        with urllib.request.urlopen(f"{base}/0.ome.zarr/.zattrs") as r:
+            assert r.status == 200
+    finally:
+        session.stop_serving()
+
+
 @pytest.mark.slow
 def test_register_over_process_pool_bridge(tmp_path):
     """Real OS-process workers (spawn): the full JSON protocol crosses a
