@@ -1090,10 +1090,7 @@ def fuse(
         },
     }
 
-    if output_chunksize is None:
-        output_chunksize = si_utils.get_default_spatial_chunksizes(ndim)
-    elif not isinstance(output_chunksize, dict):
-        output_chunksize = {d: int(output_chunksize) for d in sdims}
+    output_chunksize = process_output_chunksize(sims_in, output_chunksize)
 
     # halo negotiation (reference :1193-1222)
     required_overlap = misc_utils.get_required_overlap(
@@ -2957,6 +2954,215 @@ def _fuse_msims(msims, output_chunksize=None, output_spacing=None, **kwargs):
             )
         )
     return msi_utils.Msim(sims=out_sims)
+
+
+def process_output_chunksize(sims, output_chunksize=None):
+    """Normalize ``output_chunksize`` to a per-spatial-dim dict (reference
+    fusion/_core.py:248): None -> the source chunk grid for zarr-backed
+    inputs, else the ndim default; scalars broadcast over spatial dims."""
+    sdims = si_utils.get_spatial_dims_from_sim(sims[0])
+    if output_chunksize is None:
+        chunks = getattr(sims[0].data, "chunks", None)
+        if chunks is not None:
+            spatial_chunks = dict(
+                zip(sims[0].dims, (int(c) for c in chunks))
+            )
+            return {d: spatial_chunks[d] for d in sdims}
+        return si_utils.get_default_spatial_chunksizes(len(sdims))
+    if not isinstance(output_chunksize, dict):
+        return {d: int(output_chunksize) for d in sdims}
+    return {d: int(output_chunksize[d]) for d in sdims}
+
+
+def func_ignore_nan_warning(func, *args, **kwargs):
+    """Call ``func`` with numpy's all-NaN/empty-slice warnings silenced
+    (reference fusion/_core.py:1504)."""
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            action="ignore", message="All-NaN slice encountered"
+        )
+        warnings.filterwarnings(
+            action="ignore", message="Mean of empty slice"
+        )
+        return func(*args, **kwargs)
+
+
+def get_interpolated_image(
+    image: np.ndarray,
+    mask: np.ndarray = None,
+    method: str = "nearest",
+    fill_value: int = 0,
+):
+    """Fill masked (missing) pixels of a 2D image by interpolating from the
+    known ones (reference fusion/_core.py:1995; 2D only, like there).
+
+    ``mask``: boolean array, True marks missing pixels; defaults to
+    ``isnan(image)``. ``fill_value`` fills outside the convex hull of known
+    pixels for 'linear'/'cubic' (no effect for 'nearest').
+    """
+    from scipy import interpolate
+
+    image = np.asarray(image)
+    if image.ndim != 2:
+        raise ValueError(
+            f"get_interpolated_image is 2D-only (got {image.ndim}D), "
+            "matching the reference"
+        )
+    if mask is None:
+        mask = np.isnan(image)
+    mask = np.asarray(mask, dtype=bool)
+    if mask.min():  # nothing known to interpolate from
+        return image
+    if not mask.any():
+        return image
+    known = np.argwhere(~mask)
+    missing = np.argwhere(mask)
+    filled = image.copy()
+    filled[mask] = interpolate.griddata(
+        known, image[~mask], missing, method=method, fill_value=fill_value
+    )
+    return filled
+
+
+def prepare_block_fusion(
+    output_zarr_url: str,
+    fuse_kwargs: dict,
+    zarr_array_creation_kwargs: dict = None,
+    create_output: bool = True,
+    overwrite: bool = True,
+    verbose: bool = False,
+):
+    """Prepare a per-block fusion callable for embarrassingly parallel
+    fusion into one shared zarr array (reference fusion/_core.py:2159).
+
+    ``create_output=False`` attaches to an existing array — additional
+    workers do this when one fusion's blocks are spread over several
+    processes (each fuses a disjoint block-id subset).
+
+    Returns ``{"func": fuse_block(block_id), "nblocks": [per-dim counts],
+    "output_stack_properties": ...}`` where ``block_id`` indexes
+    (non-spatial dims..., spatial block grid...).
+    """
+    from multiview_stitcher_tpu.io import zarr_backend
+
+    fuse_kwargs = dict(fuse_kwargs)
+    sims = fuse_kwargs.pop("images", None)
+    if sims is None:
+        sims = fuse_kwargs.pop("sims", None)
+    if sims is None:
+        raise ValueError("fuse_kwargs must carry 'images' (or 'sims')")
+    transform_key = fuse_kwargs.get("transform_key")
+    sdims = si_utils.get_spatial_dims_from_sim(sims[0])
+    nsdims = [d for d in sims[0].dims if d not in sdims]
+    ns_coord_lists = {
+        nd: np.asarray(sims[0].coords[nd]) for nd in nsdims
+    }
+    ns_shape = {nd: len(ns_coord_lists[nd]) for nd in nsdims}
+
+    field_sims = [si_utils.get_sim_field(s) for s in sims]
+    osp = process_output_stack_properties(
+        field_sims,
+        output_stack_properties=fuse_kwargs.pop(
+            "output_stack_properties", None
+        ),
+        output_spacing=fuse_kwargs.pop("output_spacing", None),
+        output_origin=fuse_kwargs.pop("output_origin", None),
+        output_shape=fuse_kwargs.pop("output_shape", None),
+        output_stack_mode=fuse_kwargs.pop("output_stack_mode", "union"),
+        transform_key=transform_key,
+    )
+    osp = {
+        k: {
+            d: (int(v[d]) if k == "shape" else float(v[d])) for d in sdims
+        }
+        for k, v in osp.items()
+    }
+    output_chunksize = process_output_chunksize(
+        sims, fuse_kwargs.pop("output_chunksize", None)
+    )
+
+    full_shape = [ns_shape[d] for d in nsdims] + [
+        osp["shape"][d] for d in sdims
+    ]
+    full_chunks = [1] * len(nsdims) + [
+        min(int(output_chunksize[d]), osp["shape"][d]) for d in sdims
+    ]
+    normalized = normalize_chunks(full_chunks, full_shape)
+    nblocks = [len(nc) for nc in normalized]
+    block_offsets = [np.cumsum((0,) + tuple(nc[:-1])) for nc in normalized]
+
+    if verbose:
+        print(
+            f"Fusing into an output stack: shape={full_shape} "
+            f"spacing={osp['spacing']} origin={osp['origin']} "
+            f"nblocks={nblocks}"
+        )
+
+    if create_output:
+        output_array = zarr_backend.create_zarr_array(
+            str(output_zarr_url),
+            shape=tuple(full_shape),
+            chunks=tuple(full_chunks),
+            dtype=np.dtype(sims[0].dtype),
+            zarr_format=2,
+            overwrite=overwrite,
+            **(zarr_array_creation_kwargs or {}),
+        )
+    else:
+        output_array = zarr_backend.attach_zarr_array(str(output_zarr_url))
+
+    def fuse_block(block_id):
+        block_id = tuple(int(b) for b in block_id)
+        if len(block_id) != len(nblocks):
+            raise ValueError(
+                f"block_id {block_id} must index {len(nblocks)} dims "
+                f"(nblocks={nblocks})"
+            )
+        sel = {
+            nd: ns_coord_lists[nd][block_id[i]]
+            for i, nd in enumerate(nsdims)
+        }
+        block_sims = [
+            si_utils.sim_sel_coords(s, sel) if sel else s for s in sims
+        ]
+        starts = [
+            int(block_offsets[len(nsdims) + j][b])
+            for j, b in enumerate(block_id[len(nsdims):])
+        ]
+        sizes = [
+            int(normalized[len(nsdims) + j][b])
+            for j, b in enumerate(block_id[len(nsdims):])
+        ]
+        block_props = {
+            "origin": {
+                d: osp["origin"][d] + osp["spacing"][d] * starts[j]
+                for j, d in enumerate(sdims)
+            },
+            "spacing": dict(osp["spacing"]),
+            "shape": {d: sizes[j] for j, d in enumerate(sdims)},
+        }
+        fused = fuse(
+            block_sims,
+            output_stack_properties=block_props,
+            output_chunksize=output_chunksize,
+            **fuse_kwargs,
+        )
+        region = tuple(
+            slice(b, b + 1) for b in block_id[: len(nsdims)]
+        ) + tuple(
+            slice(s, s + z) for s, z in zip(starts, sizes)
+        )
+        data = np.asarray(fused.data).reshape(
+            [1] * len(nsdims) + sizes
+        )
+        output_array[region] = data
+        return block_id
+
+    return {
+        "func": fuse_block,
+        "nblocks": nblocks,
+        "output_stack_properties": osp,
+    }
 
 
 def fuse_to_zarr(*args, **kwargs):

@@ -630,3 +630,89 @@ def read_multiview_czi_into_sims(
         )
         sims.append(sim)
     return sims
+
+
+# ---------------------------------------------------------------------------
+# reference API aliases (reference czi_utils.py:56-290)
+# ---------------------------------------------------------------------------
+
+_OPEN_CZI_CACHE: Dict[str, CziFile] = {}
+
+
+def open_czi(filename) -> CziFile:
+    """Parsed :class:`CziFile` for ``filename``, cached per path (reference
+    czi_utils.py:56). Our reader holds no file descriptor between reads —
+    the cache saves re-parsing the segment directory."""
+    key = str(filename)
+    if key not in _OPEN_CZI_CACHE:
+        _OPEN_CZI_CACHE[key] = CziFile(key)
+    return _OPEN_CZI_CACHE[key]
+
+
+def close_czi_files():
+    """Drop every cached parsed CZI (reference czi_utils.py:86)."""
+    _OPEN_CZI_CACHE.clear()
+
+
+def is_multiview_czi(filepath) -> bool:
+    """Is this CZI a multi-view acquisition rather than a mosaic?
+    (reference czi_utils.py:99: a ``MultiView`` metadata element with views,
+    or a V dimension spanning more than one index)."""
+    czi = open_czi(filepath)
+    tree = czi.metadata_tree()
+    if len(tree.findall(".//MultiView/View")):
+        return True
+    return get_czi_shape(czi).get("V", 1) > 1
+
+
+def get_spacing_from_czi(filepath) -> Dict[str, float]:
+    """Reference-name alias of :func:`get_czi_spacing` (reference :157)."""
+    return get_czi_spacing(filepath)
+
+
+def get_czi_mosaic_intervals(filepath, scene_index: int = 0) -> dict:
+    """Per-tile mosaic position intervals in physical units (reference
+    czi_utils.py:177): {tile index: {dim: (start, stop)}}."""
+    czi = open_czi(filepath)
+    info = get_info_from_mosaic_czi(czi)
+    spacing = info["spacing"]
+    intervals = {}
+    for (s, m), entry in sorted(info["tiles"].items()):
+        if s != scene_index:
+            continue
+        intervals[m] = {
+            d: (
+                entry[f"{d}_start"] * spacing[d],
+                (entry[f"{d}_start"] + entry["shape"][d]) * spacing[d],
+            )
+            for d in ("y", "x")
+        }
+    return intervals
+
+
+def read_czi_plane(filename, ide: int, slices=None) -> np.ndarray:
+    """Decode a single subblock plane by directory index (reference
+    czi_utils.py:252); ``slices`` optionally crops the decoded plane."""
+    czi = open_czi(filename)
+    if not 0 <= int(ide) < len(czi.subblocks):
+        raise IndexError(
+            f"subblock {ide} out of range ({len(czi.subblocks)} subblocks)"
+        )
+    plane = czi.read_subblock(czi.subblocks[int(ide)])
+    if slices is not None:
+        plane = plane[slices]
+    return plane
+
+
+def read_czi_view_into_sim(fn, view_index: int, **kwargs):
+    """One view of a multi-view CZI as a sim with its initialized affine
+    (reference czi_utils.py read_view_from_multiview_czi semantics)."""
+    sims = read_multiview_czi_into_sims(fn, **kwargs)
+    if not 0 <= int(view_index) < len(sims):
+        raise IndexError(
+            f"view {view_index} out of range ({len(sims)} views)"
+        )
+    return sims[int(view_index)]
+
+
+read_view_from_multiview_czi = read_czi_view_into_sim

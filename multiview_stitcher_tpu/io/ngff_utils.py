@@ -18,7 +18,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from multiview_stitcher_tpu import msi_utils, si_utils
+from multiview_stitcher_tpu import msi_utils, param_utils, si_utils
 from multiview_stitcher_tpu.io import zarr_backend
 from multiview_stitcher_tpu.msi_utils import Msim
 from multiview_stitcher_tpu.si_utils import Sim
@@ -599,3 +599,188 @@ def write_msim_to_ome_zarr(msim: Msim, output_zarr_url: str, **kwargs) -> Msim:
     write_sim_to_ome_zarr(sim, output_zarr_url, **kwargs)
     update_msim_transforms_zarr(msim, output_zarr_url)
     return read_msim_from_ome_zarr(output_zarr_url)
+
+
+# ---------------------------------------------------------------------------
+# ngff-zarr-style in-memory interop (reference ngff_utils.py:1002-1244)
+# ---------------------------------------------------------------------------
+#
+# The reference converts sims <-> the ngff-zarr package's NgffImage /
+# Multiscales objects. That package is optional; here the same public
+# contract is provided with lightweight first-party containers using the
+# identical field names (data/dims/scale/translation, images/metadata), so
+# code written against the reference's interop functions carries over.
+
+from dataclasses import dataclass as _dataclass
+from dataclasses import field as _field
+
+
+@_dataclass
+class NgffImage:
+    """NGFF v0.4 in-memory image (field names match ngff_zarr.NgffImage)."""
+
+    data: object
+    dims: list
+    scale: dict
+    translation: dict
+    name: str = "image"
+
+
+@_dataclass
+class NgffMultiscales:
+    """Multiscale pyramid of :class:`NgffImage` + NGFF multiscales metadata
+    (field names match ngff_zarr.Multiscales)."""
+
+    images: list
+    metadata: dict = _field(default_factory=dict)
+    scale_factors: list = _field(default_factory=list)
+
+
+def sim_to_ngff_image(sim: Sim, transform_key: Optional[str]) -> NgffImage:
+    """Sim -> NGFF image; the translational part of ``transform_key``'s
+    affine folds into the NGFF ``translation`` (reference :1002)."""
+    sdims = si_utils.get_spatial_dims_from_sim(sim)
+    origin = dict(si_utils.get_origin_from_sim(sim))
+    if transform_key is not None:
+        mat = np.asarray(
+            si_utils.get_affine_from_sim(sim, transform_key).squeeze()
+        )
+        if mat.ndim == 3:
+            mat = mat[0]
+        shift = param_utils.translation_from_affine(mat)
+        for i, d in enumerate(sdims):
+            origin[d] = float(origin[d] + shift[i])
+    return NgffImage(
+        data=sim.data,
+        dims=list(sim.dims),
+        scale={d: float(v) for d, v in si_utils.get_spacing_from_sim(sim).items()},
+        translation=origin,
+    )
+
+
+def msim_to_ngff_multiscales(msim, transform_key: Optional[str]) -> NgffMultiscales:
+    """Msim -> NGFF multiscales with per-level datasets at
+    ``scale{i}/image`` paths (reference :1039)."""
+    ngff_ims = [
+        sim_to_ngff_image(
+            msi_utils.get_sim_from_msim(msim, scale=sk), transform_key
+        )
+        for sk in msi_utils.get_sorted_scale_keys(msim)
+    ]
+    sim0 = msi_utils.get_sim_from_msim(msim)
+    sdims = si_utils.get_spatial_dims_from_sim(sim0)
+    nsdims = [d for d in sim0.dims if d not in sdims]
+    abs_factors = [
+        {d: im.scale[d] / ngff_ims[0].scale[d] for d in sdims}
+        for im in ngff_ims
+    ]
+    coordtfs, axes = calc_ngff_coordinate_transformations_and_axes(
+        {
+            "spacing": ngff_ims[0].scale,
+            "origin": ngff_ims[0].translation,
+            "shape": {
+                d: int(np.shape(ngff_ims[0].data)[ngff_ims[0].dims.index(d)])
+                for d in sdims
+            },
+        },
+        abs_factors,
+        nsdims=nsdims,
+        time_transform=sim0.attrs.get("ngff_time_transform"),
+    )
+    metadata = {
+        "axes": axes,
+        "datasets": [
+            {
+                "path": f"scale{i}/image",
+                "coordinateTransformations": coordtfs[i],
+            }
+            for i in range(len(ngff_ims))
+        ],
+        "version": "0.4",
+    }
+    return NgffMultiscales(
+        images=ngff_ims,
+        metadata=metadata,
+        scale_factors=[
+            {d: int(round(f[d])) for d in sdims} for f in abs_factors[1:]
+        ],
+    )
+
+
+def ngff_image_to_sim(
+    ngff_im, transform_key: str, data=None
+) -> Sim:
+    """NGFF image -> Sim with an identity affine under ``transform_key``
+    (reference :1101). Works with this module's :class:`NgffImage` or any
+    object exposing data/dims/scale/translation."""
+    sdims = [d for d in ngff_im.dims if d in ("z", "y", "x")]
+    sim = si_utils.get_sim_from_array(
+        ngff_im.data if data is None else data,
+        dims=list(ngff_im.dims),
+        scale={d: float(ngff_im.scale[d]) for d in sdims},
+        translation={d: float(ngff_im.translation[d]) for d in sdims},
+        transform_key=transform_key,
+    )
+    return sim
+
+
+def ngff_multiscales_to_msim(
+    ngff_multiscales, transform_key: str, data_arrays=None
+) -> Msim:
+    """NGFF multiscales -> Msim (reference :1142)."""
+    if data_arrays is None:
+        data_arrays = [None] * len(ngff_multiscales.images)
+    sims = [
+        ngff_image_to_sim(im, transform_key=transform_key, data=da)
+        for im, da in zip(ngff_multiscales.images, data_arrays)
+    ]
+    return Msim(sims=sims)
+
+
+def read_ngff_multiscales(zarr_path) -> NgffMultiscales:
+    """Parse an OME-Zarr store's multiscales into the in-memory interop
+    representation; arrays stay lazy (reference :1175)."""
+    attrs, _ = zarr_backend.read_group_metadata(str(zarr_path))
+    ms, _ = _parse_multiscales(attrs)
+    images = []
+    for level in range(len(ms["datasets"])):
+        sim = read_sim_from_ome_zarr(zarr_path, resolution_level=level)
+        images.append(sim_to_ngff_image(sim, transform_key=None))
+    return NgffMultiscales(images=images, metadata=ms)
+
+
+# virtual OME-Zarr classes live in io/virtual_ngff.py; re-exported here
+# because the reference hosts them in ngff_utils (reference :192/:466/:719).
+# Lazy (module __getattr__) to avoid an import cycle: virtual_ngff imports
+# this module at its top.
+_VIRTUAL_REEXPORTS = {
+    "VirtualOMEZarr": "VirtualOMEZarr",
+    "VirtualOMEZarrPlate": "VirtualOMEZarrPlate",
+    "VirtualOMEZarrHCSPlate": "VirtualOMEZarrPlate",
+    "VirtualOMEZarrServer": "VirtualOMEZarrServer",
+}
+
+
+def __getattr__(name):
+    if name in _VIRTUAL_REEXPORTS:
+        from multiview_stitcher_tpu.io import virtual_ngff
+
+        return getattr(virtual_ngff, _VIRTUAL_REEXPORTS[name])
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def write_multiscales_metadata(path, axes, datasets, ngff_version: str = "0.4"):
+    """Write only the NGFF ``multiscales`` metadata document for a store
+    whose arrays are written separately — block by block, possibly by
+    several workers at once (reference :1185). v0.4 keeps ``multiscales``
+    at the top level; v0.5 nests it inside ``ome``."""
+    multiscale = {"axes": list(axes), "datasets": list(datasets)}
+    if ngff_version == "0.4":
+        attrs = {"multiscales": [dict(multiscale, version="0.4")]}
+        zarr_format = 2
+    else:
+        attrs = {"ome": {"version": "0.5", "multiscales": [multiscale]}}
+        zarr_format = 3
+    zarr_backend.write_group_metadata(
+        str(path), attrs, zarr_format=zarr_format
+    )

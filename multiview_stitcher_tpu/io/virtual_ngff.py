@@ -260,6 +260,42 @@ class _VirtualHandler(http.server.BaseHTTPRequestHandler):
         pass
 
 
+class VirtualOMEZarrServer:
+    """Threaded HTTP server over named virtual stores (reference
+    ngff_utils.py:719). ``stores`` maps route names to
+    :class:`VirtualOMEZarr` instances; call :meth:`start`, then
+    :meth:`shutdown` when done."""
+
+    def __init__(self, stores: Dict[str, VirtualOMEZarr], port: int = 8000):
+        handler_cls = type(
+            "Handler", (_VirtualHandler,), {"stores": dict(stores)}
+        )
+        self.server = socketserver.ThreadingTCPServer(
+            ("127.0.0.1", port), handler_cls
+        )
+        self.server.daemon_threads = True
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def port(self) -> int:
+        return self.server.server_address[1]
+
+    @property
+    def base_url(self) -> str:
+        return f"http://127.0.0.1:{self.port}"
+
+    def start(self) -> "VirtualOMEZarrServer":
+        self._thread = threading.Thread(
+            target=self.server.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def shutdown(self):
+        self.server.shutdown()
+        self.server.server_close()
+
+
 def serve_virtual_ome_zarrs(
     images,
     port: int = 8000,

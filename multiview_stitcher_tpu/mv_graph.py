@@ -794,3 +794,47 @@ def compute_graph_edges(input_g, weight_name: str = "transform"):
         elif hasattr(w, "__array__"):
             g.edges[e][weight_name] = np.asarray(w)
     return g
+
+
+def strack_props_are_far_apart(stack_props_1, stack_props_2) -> bool:
+    """True when two stacks' bounding spheres cannot intersect (reference
+    mv_graph.py:500 — which computes these quantities but, due to a bug
+    there, returns None; here the comparison is returned).
+
+    A cheap pre-filter: center distance greater than the sum of the
+    half-diagonals means no overlap is possible.
+    """
+    verts = [
+        get_vertices_from_stack_props(sp)
+        for sp in (stack_props_1, stack_props_2)
+    ]
+    centers = [np.mean(v, axis=0) for v in verts]
+    center_dist = float(np.linalg.norm(centers[1] - centers[0]))
+    half_diags = [
+        float(np.max(np.linalg.norm(v - c, axis=1)))
+        for v, c in zip(verts, centers)
+    ]
+    return center_dist > sum(half_diags)
+
+
+def sims_are_far_apart(sim1, sim2, transform_key) -> bool:
+    """True when two views' bounding spheres (in ``transform_key`` world
+    coords) cannot intersect (reference mv_graph.py:447; see
+    :func:`strack_props_are_far_apart` for the return-value note)."""
+    from multiview_stitcher_tpu import si_utils as _si
+
+    sps = [
+        _si.get_stack_properties_from_sim(sim, transform_key=transform_key)
+        for sim in (sim1, sim2)
+    ]
+    return strack_props_are_far_apart(*sps)
+
+
+def get_nodes_dataset_from_graph(g, node_attribute: str) -> dict:
+    """{node: attribute value} for nodes carrying the attribute (reference
+    mv_graph.py returns an xarray Dataset; a dict here — no xarray)."""
+    return {
+        n: g.nodes[n][node_attribute]
+        for n in g.nodes
+        if node_attribute in g.nodes[n]
+    }

@@ -2116,3 +2116,20 @@ def get_pairs_from_sample_masks(
     labels = np.asarray(fused.to_numpy()).astype(int)
     pairs = mv_graph.get_connected_labels(labels)
     return [tuple(sorted(p)) for p in pairs.tolist()], fused
+
+
+def apply_recursive_dict(func, d):
+    """Apply ``func`` to every leaf of a nested dict (reference
+    registration.py:99)."""
+    if isinstance(d, dict):
+        return {k: apply_recursive_dict(func, v) for k, v in d.items()}
+    return func(d)
+
+
+# optional C++-backed registration plugins live in registration_plugins.py;
+# re-exported here because the reference hosts them in registration
+# (reference registration.py:2774/:3104)
+from multiview_stitcher_tpu.registration_plugins import (  # noqa: E402,F401
+    registration_ANTsPy,
+    registration_ITKElastix,
+)

@@ -152,3 +152,35 @@ class SimilarityTransform(_BaseTransform):
 
 class AffineTransform(_BaseTransform):
     kind = "affine"
+
+
+def Affine_Fit(from_pts, to_pts):
+    """Least-squares affine fit ``p ≈ A·q + t`` (reference transforms.py:69,
+    after Späth 2003). Returns an object with the reference's surface:
+    ``Matrix()`` -> flat ``[A.ravel(), t]`` vector and ``Transform(pt)``.
+
+    The reference solves the normal equations with a hand-written
+    Gauss-Jordan (a public-domain snippet); here the same fit comes from
+    :func:`estimate_affine`'s lstsq, which is numerically sturdier.
+    """
+    q = np.asarray(from_pts, dtype=float)
+    p = np.asarray(to_pts, dtype=float)
+    if q.shape != p.shape or len(q) < 1:
+        raise ValueError("from_pts and to_pts must be of same size.")
+    dim = q.shape[1]
+    if len(q) < dim:
+        raise ValueError("Too few points => under-determined system.")
+    homogeneous = estimate_affine(q, p)
+    A = homogeneous[:dim, :dim]
+    t = homogeneous[:dim, dim]
+
+    class Transformation:
+        """Fit result (reference transforms.py:145)."""
+
+        def Matrix(self):  # noqa: N802 (reference casing)
+            return np.concatenate([A.flatten(), t])
+
+        def Transform(self, pt):  # noqa: N802
+            return list(A @ np.asarray(pt, dtype=float) + t)
+
+    return Transformation()

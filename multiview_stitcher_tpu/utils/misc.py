@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import contextlib
 import itertools
+import logging
 from typing import Callable, Iterable, List, Sequence
 
 import numpy as np
@@ -193,3 +194,19 @@ def temporary_log_level(logger, level):
         yield logger
     finally:
         logger.setLevel(old_level)
+
+
+class DisableLogger:
+    """Context manager silencing all logging (reference misc_utils.py:8)."""
+
+    def __enter__(self):
+        logging.disable(logging.CRITICAL)
+
+    def __exit__(self, exit_type, exit_value, exit_traceback):
+        logging.disable(logging.NOTSET)
+
+
+def clear_cupy_memory():
+    """Reference misc_utils.py:16 releases CuPy memory pools; the JAX
+    backend manages device memory itself, so this is a compatibility
+    no-op."""

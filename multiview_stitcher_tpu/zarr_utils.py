@@ -17,6 +17,11 @@ from typing import Sequence
 import numpy as np
 
 
+class NotChunkAlignedError(ValueError):
+    """Raised when a combine cannot be expressed as a pure chunk-key remap
+    (reference zarr_utils.py:37)."""
+
+
 def _norm_idx(idx, ndim):
     if not isinstance(idx, tuple):
         idx = (idx,)
@@ -73,7 +78,9 @@ class VirtualConcat:
                 s[:axis] != shapes[0][:axis]
                 or s[axis + 1:] != shapes[0][axis + 1:]
             ):
-                raise ValueError("Source shapes incompatible for concat.")
+                raise NotChunkAlignedError(
+                    "Source shapes incompatible for concat."
+                )
         self._offsets = np.cumsum([0] + [s[axis] for s in shapes])
         self.shape = (
             shapes[0][:axis]

@@ -178,3 +178,342 @@ def test_serialize_zarr_backed_sim_roundtrip(tmp_path):
     )
     with pytest.raises(ValueError, match="zarr-backed"):
         si_utils.serialize_zarr_backed_sim(sim)
+
+
+def test_prepare_block_fusion_matches_direct_fuse(tmp_path):
+    import numpy as np
+
+    from multiview_stitcher_tpu import fusion, sample_data
+
+    sims = sample_data.generate_tiled_dataset(
+        ndim=2, N_t=1, N_c=1, tile_size=40, tiles_x=2, tiles_y=1,
+        overlap=10, zoom=6, drift_scale=0, shift_scale=0, dtype=np.uint16,
+    )
+    out = str(tmp_path / "blocks.zarr")
+    info = fusion.prepare_block_fusion(
+        out,
+        {"images": sims, "transform_key": "affine_metadata",
+         "output_chunksize": 32},
+    )
+    assert "func" in info and "nblocks" in info
+    import itertools
+
+    for bid in itertools.product(*(range(n) for n in info["nblocks"])):
+        assert info["func"](bid) == tuple(bid)
+
+    from multiview_stitcher_tpu.io import zarr_backend
+
+    blocks = np.asarray(zarr_backend.attach_zarr_array(out)[...])
+    direct = fusion.fuse(sims, transform_key="affine_metadata")
+    np.testing.assert_allclose(
+        blocks.squeeze().astype(np.int32),
+        np.asarray(direct.data).squeeze().astype(np.int32),
+        atol=1,  # per-block float accumulation can flip integer rounding
+    )
+
+
+def test_prepare_block_fusion_attach_mode(tmp_path):
+    import itertools
+
+    import numpy as np
+
+    from multiview_stitcher_tpu import fusion, sample_data
+
+    sims = sample_data.generate_tiled_dataset(
+        ndim=2, N_t=1, N_c=1, tile_size=40, tiles_x=2, tiles_y=1,
+        overlap=10, zoom=6, drift_scale=0, shift_scale=0, dtype=np.uint16,
+    )
+    out = str(tmp_path / "attach.zarr")
+    kwargs = {"images": sims, "transform_key": "affine_metadata",
+              "output_chunksize": 32}
+    creator = fusion.prepare_block_fusion(out, dict(kwargs))
+    attacher = fusion.prepare_block_fusion(
+        out, dict(kwargs), create_output=False
+    )
+    assert attacher["nblocks"] == creator["nblocks"]
+    ids = list(itertools.product(*(range(n) for n in creator["nblocks"])))
+    # split blocks across the two "workers"
+    for bid in ids[::2]:
+        creator["func"](bid)
+    for bid in ids[1::2]:
+        attacher["func"](bid)
+    from multiview_stitcher_tpu.io import zarr_backend
+
+    blocks = np.asarray(zarr_backend.attach_zarr_array(out)[...])
+    assert blocks.max() > 0
+
+
+def test_process_output_chunksize_and_nan_helpers():
+    import warnings
+
+    import numpy as np
+
+    from multiview_stitcher_tpu import fusion, si_utils
+
+    sim = si_utils.get_sim_from_array(
+        np.zeros((8, 9), np.uint16), dims=["y", "x"]
+    )
+    assert fusion.process_output_chunksize([sim], 32) == {"y": 32, "x": 32}
+    assert fusion.process_output_chunksize([sim], {"y": 4, "x": 8}) == {
+        "y": 4, "x": 8,
+    }
+    default = fusion.process_output_chunksize([sim], None)
+    assert set(default) == {"y", "x"}
+
+    def warns():
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            return np.nanmean(np.full(3, np.nan))
+
+    # plain call raises (filter set to error); the wrapper silences
+    result = fusion.func_ignore_nan_warning(
+        lambda: np.nanmean(np.full(3, np.nan))
+    )
+    assert np.isnan(result)
+
+
+def test_get_interpolated_image_nearest_and_linear():
+    import numpy as np
+
+    from multiview_stitcher_tpu import fusion
+
+    img = np.arange(25, dtype=float).reshape(5, 5)
+    mask = np.zeros((5, 5), bool)
+    mask[2, 2] = True
+    img_masked = img.copy()
+    img_masked[mask] = -1
+    filled = fusion.get_interpolated_image(img_masked, mask, method="nearest")
+    assert filled[2, 2] in (img[1, 2], img[3, 2], img[2, 1], img[2, 3], img[2, 2])
+    filled_lin = fusion.get_interpolated_image(
+        img_masked, mask, method="linear"
+    )
+    np.testing.assert_allclose(filled_lin[2, 2], img[2, 2])
+    # all-masked input returns unchanged
+    all_masked = fusion.get_interpolated_image(img, np.ones((5, 5), bool))
+    np.testing.assert_array_equal(all_masked, img)
+
+
+def test_ngff_interop_roundtrip(tmp_path):
+    import numpy as np
+
+    from multiview_stitcher_tpu import msi_utils, param_utils, si_utils
+    from multiview_stitcher_tpu.io import ngff_utils
+
+    sim = si_utils.get_sim_from_array(
+        np.arange(64, dtype=np.uint16).reshape(8, 8),
+        dims=["y", "x"],
+        scale={"y": 2.0, "x": 0.5},
+        translation={"y": 10.0, "x": -4.0},
+    )
+    si_utils.set_sim_affine(
+        sim,
+        param_utils.affine_to_xaffine(
+            param_utils.affine_from_translation([5.0, 1.0])
+        ),
+        transform_key="shifted",
+    )
+    im = ngff_utils.sim_to_ngff_image(sim, transform_key="shifted")
+    assert im.scale == {"y": 2.0, "x": 0.5}
+    assert im.translation == {"y": 15.0, "x": -3.0}
+
+    back = ngff_utils.ngff_image_to_sim(im, transform_key="k")
+    assert si_utils.get_spacing_from_sim(back)["y"] == 2.0
+    assert si_utils.get_origin_from_sim(back)["x"] == -3.0
+
+    msim = msi_utils.get_msim_from_sim(sim, scale_factors=[{"y": 2, "x": 2}])
+    ms = ngff_utils.msim_to_ngff_multiscales(msim, transform_key="shifted")
+    assert len(ms.images) == 2
+    assert ms.metadata["datasets"][0]["path"] == "scale0/image"
+    assert ms.scale_factors == [{"y": 2, "x": 2}]
+    msim_back = ngff_utils.ngff_multiscales_to_msim(ms, transform_key="k")
+    assert len(msim_back.scale_keys) == 2
+
+
+def test_read_ngff_multiscales_and_metadata_writer(tmp_path):
+    import numpy as np
+
+    from multiview_stitcher_tpu import si_utils
+    from multiview_stitcher_tpu.io import ngff_utils, zarr_backend
+
+    sim = si_utils.get_sim_from_array(
+        np.random.default_rng(0).integers(0, 100, (16, 16)).astype(np.uint16),
+        dims=["y", "x"],
+    )
+    url = str(tmp_path / "ms.ome.zarr")
+    ngff_utils.write_sim_to_ome_zarr(sim, url)
+    ms = ngff_utils.read_ngff_multiscales(url)
+    assert len(ms.images) >= 1
+    assert ms.metadata["datasets"][0]["path"] == "0"
+    np.testing.assert_array_equal(
+        np.asarray(ms.images[0].data).squeeze(), np.asarray(sim.data)
+    )
+
+    # metadata-only writer (arrays written separately)
+    url2 = str(tmp_path / "meta.zarr")
+    ngff_utils.write_multiscales_metadata(
+        url2, ms.metadata["axes"], ms.metadata["datasets"]
+    )
+    attrs, fmt = zarr_backend.read_group_metadata(url2)
+    assert fmt == 2 and attrs["multiscales"][0]["datasets"] == ms.metadata["datasets"]
+
+
+def test_virtual_store_reexports_and_server():
+    from multiview_stitcher_tpu.io import ngff_utils, virtual_ngff
+
+    assert ngff_utils.VirtualOMEZarr is virtual_ngff.VirtualOMEZarr
+    assert ngff_utils.VirtualOMEZarrHCSPlate is virtual_ngff.VirtualOMEZarrPlate
+    assert ngff_utils.VirtualOMEZarrServer is virtual_ngff.VirtualOMEZarrServer
+
+
+def test_virtual_ome_zarr_server_class(tmp_path):
+    import json
+    import urllib.request
+
+    import numpy as np
+
+    from multiview_stitcher_tpu import si_utils
+    from multiview_stitcher_tpu.io import virtual_ngff
+
+    sim = si_utils.get_sim_from_array(
+        np.zeros((8, 8), np.uint16), dims=["y", "x"]
+    )
+    server = virtual_ngff.VirtualOMEZarrServer(
+        {"a.ome.zarr": virtual_ngff.VirtualOMEZarr(sim)}, port=0
+    ).start()
+    try:
+        with urllib.request.urlopen(
+            f"{server.base_url}/a.ome.zarr/.zattrs"
+        ) as r:
+            assert "multiscales" in json.loads(r.read())
+    finally:
+        server.shutdown()
+
+
+def test_registration_plugin_reexports_and_recursive_dict():
+    from multiview_stitcher_tpu import registration, registration_plugins
+
+    assert registration.registration_ANTsPy is registration_plugins.registration_ANTsPy
+    assert (
+        registration.registration_ITKElastix
+        is registration_plugins.registration_ITKElastix
+    )
+    out = registration.apply_recursive_dict(
+        lambda v: v * 2, {"a": 1, "b": {"c": 3}}
+    )
+    assert out == {"a": 2, "b": {"c": 6}}
+
+
+def test_far_apart_helpers():
+    import numpy as np
+
+    from multiview_stitcher_tpu import mv_graph, si_utils
+
+    near = si_utils.get_sim_from_array(
+        np.zeros((10, 10), np.uint16), dims=["y", "x"]
+    )
+    far = si_utils.get_sim_from_array(
+        np.zeros((10, 10), np.uint16), dims=["y", "x"],
+        translation={"y": 1000.0, "x": 1000.0},
+    )
+    overlapping = si_utils.get_sim_from_array(
+        np.zeros((10, 10), np.uint16), dims=["y", "x"],
+        translation={"y": 3.0, "x": 3.0},
+    )
+    tk = "affine_metadata"
+    assert mv_graph.sims_are_far_apart(near, far, tk) is True
+    assert mv_graph.sims_are_far_apart(near, overlapping, tk) is False
+    sp = [
+        si_utils.get_stack_properties_from_sim(s, transform_key=tk)
+        for s in (near, far)
+    ]
+    assert mv_graph.strack_props_are_far_apart(*sp) is True
+
+
+def test_get_nodes_dataset_from_graph():
+    import networkx as nx
+
+    from multiview_stitcher_tpu import mv_graph
+
+    g = nx.Graph()
+    g.add_node(0, stack_props={"a": 1})
+    g.add_node(1)
+    assert mv_graph.get_nodes_dataset_from_graph(g, "stack_props") == {
+        0: {"a": 1}
+    }
+
+
+def test_affine_fit_matches_reference_contract():
+    import numpy as np
+
+    from multiview_stitcher_tpu import transforms
+
+    rng = np.random.default_rng(0)
+    A = np.array([[1.1, 0.2], [-0.1, 0.9]])
+    t = np.array([3.0, -2.0])
+    q = rng.random((20, 2))
+    p = q @ A.T + t
+    fit = transforms.Affine_Fit(q, p)
+    flat = fit.Matrix()
+    np.testing.assert_allclose(flat[:4].reshape(2, 2), A, atol=1e-9)
+    np.testing.assert_allclose(flat[4:], t, atol=1e-9)
+    np.testing.assert_allclose(fit.Transform([0.5, 0.5]), A @ [0.5, 0.5] + t)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="same size"):
+        transforms.Affine_Fit(q, p[:-1])
+
+
+def test_misc_and_zarr_parity_helpers():
+    import logging
+
+    import numpy as np
+    import pytest as _pytest
+
+    from multiview_stitcher_tpu import zarr_utils
+    from multiview_stitcher_tpu.utils import misc
+
+    logger = logging.getLogger("parity-test")
+    with misc.DisableLogger():
+        assert logging.getLogger().manager.disable == logging.CRITICAL
+    assert logging.getLogger().manager.disable == logging.NOTSET
+    misc.clear_cupy_memory()  # compatibility no-op
+
+    with _pytest.raises(zarr_utils.NotChunkAlignedError):
+        zarr_utils.concatenate(
+            [np.zeros((2, 3)), np.zeros((2, 4))], axis=0
+        )
+
+
+def test_czi_reference_aliases():
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    from multiview_stitcher_tpu.io import czi_utils
+
+    path = (
+        "/root/reference/src/multiview_stitcher/test-datasets/mosaic_test.czi"
+    )
+    if not os.path.exists(path):
+        _pytest.skip("sample CZI unavailable")
+    czi = czi_utils.open_czi(path)
+    assert czi_utils.open_czi(path) is czi  # cached
+    assert czi_utils.is_multiview_czi(path) is False
+    assert czi_utils.get_spacing_from_czi(path) == czi_utils.get_czi_spacing(
+        path
+    )
+    intervals = czi_utils.get_czi_mosaic_intervals(path)
+    assert len(intervals) == 2
+    for iv in intervals.values():
+        assert set(iv) == {"y", "x"} and iv["x"][1] > iv["x"][0]
+    plane = czi_utils.read_czi_plane(path, 0)
+    assert plane.dtype == np.uint16 and plane.ndim >= 2
+    cropped = czi_utils.read_czi_plane(
+        path, 0, slices=tuple([slice(0, 4)] * plane.ndim)
+    )
+    assert cropped.shape == (4,) * plane.ndim
+    with _pytest.raises(IndexError):
+        czi_utils.read_czi_plane(path, 99)
+    czi_utils.close_czi_files()
+    assert czi_utils.open_czi(path) is not czi
