@@ -267,3 +267,41 @@ def test_update_msim_transforms_zarr_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(back.transforms["registered"].squeeze()), m
     )
+
+
+def test_get_msim_from_sims_rejects_mismatched_dims():
+    import numpy as np
+    import pytest
+
+    from multiview_stitcher_tpu import msi_utils, si_utils
+
+    a = si_utils.get_sim_from_array(np.zeros((4, 4), np.uint16), dims=["y", "x"])
+    b = si_utils.get_sim_from_array(
+        np.zeros((1, 4, 4), np.uint16), dims=["z", "y", "x"]
+    )
+    with pytest.raises(ValueError, match="same dimensions"):
+        msi_utils.get_msim_from_sims([a, b])
+
+
+def test_multiscale_sel_coords_on_concat_result():
+    """Selection works through a per-scale concat (reference
+    test_msi_utils.py:366)."""
+    import numpy as np
+
+    from multiview_stitcher_tpu import msi_utils, si_utils
+
+    def make(cval):
+        sim = si_utils.get_sim_from_array(
+            np.full((1, 8, 8), cval, np.uint16),
+            dims=["c", "y", "x"],
+            c_coords=[f"ch{cval}"],
+        )
+        return msi_utils.get_msim_from_sim(
+            sim, scale_factors=[{"y": 2, "x": 2}]
+        )
+
+    combined = msi_utils.concat([make(1), make(2)], dim="c")
+    sel = msi_utils.multiscale_sel_coords(combined, {"c": "ch2"})
+    for sk in sel.scale_keys:
+        vals = np.unique(np.asarray(sel.get_scale(sk).data))
+        assert list(vals) == [2]

@@ -762,3 +762,122 @@ def test_marker_descriptor_threshold_scales_with_coordinates():
         points * 10, moving * 10, num_neighbors=3, scale=1.0
     )
     assert t10 == pytest.approx(t1 * 10)
+
+
+def test_marker_based_recovers_affine_transform():
+    """RGLDM with transform_type='affine' recovers rotation+scale+shift
+    (reference test_registration.py:940 synthetic-transform recovery;
+    supported types there are translation/rigid/affine,
+    reference registration.py:595)."""
+    from multiview_stitcher_tpu import transformation
+
+    rng = np.random.default_rng(7)
+    moving_points = rng.uniform(0, 100, size=(40, 2))
+    # mild affine, like the reference's _marker_test_affine: the RGLDM
+    # descriptors are distance-based (rotation/translation invariant), so
+    # large scale changes would defeat the matching there too
+    expected = np.eye(3)
+    expected[:2, :2] = [[1.05, 0.08], [-0.04, 0.96]]
+    expected[:2, 2] = [6.0, -5.0]
+    fixed_points = transformation.transform_pts(moving_points, expected)
+    # outliers on both sides (reference test_registration.py:947-953)
+    fixed_with_outliers = np.vstack(
+        [fixed_points, rng.uniform(200, 250, size=(6, 2))]
+    )
+    moving_with_outliers = np.vstack(
+        [moving_points, rng.uniform(-100, -50, size=(6, 2))]
+    )
+
+    result = registration.registration_marker_based(
+        fixed_points=fixed_with_outliers,
+        moving_points=moving_with_outliers,
+        transform_type="affine",
+        random_state=3,
+        fail_on_error=True,
+    )
+    recovered = transformation.transform_pts(
+        fixed_points, np.asarray(result["affine_matrix"])
+    )
+    rms = np.sqrt(np.mean(np.sum((recovered - moving_points) ** 2, axis=1)))
+    assert rms < 1e-6
+    np.testing.assert_allclose(
+        np.asarray(result["affine_matrix"]),
+        np.linalg.inv(expected),
+        atol=1e-6,
+    )
+    assert result["quality"] > 0.5
+
+
+def test_return_dict_structure_and_summary_plot():
+    """register(return_dict=True) exposes the pairwise graph, per-edge
+    qualities, resolver metrics and (with plot_summary) figures (reference
+    test_registration.py:372)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+
+    sims = sample_data.generate_tiled_dataset(
+        ndim=2, N_t=1, N_c=1, tile_size=32, tiles_x=2, tiles_y=1,
+        overlap=8, zoom=4, drift_scale=0, shift_scale=1.0, dtype=np.uint16,
+    )
+    msims = [msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims]
+    result = registration.register(
+        msims,
+        transform_key="affine_metadata",
+        new_transform_key="reg",
+        reg_channel_index=0,
+        return_dict=True,
+        plot_summary=True,
+    )
+    assert len(result["params"]) == 2
+    pw = result["pairwise_registration"]
+    assert set(pw["metrics"]["qualities"]) == set(pw["graph"].edges)
+    for q in pw["metrics"]["qualities"].values():
+        assert np.isfinite(np.asarray(q, dtype=float)).all()
+    fig, _ = pw["summary_plot"]
+    assert fig is not None
+    gw = result["groupwise_resolution"]
+    assert "metrics" in gw
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
+
+
+def test_register_zarr_backed_msims_matches_in_memory(tmp_path):
+    """register() over zarr-backed views matches the in-memory result
+    (reference test_registration.py:173 zarr-backed pair handling)."""
+    from multiview_stitcher_tpu.io import ngff_utils
+
+    sims = sample_data.generate_tiled_dataset(
+        ndim=2, N_t=1, N_c=1, tile_size=32, tiles_x=2, tiles_y=1,
+        overlap=8, zoom=4, drift_scale=0, shift_scale=1.0, dtype=np.uint16,
+    )
+    msims_mem = [
+        msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims
+    ]
+    zsims = [
+        ngff_utils.write_sim_to_ome_zarr(
+            s, str(tmp_path / f"v{i}.ome.zarr")
+        )
+        for i, s in enumerate(sims)
+    ]
+    # restore the stage-position transforms the store cannot hold
+    for zs, s in zip(zsims, sims):
+        zs.transforms["affine_metadata"] = s.transforms["affine_metadata"]
+    msims_zarr = [
+        msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in zsims
+    ]
+
+    p_mem = registration.register(
+        msims_mem, transform_key="affine_metadata", new_transform_key="reg",
+        reg_channel_index=0,
+    )
+    p_zarr = registration.register(
+        msims_zarr, transform_key="affine_metadata", new_transform_key="reg",
+        reg_channel_index=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray([p.squeeze() for p in p_zarr]),
+        np.asarray([p.squeeze() for p in p_mem]),
+        atol=1e-6,
+    )

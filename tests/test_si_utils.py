@@ -277,3 +277,72 @@ def test_point_set_selection_preserves_nonspatial_dims():
     np.testing.assert_array_equal(
         si_utils.get_point_set(chan, "beads"), pts
     )
+
+
+def test_serialize_after_channel_selection_roundtrip(tmp_path):
+    """Task-payload serialization survives coord selection on a zarr-backed
+    sim (reference test_spatial_image_utils.py:150 dropped-dim variant)."""
+    import numpy as np
+
+    from multiview_stitcher_tpu import sample_data, si_utils
+    from multiview_stitcher_tpu.io import ngff_utils
+
+    sims = sample_data.generate_tiled_dataset(
+        ndim=2, N_t=1, N_c=2, tile_size=16, tiles_x=1, tiles_y=1,
+        overlap=4, zoom=2, dtype=np.uint16,
+    )
+    zsim = ngff_utils.write_sim_to_ome_zarr(
+        sims[0], str(tmp_path / "v.ome.zarr")
+    )
+    c1 = np.asarray(zsim.coords["c"])[1]
+    sel = si_utils.sim_sel_coords(zsim, {"c": c1})
+    payload = si_utils.serialize_zarr_backed_sim(sel)
+    back = si_utils.deserialize_zarr_backed_sim(payload)
+    assert back.dims == sel.dims
+    np.testing.assert_array_equal(
+        np.asarray(back.data), np.asarray(sel.data)
+    )
+    # selected channel, not the first one
+    np.testing.assert_array_equal(
+        np.asarray(back.data).squeeze(),
+        np.asarray(zsim.data)[1].squeeze(),
+    )
+
+
+def test_deserialized_sim_region_reads_match(tmp_path):
+    """Windows read through a deserialized payload match the source
+    (reference test_spatial_image_utils.py:228 reconstruct_slice)."""
+    import numpy as np
+
+    from multiview_stitcher_tpu import si_utils
+    from multiview_stitcher_tpu.io import ngff_utils
+
+    data = np.arange(32 * 24, dtype=np.uint16).reshape(32, 24)
+    sim = si_utils.get_sim_from_array(data, dims=["y", "x"])
+    zsim = ngff_utils.write_sim_to_ome_zarr(
+        sim, str(tmp_path / "r.ome.zarr")
+    )
+    back = si_utils.deserialize_zarr_backed_sim(
+        si_utils.serialize_zarr_backed_sim(zsim)
+    )
+    lead = (0,) * (len(back.dims) - 2)
+    window = back.data[lead + (slice(5, 20), slice(3, 17))]
+    np.testing.assert_array_equal(np.asarray(window), data[5:20, 3:17])
+
+
+def test_get_sim_from_array_keeps_lazy_arrays_lazy(tmp_path):
+    import numpy as np
+
+    from multiview_stitcher_tpu import si_utils
+    from multiview_stitcher_tpu.io import ngff_utils, zarr_backend
+
+    sim = si_utils.get_sim_from_array(
+        np.zeros((8, 8), np.uint16), dims=["y", "x"]
+    )
+    ngff_utils.write_sim_to_ome_zarr(sim, str(tmp_path / "l.ome.zarr"))
+    lazy = zarr_backend.open_zarr_array(str(tmp_path / "l.ome.zarr/0"))
+    wrapped = si_utils.get_sim_from_array(
+        lazy, dims=["y", "x"][-lazy.ndim:] if lazy.ndim <= 2 else
+        ["t", "c", "y", "x"][-lazy.ndim:]
+    )
+    assert type(wrapped.data) is type(lazy)  # not materialized
