@@ -331,3 +331,87 @@ def test_resolver_registry_decorator_form():
         g, method="test_decorator_resolver"
     )
     assert set(params) == set(g.nodes)
+
+
+def test_linear_two_pass_translation_matches_shortest_paths():
+    """On a noise-free chain, the linearized solve must agree with chained
+    shortest paths for translation (reference test_param_resolution.py:562:
+    shortest_paths concatenates full affines, so only translation is
+    directly comparable)."""
+    g, _ = _grid_graph(nx_tiles=3, ny_tiles=1, noise=0.0, seed=2)
+    p_lin, _ = param_resolution.groupwise_resolution(
+        g, method="linear_two_pass", reference_view=0,
+        transform="translation",
+    )
+    p_sp, _ = param_resolution.groupwise_resolution(
+        g, method="shortest_paths", reference_view=0
+    )
+    for n in g.nodes:
+        np.testing.assert_allclose(
+            np.asarray(p_lin[n].squeeze()),
+            np.asarray(p_sp[n].squeeze()),
+            atol=1e-6,
+        )
+
+
+def _rotated_grid_graph(nx_tiles, ny_tiles, rot_sigma, trans_sigma, seed):
+    """Grid graph whose ground truth includes small per-node rotations;
+    pairwise edges carry the exact relative transforms plus noise."""
+    rng = np.random.default_rng(seed)
+    g, _ = _grid_graph(nx_tiles=nx_tiles, ny_tiles=ny_tiles, noise=0.0,
+                       seed=seed)
+    true_params = {}
+    for node in g.nodes:
+        angle = rng.normal(0, rot_sigma)
+        mat = np.eye(3)
+        mat[:2, :2] = [
+            [np.cos(angle), -np.sin(angle)],
+            [np.sin(angle), np.cos(angle)],
+        ]
+        mat[:2, 2] = rng.uniform(-3, 3, 2)
+        true_params[node] = mat
+    for u, v in g.edges:
+        t_uv = np.linalg.inv(true_params[v]) @ true_params[u]
+        t_uv = t_uv.copy()
+        t_uv[:2, 2] += rng.normal(0, trans_sigma, 2)
+        g.edges[(u, v)]["transform"] = param_utils.affine_to_xaffine(t_uv)
+    return g, true_params
+
+
+def test_linear_two_pass_rigid_accuracy_on_noisy_grid():
+    """5x5 rigid grid with rotation + translation noise resolves within
+    reference-scale tolerances (reference test_param_resolution.py:604)."""
+    g, true_params = _rotated_grid_graph(
+        nx_tiles=5, ny_tiles=5, rot_sigma=0.01, trans_sigma=0.2, seed=3
+    )
+    params, _ = param_resolution.groupwise_resolution(
+        g, method="linear_two_pass", reference_view=0, transform="rigid"
+    )
+    # component-wise RMS vs ground truth after anchoring both at node 0
+    t_errs, r_errs = [], []
+    anchor = np.asarray(params[0].squeeze()) @ np.linalg.inv(true_params[0])
+    for n in g.nodes:
+        got = np.linalg.inv(anchor) @ np.asarray(params[n].squeeze())
+        want = true_params[n]
+        d = np.linalg.inv(want) @ got
+        t_errs.append(np.linalg.norm(d[:2, 2]))
+        r_errs.append(abs(np.arctan2(d[1, 0], d[0, 0])))
+    t_rms = float(np.sqrt(np.mean(np.square(t_errs))))
+    r_rms = float(np.sqrt(np.mean(np.square(r_errs))))
+    assert t_rms < 0.5, t_rms
+    assert r_rms < 0.05, r_rms
+
+
+def test_linear_two_pass_prunes_outlier_edge_keeps_connectivity():
+    """A wildly wrong edge is MAD-pruned from the solve but the graph stays
+    solvable (MST floor; reference linear_two_pass.py:504-509)."""
+    g, true_params = _grid_graph(nx_tiles=3, ny_tiles=3, noise=0.01, seed=4)
+    bad = (0, 1)
+    mat = np.asarray(g.edges[bad]["transform"].squeeze()).copy()
+    mat[:2, 2] += 40.0  # gross outlier
+    g.edges[bad]["transform"] = param_utils.affine_to_xaffine(mat)
+    params, info = param_resolution.groupwise_resolution(
+        g, method="linear_two_pass", reference_view=0,
+        transform="translation",
+    )
+    assert _params_agree_with_truth(params, true_params, atol=0.2)
