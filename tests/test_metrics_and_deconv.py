@@ -7,6 +7,7 @@ from multiview_stitcher_tpu import (
     msi_utils,
     param_utils,
     registration,
+    sample_data,
     si_utils,
 )
 from multiview_stitcher_tpu.fusion import mv_deconv
@@ -290,3 +291,67 @@ def test_tile_pair_metrics_custom_metric_and_tolerance():
         # identical overlapping data: mean abs difference ~0
         assert per_key["registered"]["mad"] < 1e-5
     assert "mad" in res["summary"]["registered"]
+
+
+def test_tile_pair_image_metrics_return_structure():
+    """Return contract: pairs keyed by directed tuples with per-key metric
+    dicts, plus a volume-weighted summary (reference test_metrics.py:217);
+    a single string query key is accepted like a one-element list."""
+    sims = sample_data.generate_tiled_dataset(
+        ndim=2, N_c=1, N_t=1, tile_size=40, tiles_x=2, tiles_y=1,
+        overlap=10, zoom=4, shift_scale=0.0, drift_scale=0.0,
+        transform_key="gt",
+    )
+    msims = [msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims]
+    result = metrics.tile_pair_image_metrics(
+        msims,
+        base_transform_key="gt",
+        query_transform_keys="gt",  # single str, not list
+        metric_funcs={"ncc": metrics.normalized_cross_correlation},
+    )
+    assert set(result) >= {"pairs", "summary"}
+    assert len(result["pairs"]) == 1  # bidirectional=False -> one edge
+    ((pair, pair_metrics),) = result["pairs"].items()
+    assert isinstance(pair, tuple) and len(pair) == 2
+    val = pair_metrics["gt"]["ncc"]
+    assert isinstance(val, (float, np.floating))
+    assert "ncc" in result["summary"]["gt"]
+
+
+def test_tile_pair_image_metrics_spacing_and_tolerance_kwargs():
+    """Explicit comparison spacing and max_tolerance shrink run fine
+    (reference test_metrics.py:281/:302)."""
+    sims = sample_data.generate_tiled_dataset(
+        ndim=2, N_c=1, N_t=1, tile_size=60, tiles_x=2, tiles_y=1,
+        overlap=20, zoom=6, shift_scale=0.0, drift_scale=0.0,
+        transform_key="gt",
+    )
+    msims = [msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims]
+    r_tol = metrics.tile_pair_image_metrics(
+        msims, base_transform_key="gt", query_transform_keys=["gt"],
+        max_tolerance=1.0,
+    )
+    assert len(r_tol["pairs"]) == 1
+    r_sp = metrics.tile_pair_image_metrics(
+        msims, base_transform_key="gt", query_transform_keys=["gt"],
+        spacing={"y": 1.0, "x": 1.0},
+    )
+    assert len(r_sp["pairs"]) == 1
+    # identical geometry under either kwarg: NCC of gt vs itself stays high
+    for r in (r_tol, r_sp):
+        assert r["summary"]["gt"]["ncc"] > 0.9
+
+
+def test_tile_pair_image_metrics_bidirectional_doubles_pairs():
+    sims = sample_data.generate_tiled_dataset(
+        ndim=2, N_c=1, N_t=1, tile_size=40, tiles_x=2, tiles_y=1,
+        overlap=10, zoom=4, shift_scale=0.0, drift_scale=0.0,
+        transform_key="gt",
+    )
+    msims = [msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims]
+    r = metrics.tile_pair_image_metrics(
+        msims, base_transform_key="gt", query_transform_keys=["gt"],
+        bidirectional=True,
+    )
+    assert len(r["pairs"]) == 2
+    assert set(r["pairs"]) == {(0, 1), (1, 0)}
