@@ -150,3 +150,93 @@ void mvs_predictor2_u16(uint16_t *row, long width, long spp)
     for (x = spp; x < width * spp; x++)
         row[x] = (uint16_t)(row[x] + row[x - spp]);
 }
+
+/* Host-link bit-pack codec (ops/link_codec.py byte-planar layout):
+ * packed = [lo bytes (count)] + [high bits, 8/(nbits-8) fields per byte].
+ * Hot on the tunnel path: numpy pack/unpack runs ~170-380 MB/s on this
+ * one-core box; these loops are memory-bound (and release the GIL via
+ * ctypes), so host codec time stops gating transfers.
+ * Return bytes written / values written, or -1 on bad nbits. */
+
+long mvs_bitpack(const uint16_t *v, long count, int nbits, uint8_t *out)
+{
+    long k, blocks;
+    int e = nbits - 8, per, i;
+    if (nbits == 8) {
+        for (k = 0; k < count; k++)
+            out[k] = (uint8_t)(v[k] & 0xFF);
+        return count;
+    }
+    if (e != 2 && e != 4)
+        return -1;
+    per = 8 / e;
+    for (k = 0; k < count; k++)
+        out[k] = (uint8_t)(v[k] & 0xFF);
+    blocks = (count + per - 1) / per;
+    for (k = 0; k < blocks; k++) {
+        uint8_t acc = 0;
+        for (i = 0; i < per; i++) {
+            long j = k * (long)per + i;
+            uint8_t hi = j < count ? (uint8_t)(v[j] >> 8) : 0;
+            acc |= (uint8_t)(hi << (i * e));
+        }
+        out[count + k] = acc;
+    }
+    return count + blocks;
+}
+
+long mvs_bitunpack(const uint8_t *buf, long buf_len, int nbits, long count,
+                   uint16_t *out)
+{
+    long k, blocks;
+    int e = nbits - 8, per, i;
+    uint8_t mask;
+    if (nbits == 8) {
+        if (buf_len < count)
+            return -1;
+        for (k = 0; k < count; k++)
+            out[k] = buf[k];
+        return count;
+    }
+    if (e != 2 && e != 4)
+        return -1;
+    per = 8 / e;
+    mask = (uint8_t)((1 << e) - 1);
+    blocks = (count + per - 1) / per;
+    if (buf_len < count + blocks)
+        return -1;
+    /* full blocks: branch-free unrolled bodies the compiler can vectorize */
+    if (e == 2) {
+        long full = count / 4;
+        const uint8_t *hi = buf + count;
+        for (k = 0; k < full; k++) {
+            uint8_t acc = hi[k];
+            long j = k * 4;
+            out[j]     = (uint16_t)(buf[j]     | ((acc        & 3u) << 8));
+            out[j + 1] = (uint16_t)(buf[j + 1] | (((acc >> 2) & 3u) << 8));
+            out[j + 2] = (uint16_t)(buf[j + 2] | (((acc >> 4) & 3u) << 8));
+            out[j + 3] = (uint16_t)(buf[j + 3] | (((acc >> 6) & 3u) << 8));
+        }
+        k = full;
+    } else {
+        long full = count / 2;
+        const uint8_t *hi = buf + count;
+        for (k = 0; k < full; k++) {
+            uint8_t acc = hi[k];
+            long j = k * 2;
+            out[j]     = (uint16_t)(buf[j]     | ((acc        & 15u) << 8));
+            out[j + 1] = (uint16_t)(buf[j + 1] | (((acc >> 4) & 15u) << 8));
+        }
+        k = full;
+    }
+    for (; k < blocks; k++) { /* ragged tail */
+        uint8_t acc = buf[count + k];
+        for (i = 0; i < per; i++) {
+            long j = k * (long)per + i;
+            if (j < count)
+                out[j] = (uint16_t)(buf[j] |
+                                    (((acc >> (i * e)) & mask) << 8));
+        }
+    }
+    return count;
+}
