@@ -141,11 +141,23 @@ def generate_neuroglancer_json(
     if source_dims is None:
         source_dims = [tuple(s.dims) for s in sims]
 
-    # global output dimensions: c/t as index dims, spatial in meters
+    # global output dimensions: c/t as index dims, spatial in meters;
+    # a stored NGFF time calibration is declared on the t dimension so the
+    # viewer shows real time (reference
+    # test_neuroglancer_state_declares_the_stores_time_scale); a bare time
+    # dimension stays uncalibrated ([1, ""])
+    from multiview_stitcher_tpu.io import ngff_utils as _ngff
+
+    time_tf = _ngff.get_ngff_time_transform(sims[0]) if sims else None
     dimensions = {}
     for d in dims:
         if d == "t":
-            dimensions["t"] = [1, ""]
+            if time_tf and time_tf.get("unit"):
+                dimensions["t"] = _dimension_spec(
+                    time_tf["scale"], time_tf["unit"]
+                )
+            else:
+                dimensions["t"] = [1, ""]
         elif d == "c":
             dimensions["c'"] = [1, ""]
         elif d in sdims:

@@ -679,3 +679,40 @@ def test_view_neuroglancer_ondisk_display_metadata_is_restored(tmp_path):
         server.shutdown()
     restored, _ = zarr_backend.read_group_metadata(path)
     assert restored == original
+
+
+def test_neuroglancer_state_declares_time_scale():
+    """A stored NGFF time calibration shows on the state's t dimension; a
+    bare t dimension stays uncalibrated (reference test_vis_utils.py:1458
+    and :1494)."""
+    import numpy as np
+
+    from multiview_stitcher_tpu import neuroglancer, si_utils
+    from multiview_stitcher_tpu.io import ngff_utils
+
+    sim = si_utils.get_sim_from_array(
+        np.zeros((2, 8, 8), np.uint16), dims=["t", "y", "x"]
+    )
+    state_bare = neuroglancer.generate_neuroglancer_json(
+        None, ["http://x/0.ome.zarr"], sims=[sim],
+        transform_key="affine_metadata",
+    )
+    assert state_bare["dimensions"]["t"] == [1, ""]
+
+    ngff_utils.set_ngff_time_transform(
+        sim, {"scale": 2.5, "unit": "second"}
+    )
+    state = neuroglancer.generate_neuroglancer_json(
+        None, ["http://x/0.ome.zarr"], sims=[sim],
+        transform_key="affine_metadata",
+    )
+    assert state["dimensions"]["t"] == [2.5, "s"]
+    # millisecond units normalize to seconds
+    ngff_utils.set_ngff_time_transform(
+        sim, {"scale": 100.0, "unit": "millisecond"}
+    )
+    state_ms = neuroglancer.generate_neuroglancer_json(
+        None, ["http://x/0.ome.zarr"], sims=[sim],
+        transform_key="affine_metadata",
+    )
+    assert state_ms["dimensions"]["t"] == [0.1, "s"]
