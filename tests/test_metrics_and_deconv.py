@@ -355,3 +355,171 @@ def test_tile_pair_image_metrics_bidirectional_doubles_pairs():
     )
     assert len(r["pairs"]) == 2
     assert set(r["pairs"]) == {(0, 1), (1, 0)}
+
+
+class TestMvDeconvReferenceScenarios:
+    """Deconvolution scenarios mirrored from reference
+    _tests/test_bayesian_fusion.py:54-224."""
+
+    @staticmethod
+    def _make_views(n_views, shape, seed=0):
+        rng = np.random.default_rng(seed)
+        gt = rng.poisson(100, shape).astype(np.float32)
+        views = np.stack(
+            [
+                np.clip(gt + rng.normal(0, 5, shape), 0, None)
+                for _ in range(n_views)
+            ]
+        ).astype(np.float32)
+        weights = np.ones((n_views, *shape), dtype=np.float32) / n_views
+        return views, weights
+
+    def test_3d(self):
+        views, weights = self._make_views(2, (8, 24, 24))
+        out = mv_deconv.multi_view_deconvolution(
+            views, weights, n_iterations=2
+        )
+        assert out.shape == (8, 24, 24)
+        assert np.all(np.isfinite(out))
+
+    def test_explicit_differing_psfs_are_padded_to_common_shape(self):
+        views, weights = self._make_views(2, (32, 32))
+        psfs = [
+            mv_deconv.make_gaussian_psf(1.0, ndim=2),
+            mv_deconv.make_gaussian_psf(2.0, ndim=2),
+        ]
+        assert psfs[0].shape != psfs[1].shape
+        out = mv_deconv.multi_view_deconvolution(
+            views, weights, psfs=psfs, n_iterations=3
+        )
+        assert out.shape == (32, 32)
+        assert np.all(np.isfinite(out))
+
+    def test_wrong_psf_count_raises(self):
+        views, weights = self._make_views(3, (16, 16))
+        psfs = [mv_deconv.make_gaussian_psf(1.5, ndim=2)]
+        with pytest.raises(ValueError, match="n_views"):
+            mv_deconv.multi_view_deconvolution(
+                views, weights, psfs=psfs, n_iterations=1
+            )
+
+    def test_tikhonov_regularization(self):
+        views, weights = self._make_views(2, (24, 24))
+        out = mv_deconv.multi_view_deconvolution(
+            views, weights, n_iterations=3, lambda_reg=1e-3
+        )
+        assert out.shape == (24, 24)
+        assert np.all(np.isfinite(out))
+
+    def test_nan_views_do_not_pollute_result(self):
+        """NaN padding outside a view's FOV must not leak into the output
+        (reference test_bayesian_fusion.py:102)."""
+        views, weights = self._make_views(2, (32, 32))
+        views[0, :, 16:] = np.nan
+        weights[0, :, 16:] = 0.0
+        weights[1, :, 16:] = 1.0
+        out = mv_deconv.multi_view_deconvolution(
+            views, weights, n_iterations=3
+        )
+        assert np.all(np.isfinite(out))
+
+    def test_output_spacing_estimates_psf(self):
+        views, weights = self._make_views(2, (24, 24))
+        out = mv_deconv.multi_view_deconvolution(
+            views,
+            weights,
+            output_spacing={"y": 0.5, "x": 0.5},
+            na=0.8,
+            wavelength_um=0.5,
+            n_iterations=2,
+        )
+        assert out.shape == (24, 24)
+
+    @pytest.mark.parametrize("ndim", [2, 3])
+    def test_fuse_pipeline(self, ndim):
+        """Deconvolution as fusion_func over the tiled sample dataset keeps
+        dtype and produces finite values (reference :129-148)."""
+        sims = sample_data.generate_tiled_dataset(
+            ndim=ndim, N_t=1, N_c=1, tile_size=20,
+            tiles_x=2, tiles_y=2, tiles_z=1, overlap=4,
+        )
+        fused = fusion.fuse(
+            sims,
+            transform_key="affine_metadata",
+            fusion_func=mv_deconv.multi_view_deconvolution,
+            fusion_func_kwargs={"n_iterations": 3},
+        )
+        out = fused.to_numpy()
+        assert out.dtype == sims[0].dtype
+        assert np.all(np.isfinite(out))
+
+    def test_no_tile_border_artefacts(self):
+        """Joint deconvolution must not introduce seam-localized jumps at
+        tile borders relative to per-tile deconvolution
+        (reference test_bayesian_fusion.py:151-224)."""
+        np.random.seed(0)
+        tile_size, overlap = 40, 30
+        sims = sample_data.generate_tiled_dataset(
+            ndim=2, N_c=1, N_t=1, overlap=overlap, tile_size=tile_size,
+            tiles_x=2, tiles_y=1, tiles_z=1,
+            shift_scale=0, drift_scale=0, zoom=10,
+        )
+
+        independently_deconvolved = []
+        for sim in sims:
+            dec = fusion.fuse(
+                [sim],
+                fusion_func=mv_deconv.multi_view_deconvolution,
+                transform_key="affine_metadata",
+            )
+            independently_deconvolved.append(
+                si_utils.get_sim_from_array(
+                    dec.to_numpy(),
+                    dims=list(dec.dims),
+                    scale=si_utils.get_spacing_from_sim(sim),
+                    translation=si_utils.get_origin_from_sim(sim),
+                )
+            )
+
+        fused_independent = fusion.fuse(
+            independently_deconvolved, transform_key="affine_metadata"
+        )
+        fused_joint = fusion.fuse(
+            sims,
+            fusion_func=mv_deconv.multi_view_deconvolution,
+            transform_key="affine_metadata",
+        )
+
+        ind = np.asarray(fused_independent.to_numpy(), dtype=np.float64)
+        joint = np.asarray(fused_joint.to_numpy(), dtype=np.float64)
+        # collapse leading non-spatial dims, then mean over y -> x profile
+        profiles = np.array(
+            [
+                ind.reshape(-1, *ind.shape[-2:]).mean(0).mean(0),
+                joint.reshape(-1, *joint.shape[-2:]).mean(0).mean(0),
+            ]
+        )
+        border_ids = np.array(
+            [
+                tile_size - overlap,
+                tile_size,
+                tile_size - overlap - 1,
+                tile_size - 1,
+            ]
+        )
+        overlap_region_ids = np.arange(
+            tile_size - overlap + 5, tile_size - 5
+        )
+        border_diffs = np.abs(
+            profiles[0][border_ids] - profiles[1][border_ids]
+        )
+        mean_overlap_diff = np.mean(
+            np.abs(
+                profiles[0][overlap_region_ids]
+                - profiles[1][overlap_region_ids]
+            )
+        )
+        assert np.all(border_diffs <= 2 * mean_overlap_diff), (
+            f"border_diffs={border_diffs}, "
+            f"mean_overlap_diff={mean_overlap_diff}"
+        )

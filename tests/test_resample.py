@@ -171,3 +171,33 @@ def test_separable_valid_extent():
     )
     assert np.isnan(out[6:]).all()
     assert not np.isnan(out[:6]).any()
+
+
+def test_pixel_params_center_large_origins_and_preserve_small_scale():
+    """A tiny genuine scale change on a huge world origin must survive the
+    physical->pixel conversion: centered arithmetic (Oy - Ox and
+    (A - I) @ Ox) keeps the small residual that evaluating
+    A @ origin + offset - origin directly would round to zero, and the
+    near-integer offset snap must not erase it (reference
+    _tests/test_transformation.py:41-87)."""
+    origin = 1e12
+    scale_change = 1e-8
+    p = np.eye(3)
+    p[1, 1] += scale_change
+    p[1, 2] = -10000.0
+
+    matrix, offset = resample_ops.physical_to_pixel_params(
+        p,
+        input_spacing=np.array([1.0, 1.0]),
+        input_origin=np.array([origin, origin]),
+        output_spacing=np.array([1.0, 1.0]),
+        output_origin=np.array([origin, origin]),
+    )
+    # the near-identity scale is genuine and must not be snapped to one
+    assert matrix[1, 1] == p[1, 1]
+
+    expected_offset = (p[1, 1] - 1.0) * origin - 10000.0
+    direct_offset = p[1, 1] * origin - 10000.0 - origin
+    assert direct_offset == 0.0
+    assert expected_offset != 0.0
+    np.testing.assert_allclose(offset[1], expected_offset, atol=1e-8)
