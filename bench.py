@@ -528,6 +528,9 @@ def large_zarr_to_zarr_rate(extras, n=32, tile=64, overlap=12, chunksize=128,
         extras["ns_bands"] = (
             f"{tele.get('bands_done', 0)}/{tele.get('bands_total', 0)}"
         )
+        if tele.get("up_batches_reused"):
+            # warm rep resumed from the cold rep's stashed uploads
+            extras["ns_up_reused_batches"] = tele["up_batches_reused"]
         extras["ns_link_mb_s"] = round(mb / max(dt, 1e-9), 1)
         extras["ns_aborted"] = extras.get("ns_aborted", False) or aborted
         log(

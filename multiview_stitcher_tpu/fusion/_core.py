@@ -821,9 +821,13 @@ def _plan_cache_insert(key, plan):
 
 
 def clear_device_tile_cache():
-    """Drop all device-resident tile stacks and cached fusion plans."""
+    """Drop all device-resident tile stacks, the streaming upload-resume
+    stash, and cached fusion plans."""
     _device_tile_cache.clear()
     _plan_cache.clear()
+    from multiview_stitcher_tpu.fusion import _streaming
+
+    _streaming._upload_stash.clear()
 
 
 @partial(jax.jit, static_argnames=("max_shape",))

@@ -42,6 +42,16 @@ _MAX_INFLIGHT_BANDS = 3
 # abort so a partial run still reports measured progress
 last_telemetry: dict = {}
 
+# Upload-resume stash (single entry): device batch stacks from a run that
+# could not seed the full device tile cache — a deadline-aborted pass, most
+# importantly — keyed by the tile-cache key plus the batch layout. The next
+# run over the same inputs reuses every stashed batch (no host-link
+# traffic) and uploads only the rest, so an aborted cold pass donates its
+# uploads to the retry instead of wasting them. Cleared whenever the full
+# tile cache is seeded (the stash is then redundant) and by
+# ``fusion.clear_device_tile_cache()``.
+_upload_stash: dict = {}
+
 
 class StreamingDeadlineError(RuntimeError):
     """Raised when a streaming fusion run exceeds its deadline.
@@ -185,6 +195,7 @@ def execute_streaming(
         "bands_done": 0,
         "up_bytes": 0,
         "down_bytes": 0,
+        "up_batches_reused": 0,
         "voxels_written": 0,
         "elapsed_s": 0.0,
         "aborted": False,
@@ -265,10 +276,27 @@ def execute_streaming(
         and V * tile_bytes <= _core._device_tile_cache._budget()
     )
     n_batches = -(-V // U)
+    # upload-resume: batches stashed by a prior (aborted) run over the
+    # same inputs and batch layout are reused without link traffic
+    stash_key = None
+    stash_batches: dict = {}
+    if retain_batches:
+        stash_key = (
+            cache_key, U, tile, n_batches,
+            hash(np.ascontiguousarray(order).tobytes()),
+        )
+        entry = _upload_stash.get("entry")
+        if entry is not None and entry["key"] == stash_key:
+            stash_batches = entry["batches"]
     NB = -(-NV // U) + 1  # batches per assembly window
     packable = link_codec.is_packable(dtype_in)
 
     def upload_batch(bi):
+        hit = stash_batches.get(bi)
+        if hit is not None:
+            with tele_lock:
+                tele["up_batches_reused"] += 1
+            return hit
         vs = list(range(bi * U, min((bi + 1) * U, V)))
         if resident is not None:
             # tiles already on device (original order): gather the sorted
@@ -466,10 +494,27 @@ def execute_streaming(
 
         for f in fetch_futs:
             f.result()
+
+    # every upload the pool completed (the executor exit waited for them,
+    # including ones queued past an abort) is kept for resume/seeding
+    if retain_batches:
+        for bi, f in futs.items():
+            if f.done() and not f.cancelled() and f.exception() is None:
+                stash_batches.setdefault(bi, f.result())
+
+    def _save_stash():
+        if stash_key is not None and stash_batches:
+            _upload_stash.clear()
+            _upload_stash["entry"] = {
+                "key": stash_key, "batches": stash_batches,
+            }
+
     if errors:
+        _save_stash()
         raise errors[0]
     tele["elapsed_s"] = _time.perf_counter() - t_begin
     if tele["aborted"]:
+        _save_stash()
         raise StreamingDeadlineError(
             f"streaming fusion exceeded its {deadline_s:.0f}s deadline: "
             f"{tele['bands_done']}/{tele['bands_total']} bands, "
@@ -479,12 +524,12 @@ def execute_streaming(
             tele,
         )
 
-    if retain_batches and not errors and not tele["aborted"]:
+    if retain_batches:
         # seed the device tile cache: repeated fuse() calls over the same
         # inputs then skip streaming entirely and re-use resident tiles
         # through the monolithic Pallas tier (download-only repeats)
         try:
-            stacks = [futs[bi].result()[0] for bi in range(n_batches)]
+            stacks = [stash_batches[bi][0] for bi in range(n_batches)]
             inv = np.empty(V, dtype=np.int64)
             inv[order] = np.arange(V)
             tiles_dev = _reorder_concat(
@@ -500,4 +545,5 @@ def execute_streaming(
             )
         except Exception:  # noqa: BLE001
             pass  # cache seeding is best-effort
+        _upload_stash.pop("entry", None)  # superseded by the full cache
     return out

@@ -716,3 +716,17 @@ def read_czi_view_into_sim(fn, view_index: int, **kwargs):
 
 
 read_view_from_multiview_czi = read_czi_view_into_sim
+
+
+def read_czi_into_sims(filename, scene_index: int = 0, lazy: bool = True):
+    """Read the tiles of a mosaic CZI into a list of sims, one per mosaic
+    tile (dimension M), coordinates set from the file metadata —
+    reference-name entry point (reference czi_utils.py:270
+    ``read_czi_into_xims``)."""
+    return read_mosaic_into_sims_czifile(
+        filename, scene_index=scene_index, lazy=lazy
+    )
+
+
+# the reference names sims "xims" here (xarray-backed); same surface
+read_czi_into_xims = read_czi_into_sims

@@ -200,6 +200,23 @@ def get_transform_from_msim(msim: Msim, transform_key: str) -> XAffine:
     return msim.transforms[transform_key]
 
 
+
+def get_transforms_from_dataset_as_dict(dataset):
+    """All named transforms of an msim scale (or sim) as a dict
+    transform_key -> transform — reference msi_utils.py:328, where each
+    scale is an xarray Dataset holding "image" plus one data var per
+    transform key; here transforms live in a dict already, so this returns
+    a copy of it (accepting an Msim, a Sim, or a plain dict)."""
+    if isinstance(dataset, Msim):
+        return {k: v.copy() for k, v in dataset.transforms.items()}
+    transforms = getattr(dataset, "transforms", dataset)
+    if not isinstance(transforms, dict):
+        raise TypeError(
+            "expected an Msim, Sim, or transform dict, got "
+            f"{type(dataset).__name__}"
+        )
+    return {k: v.copy() for k, v in transforms.items()}
+
 def set_affine_transform(
     msim: Msim, xaffine=None, transform_key=None, base_transform_key=None
 ):

@@ -28,5 +28,18 @@ import jax  # noqa: E402
 # the config so the suite runs on the virtual 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache for the CPU suite: repeat runs skip XLA CPU
+# recompiles entirely, which both cuts suite wall time and removes most
+# exposure to the flaky late-suite segfault inside XLA's CPU
+# backend_compile_and_load (CLAUDE.md "Performance rules"; the crash is
+# in the compile step, so cache hits bypass it). Kept separate from the
+# TPU tunnel cache (.jax_cache) so the two key populations never mix.
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache_cpu",
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
 # allow float64 parity checks against scipy/numpy oracles
 jax.config.update("jax_enable_x64", True)

@@ -517,3 +517,45 @@ def test_czi_reference_aliases():
         czi_utils.read_czi_plane(path, 99)
     czi_utils.close_czi_files()
     assert czi_utils.open_czi(path) is not czi
+
+
+def test_get_transforms_from_dataset_as_dict():
+    """reference msi_utils.py:328: every named transform of a scale as a
+    dict, copies (mutating the result must not touch the source)."""
+    sim = si_utils.get_sim_from_array(
+        np.zeros((4, 5), dtype=np.uint8), dims=("y", "x")
+    )
+    si_utils.set_sim_affine(
+        sim, param_utils.affine_to_xaffine(np.eye(3)), transform_key="extra"
+    )
+    msim = msi_utils.get_msim_from_sim(sim, scale_factors=[])
+    d = msi_utils.get_transforms_from_dataset_as_dict(msim)
+    assert set(d) == set(sim.transforms)
+    d["extra"].data[...] = 7.0
+    assert not np.allclose(
+        np.asarray(msim.transforms["extra"].data), 7.0
+    )
+    # also accepts a sim and a plain dict
+    assert set(msi_utils.get_transforms_from_dataset_as_dict(sim)) == set(
+        sim.transforms
+    )
+    with pytest.raises(TypeError, match="expected"):
+        msi_utils.get_transforms_from_dataset_as_dict(42)
+
+
+def test_read_czi_into_xims_reference_alias():
+    """reference czi_utils.py:270: the mosaic-tile reader under its
+    reference name returns one sim per tile."""
+    import os
+
+    from multiview_stitcher_tpu.io import czi_utils
+
+    czi_path = (
+        "/root/reference/src/multiview_stitcher/test-datasets/"
+        "mosaic_test.czi"
+    )
+    if not os.path.exists(czi_path):
+        pytest.skip("reference test CZI unavailable")
+    sims = czi_utils.read_czi_into_xims(czi_path)
+    assert len(sims) == 2
+    assert czi_utils.read_czi_into_sims is not None

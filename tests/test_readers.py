@@ -496,3 +496,168 @@ def test_lazy_czi_reads_are_thread_safe():
             np.testing.assert_array_equal(
                 got, eager[i][..., y : y + 7, x : x + 9]
             )
+
+
+class TestTiffHyperstackAndVirtualZarr:
+    """ImageJ hyperstack layout + TIFF-as-virtual-zarr-v3 (reference
+    tif_utils.py:29-61 layout split, :64 TiffPagesZarrV3Store, :286/:291
+    converters)."""
+
+    @staticmethod
+    def _write_hyperstack(path, t=2, z=3, c=2, h=8, w=10):
+        rng = np.random.default_rng(7)
+        # page order: t slowest, c fastest (ImageJ XYCZT storage)
+        data = rng.integers(0, 4000, (t, z, c, h, w), dtype=np.uint16)
+        tif_utils.write_tiff(
+            path,
+            data.reshape(-1, h, w),
+            description=(
+                f"ImageJ=1.54f\nimages={t * z * c}\nchannels={c}\n"
+                f"slices={z}\nframes={t}\nhyperstack=true\n"
+            ),
+        )
+        return data
+
+    def test_layout_from_imagej_description(self, tmp_path):
+        path = str(tmp_path / "hs.tif")
+        data = self._write_hyperstack(path)
+        tif = tif_utils.TiffFile(path)
+        non_spatial, page_shape, dtype, n_pages = tif_utils.get_tiff_layout(
+            tif
+        )
+        assert non_spatial == (2, 3, 2)
+        assert page_shape == (8, 10)
+        assert dtype == np.uint16
+        assert n_pages == 12
+        assert tif_utils.get_tiff_axes(tif) == ("t", "z", "c")
+        np.testing.assert_array_equal(
+            tif.asarray().reshape(data.shape), data
+        )
+
+    def test_layout_plain_stack_and_single_page(self, tmp_path):
+        path = str(tmp_path / "plain.tif")
+        tif_utils.write_tiff(
+            path, np.zeros((4, 6, 6), dtype=np.uint8)
+        )
+        non_spatial, page_shape, _, n = tif_utils.get_tiff_layout(
+            tif_utils.TiffFile(path)
+        )
+        assert non_spatial == (4,) and page_shape == (6, 6) and n == 4
+
+        single = str(tmp_path / "single.tif")
+        tif_utils.write_tiff(single, np.zeros((6, 6), dtype=np.uint8))
+        non_spatial, page_shape, _, n = tif_utils.get_tiff_layout(
+            tif_utils.TiffFile(single)
+        )
+        assert non_spatial == () and n == 1
+
+    def test_layout_inconsistent_page_count_raises(self, tmp_path):
+        path = str(tmp_path / "bad.tif")
+        tif_utils.write_tiff(
+            path,
+            np.zeros((4, 6, 6), dtype=np.uint8),
+            description="ImageJ=1.54f\nimages=6\nchannels=2\nslices=3\n",
+        )
+        with pytest.raises(ValueError, match="inconsistent"):
+            tif_utils.get_tiff_layout(tif_utils.TiffFile(path))
+
+    def test_lazy_nd_indexing_matches_numpy(self, tmp_path):
+        path = str(tmp_path / "hs.tif")
+        data = self._write_hyperstack(path)
+        nd = tif_utils.tif_to_dask_plane_chunks(path)
+        assert nd.shape == data.shape
+        np.testing.assert_array_equal(np.asarray(nd), data)
+        np.testing.assert_array_equal(nd[1], data[1])
+        np.testing.assert_array_equal(nd[1, 2], data[1, 2])
+        np.testing.assert_array_equal(
+            nd[0:1, 1:3, 1, 2:6, :], data[0:1, 1:3, 1, 2:6, :]
+        )
+        np.testing.assert_array_equal(nd[-1, -1, -1], data[-1, -1, -1])
+        assert nd[1:1].shape == (0, 3, 2, 8, 10)
+        nd.close()
+
+    def test_read_into_sim_exposes_hyperstack_dims(self, tmp_path):
+        path = str(tmp_path / "hs.tif")
+        data = self._write_hyperstack(path)
+        sim = tif_utils.read_tiff_into_sim(path)
+        assert tuple(sim.dims) == ("t", "z", "c", "y", "x")
+        np.testing.assert_array_equal(sim.to_numpy(), data)
+
+    def test_virtual_zarr_v3_store_metadata_and_chunks(self, tmp_path):
+        import json as _json
+
+        path = str(tmp_path / "hs.tif")
+        data = self._write_hyperstack(path)
+        store = tif_utils.tif_to_virtual_zarr_v3_plane_chunks(path)
+        meta = _json.loads(store.get("zarr.json"))
+        assert meta["zarr_format"] == 3
+        assert meta["node_type"] == "array"
+        assert meta["shape"] == [2, 3, 2, 8, 10]
+        assert meta["chunk_grid"]["configuration"]["chunk_shape"] == [
+            1, 1, 1, 8, 10,
+        ]
+        assert meta["data_type"] == "uint16"
+
+        chunk = store.get("c/1/2/0/0/0")
+        got = np.frombuffer(chunk, dtype="<u2").reshape(8, 10)
+        np.testing.assert_array_equal(got, data[1, 2, 0])
+
+        assert store.get("c/2/0/0/0/0") is None  # t out of range
+        assert store.get("c/0/0/0/1/0") is None  # nonzero spatial chunk
+        assert store.get("c/0/0/0/0") is None  # wrong rank
+        assert store.get("c/x/0/0/0/0") is None
+        assert store.get("nonsense") is None
+        store.close()
+
+    def test_virtual_zarr_v3_served_over_http(self, tmp_path):
+        """The store plugs into the virtual HTTP server and reads back
+        through the zarr3 backend byte-identically."""
+        import socket
+
+        from multiview_stitcher_tpu.io import virtual_ngff, zarr_backend
+
+        path = str(tmp_path / "hs.tif")
+        data = self._write_hyperstack(path)
+        store = tif_utils.tif_to_virtual_zarr_v3_plane_chunks(path)
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        server = virtual_ngff.VirtualOMEZarrServer(
+            {"stack.zarr": store}, port=port
+        ).start()
+        try:
+            arr = zarr_backend.open_zarr_array(
+                f"http://127.0.0.1:{port}/stack.zarr", zarr_format=3
+            )
+            np.testing.assert_array_equal(np.asarray(arr), data)
+        finally:
+            server.shutdown()
+            store.close()
+
+    def test_page_reads_threadsafe_and_close_releases(self, tmp_path):
+        import threading as _threading
+
+        path = str(tmp_path / "hs.tif")
+        data = self._write_hyperstack(path)
+        tif = tif_utils.TiffFile(path)
+        results = {}
+
+        def read(i):
+            results[i] = tif.read_page(i)
+
+        threads = [
+            _threading.Thread(target=read, args=(i,)) for i in range(12)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        flat = data.reshape(-1, 8, 10)
+        for i in range(12):
+            np.testing.assert_array_equal(results[i], flat[i])
+        assert len(tif._handles) >= 1
+        tif.close()
+        assert tif._handles == []
+        # reads still work after close (handles reopen on demand)
+        np.testing.assert_array_equal(tif.read_page(0), flat[0])
+        tif.close()

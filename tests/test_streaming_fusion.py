@@ -327,3 +327,63 @@ def test_streaming_upload_failure_falls_back(force_streaming, monkeypatch):
             sims, transform_key=tk, output_chunksize=64
         ).to_numpy()
     np.testing.assert_array_equal(out, ref)
+
+
+def test_streaming_abort_stashes_uploads_for_resume(
+    force_streaming, monkeypatch
+):
+    """A deadline-aborted run donates its completed uploads to the next
+    run over the same inputs: the retry reuses stashed device batches
+    (fewer up_bytes), completes, matches the clean result bit-exactly,
+    and seeds the full device tile cache (stash then cleared)."""
+    import time as time_mod
+
+    tk = si_utils.DEFAULT_TRANSFORM_KEY
+    sims = _grid_sims(n=6, tile=48, overlap=12, ndim=2)
+    # many small upload batches so a partial stash is meaningful
+    monkeypatch.setenv("MVS_TPU_STREAM_BATCH_BYTES", "20000")
+
+    # control: full clean run (also the parity reference)
+    _core.clear_device_tile_cache()
+    ref = fusion.fuse(
+        sims, transform_key=tk, output_chunksize=64
+    ).to_numpy()
+    control_up = _streaming.last_telemetry["up_bytes"]
+    assert control_up > 0
+
+    # aborted run: a fake clock advances 0.5 s per perf_counter() call so
+    # the 2 s deadline trips after the first band consumed its batches
+    _core.clear_device_tile_cache()
+    assert _streaming._upload_stash == {}
+    with pytest.MonkeyPatch.context() as mp:
+        state = {"t": 0.0}
+        real_perf = time_mod.perf_counter
+
+        def fake_perf():
+            state["t"] += 0.5
+            return state["t"]
+
+        mp.setattr(time_mod, "perf_counter", fake_perf)
+        mp.setenv("MVS_TPU_STREAM_DEADLINE_S", "2")
+        with pytest.raises(_streaming.StreamingDeadlineError):
+            fusion.fuse(sims, transform_key=tk, output_chunksize=64)
+        del real_perf
+    entry = _streaming._upload_stash.get("entry")
+    assert entry is not None and len(entry["batches"]) > 0
+    n_stashed = len(entry["batches"])  # snapshot: the dict is reused
+
+    # resumed run: reuses the stash, uploads strictly less, matches
+    resumed = fusion.fuse(
+        sims, transform_key=tk, output_chunksize=64
+    ).to_numpy()
+    tele = _streaming.last_telemetry
+    assert tele["up_batches_reused"] == n_stashed
+    assert tele["up_bytes"] < control_up
+    np.testing.assert_array_equal(resumed, ref)
+    # completion seeded the full tile cache and retired the stash
+    assert _streaming._upload_stash == {}
+    again = fusion.fuse(
+        sims, transform_key=tk, output_chunksize=64
+    ).to_numpy()
+    assert _streaming.last_telemetry["up_bytes"] == 0
+    np.testing.assert_array_equal(again, ref)
