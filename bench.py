@@ -423,6 +423,56 @@ def affine_gather_kernel_rate(repeats=3):
     return _rate_loop(call, out_shape, slabs.shape[0], repeats, inner=1)
 
 
+def cpu_pairwise_reg_rate(n_pairs=8, crop=(128, 128)):
+    """Single-thread CPU baseline for pairwise registration: one
+    skimage-equivalent phase_cross_correlation (full FFT cross-power +
+    x10 upsampled-DFT refinement, numpy) per pair — the per-pair compute
+    of the reference's pipeline (registration.py:445, via skimage),
+    charitably excluding its SSIM candidate disambiguation. Returns
+    pairs/second (best of 2 sweeps)."""
+    im2pi = 1j * 2 * np.pi
+    upsample_factor = 10
+
+    def upsampled_dft(data, ups_size, offsets):
+        for n_items, ax_offset in list(zip(data.shape, offsets))[::-1]:
+            kernel = np.exp(
+                -im2pi
+                * (np.arange(ups_size) - ax_offset)[:, None]
+                * np.fft.fftfreq(n_items, upsample_factor)
+            )
+            data = np.tensordot(kernel, data, axes=(1, -1))
+        return data
+
+    def pcc(ref, mov):
+        product = np.fft.fftn(ref) * np.fft.fftn(mov).conj()
+        eps = np.finfo(product.real.dtype).eps
+        product /= np.maximum(np.abs(product), 100 * eps)
+        cc = np.fft.ifftn(product)
+        maxima = np.unravel_index(np.argmax(np.abs(cc)), cc.shape)
+        midpoint = np.array([np.fix(s / 2) for s in ref.shape])
+        shift = np.stack(maxima).astype(np.float64)
+        shift[shift > midpoint] -= np.array(ref.shape)[shift > midpoint]
+        shift = np.round(shift * upsample_factor) / upsample_factor
+        ups_size = int(np.ceil(upsample_factor * 1.5))
+        dftshift = np.fix(ups_size / 2.0)
+        cc_up = upsampled_dft(
+            product.conj(), ups_size, dftshift - shift * upsample_factor
+        ).conj()
+        maxima = np.unravel_index(np.argmax(np.abs(cc_up)), cc_up.shape)
+        return shift + (np.stack(maxima) - dftshift) / upsample_factor
+
+    rng = np.random.default_rng(3)
+    f = rng.random((n_pairs,) + crop).astype(np.float32)
+    m = rng.random((n_pairs,) + crop).astype(np.float32)
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for i in range(n_pairs):
+            pcc(f[i], m[i])
+        best = max(best, n_pairs / (time.perf_counter() - t0))
+    return best
+
+
 def pairwise_reg_rate(n_pairs=128, crop=(128, 128), repeats=3):
     """Full pairwise-registration core (3 PCC proposals + candidate SSIM
     disambiguation + Spearman quality) per second, device-resident crops.
@@ -760,6 +810,17 @@ def main():
     if r is not None:
         log(f"pairwise registrations/sec (128^2 crops, x10 upsample): {r:.1f}")
         extras["pairwise_reg_s"] = round(r, 1)
+        # single-thread CPU pairs/s for the same per-pair compute (north
+        # star asks >10x CPU on the registration axis too); pure numpy,
+        # a few seconds
+        cr = _bounded("cpu pairwise reg", cpu_pairwise_reg_rate, 60)
+        if cr:
+            extras["cpu_baseline_reg_s"] = round(cr, 1)
+            extras["reg_vs_cpu"] = round(r / cr, 1)
+            log(
+                f"  cpu baseline: {cr:.1f} pairs/s "
+                f"-> {r / cr:.1f}x on device"
+            )
 
     r = _midtier("2D Pallas kernel", pallas_kernel_rate_2d, 300)
     if r is not None:
