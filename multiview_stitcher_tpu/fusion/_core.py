@@ -924,17 +924,35 @@ def _tiles_to_device(field_sims):
 def _materialize_tiles(field_sims) -> np.ndarray:
     """(V, *tile) array from equal-shape tiles, reading lazy tiles in
     parallel (tensorstore releases the GIL; serial np.stack over 1000+ lazy
-    tiles pays per-tile read latency)."""
+    tiles pays per-tile read latency).
+
+    Lazy reads retry transient failures (HTTP-backed zarr stores can drop
+    connections mid-fuse; the reference retries server disconnects in its
+    materialization path, spatial_image_utils max_retries) with a short
+    exponential backoff, ``MVS_TPU_READ_RETRIES`` times (default 2).
+    """
     V = len(field_sims)
     shape = tuple(field_sims[0].data.shape)
     dtype = np.dtype(field_sims[0].data.dtype)
     out = np.empty((V,) + shape, dtype=dtype)
     lazy = [not isinstance(s.data, (np.ndarray, jnp.ndarray)) for s in field_sims]
     if any(lazy):
+        import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
+        import os as _os
+
+        max_retries = int(_os.environ.get("MVS_TPU_READ_RETRIES", "2"))
+
         def fetch(i):
-            out[i] = np.asarray(field_sims[i].data[...])
+            for attempt in range(max_retries + 1):
+                try:
+                    out[i] = np.asarray(field_sims[i].data[...])
+                    return
+                except Exception:  # noqa: BLE001 — store errors vary by backend
+                    if attempt == max_retries:
+                        raise
+                    _time.sleep(0.2 * 2**attempt)
 
         with ThreadPoolExecutor(max_workers=16) as ex:
             list(ex.map(fetch, range(V)))

@@ -15,10 +15,11 @@ subblock reads) plus the mosaic/multi-view metadata logic:
 
 Subblock compression support: uncompressed, ZSTD0 and ZSTD1 (first-party
 zstd decode), and baseline JPEG via the first-party decoder in
-``io/jpeg.py``. JPEG-XR subblocks raise NotImplementedError with a clear
-message (the reference decodes them via the optional czifile /
-imagecodecs stack, czi_utils.py:252; see PARITY.md); the metadata/affine
-logic is file-format independent.
+``io/jpeg.py``. JPEG XR decodes through the optional ``imagecodecs``
+package when installed — the same optional stack the reference uses
+(czi_utils.py:252 via czifile) — and any other compression id can be
+supplied via ``register_subblock_decompressor(id, fn)``; the
+metadata/affine logic is file-format independent.
 """
 
 from __future__ import annotations
@@ -145,6 +146,47 @@ _CZI_COMPRESSION_NAMES = {
     0: "none", 1: "JPEG", 2: "LZW", 4: "JPEG XR", 5: "ZSTD0", 6: "ZSTD1",
 }
 
+# User-extensible decoders for compression ids the built-in reader does not
+# decode first-party. Signature: fn(raw: bytes, dtype: np.dtype) -> bytes
+# (decoded pixel payload, C-order). Mirrors the reference's reliance on
+# external imagecodecs for the same ids (czifile_patch.py:37-75).
+_SUBBLOCK_DECOMPRESSORS: dict = {}
+
+
+def register_subblock_decompressor(compression: int, fn) -> None:
+    """Register a decoder for a CZI subblock compression id.
+
+    ``fn(raw, dtype) -> bytes`` receives the raw subblock payload and the
+    target numpy dtype and must return the decoded pixel bytes. Registered
+    decoders take precedence over the built-in NotImplementedError for
+    ids the first-party reader does not handle (e.g. 4 = JPEG XR).
+    """
+    _SUBBLOCK_DECOMPRESSORS[int(compression)] = fn
+
+
+def _jpegxr_via_imagecodecs(raw: bytes, dtype) -> bytes:
+    """Decode a JPEG XR subblock through the optional imagecodecs package.
+
+    The reference reads JPEG-XR CZI subblocks via czifile+imagecodecs
+    (reference czi_utils.py:252, optional there too); we expose the same
+    optional path rather than shipping a from-scratch JXR codec.
+    """
+    try:
+        import imagecodecs
+    except ImportError as e:
+        raise NotImplementedError(
+            "JPEG XR CZI subblocks need the optional 'imagecodecs' package "
+            "(pip install imagecodecs), or a custom decoder registered via "
+            "register_subblock_decompressor(4, fn)."
+        ) from e
+    img = imagecodecs.jpegxr_decode(raw)
+    return np.ascontiguousarray(img).astype(
+        np.dtype(dtype), copy=False
+    ).tobytes()
+
+
+_SUBBLOCK_DECOMPRESSORS[4] = _jpegxr_via_imagecodecs
+
 
 def _decompress_subblock(raw: bytes, compression: int, dtype) -> bytes:
     """Decode a ZISRAW subblock payload.
@@ -192,11 +234,14 @@ def _decompress_subblock(raw: bytes, compression: int, dtype) -> bytes:
         return np.ascontiguousarray(img).astype(
             np.dtype(dtype), copy=False
         ).tobytes()
+    fn = _SUBBLOCK_DECOMPRESSORS.get(compression)
+    if fn is not None:
+        return fn(raw, dtype)
     raise NotImplementedError(
         f"CZI compression {compression} "
         f"({_CZI_COMPRESSION_NAMES.get(compression, 'unknown')}) is not "
-        "supported by the built-in reader (JPEG-XR needs external "
-        "codecs)."
+        "supported by the built-in reader; register a decoder with "
+        "register_subblock_decompressor()."
     )
 
 

@@ -1022,6 +1022,26 @@ def register_pair_of_msims(
             raise ValueError(
                 f"Point set {points_key!r} missing for marker registration."
             )
+        if prefilter_markers:
+            # restrict each view's markers to its overlap crop (same
+            # margin as the image crop) before handing them to the
+            # pairwise func — reference registration.py:1862 reads the
+            # point sets from the overlap-cropped sims when
+            # prefilter_markers is set
+            spacings_b = [
+                si_utils.get_spacing_from_sim(s) for s in reg_sims_b
+            ]
+            filtered = []
+            for isim, pts in enumerate(point_sets):
+                pts = np.atleast_2d(np.asarray(pts, dtype=float))
+                margin = np.array(
+                    [spacings_b[isim][d] for d in spatial_dims]
+                )
+                lo = np.asarray(lowers[isim], dtype=float) - 1e-6 - margin
+                hi = np.asarray(uppers[isim], dtype=float) + 1e-6 + margin
+                keep = np.all((pts >= lo) & (pts <= hi), axis=1)
+                filtered.append(pts[keep])
+            point_sets = filtered
         fixed_points = param_utils.transform_pts(point_sets[0], affines[0])
         moving_points = param_utils.transform_pts(point_sets[1], affines[1])
         pairwise_reg_func_kwargs["fixed_points"] = fixed_points

@@ -1040,3 +1040,42 @@ def test_fuse_rejects_duplicate_nonspatial_coords(tmp_path):
     ]
     with pytest.raises(ValueError, match="duplicate 't'"):
         fusion.fuse(sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY)
+
+
+def test_materialize_tiles_retries_transient_lazy_read_failures():
+    """A lazy tile read that fails transiently (HTTP zarr disconnect class
+    of errors) is retried and the fuse input still materializes; a
+    permanently failing read raises after exhausting retries (reference
+    test_fusion.py:576 retries server disconnects during zarr-backed
+    materialization)."""
+    from multiview_stitcher_tpu.fusion import _core
+
+    class FlakyLazy:
+        """Duck-typed lazy array: shape/dtype + windowed __getitem__."""
+
+        def __init__(self, arr, fail_times):
+            self._arr = arr
+            self.shape = arr.shape
+            self.dtype = arr.dtype
+            self.fails_left = fail_times
+
+        def __getitem__(self, idx):
+            if self.fails_left > 0:
+                self.fails_left -= 1
+                raise ConnectionError("server disconnected")
+            return self._arr[idx]
+
+    rng = np.random.default_rng(3)
+    tiles = [rng.random((6, 6)).astype(np.float32) for _ in range(3)]
+    sims = [
+        si_utils.get_sim_from_array(FlakyLazy(t, fail_times=i), dims=["y", "x"])
+        for i, t in enumerate(tiles)  # 0, 1, 2 transient failures
+    ]
+    out = _core._materialize_tiles(sims)
+    np.testing.assert_array_equal(out, np.stack(tiles))
+
+    dead = si_utils.get_sim_from_array(
+        FlakyLazy(tiles[0], fail_times=99), dims=["y", "x"]
+    )
+    with pytest.raises(ConnectionError):
+        _core._materialize_tiles([dead])

@@ -317,6 +317,50 @@ class TestCziZstd:
         with pytest.raises(NotImplementedError, match="JPEG XR"):
             czi_utils._decompress_subblock(b"xx", 4, np.uint16)
 
+    def test_jpegxr_routes_through_optional_imagecodecs(self, monkeypatch):
+        """Compression 4 decodes via imagecodecs.jpegxr_decode when the
+        optional package is importable (reference czi_utils.py:252 decodes
+        JXR through the czifile/imagecodecs stack)."""
+        import sys
+        import types
+
+        from multiview_stitcher_tpu.io import czi_utils
+
+        img = np.arange(24, dtype=np.uint16).reshape(4, 6)
+        calls = {}
+
+        fake = types.ModuleType("imagecodecs")
+
+        def jpegxr_decode(raw):
+            calls["raw"] = raw
+            return img
+
+        fake.jpegxr_decode = jpegxr_decode
+        monkeypatch.setitem(sys.modules, "imagecodecs", fake)
+
+        out = czi_utils._decompress_subblock(b"\x01\x02jxr", 4, np.uint16)
+        assert calls["raw"] == b"\x01\x02jxr"
+        np.testing.assert_array_equal(
+            np.frombuffer(out, np.uint16).reshape(4, 6), img
+        )
+
+    def test_register_subblock_decompressor_custom_id(self):
+        """User-registered decoders take over ids the built-in reader
+        rejects (LZW=2 here); unregistering restores the clear error."""
+        from multiview_stitcher_tpu.io import czi_utils
+
+        payload = np.arange(10, dtype=np.uint8).tobytes()
+        czi_utils.register_subblock_decompressor(
+            2, lambda raw, dtype: raw[::-1]
+        )
+        try:
+            out = czi_utils._decompress_subblock(payload, 2, np.uint8)
+            assert out == payload[::-1]
+        finally:
+            del czi_utils._SUBBLOCK_DECOMPRESSORS[2]
+        with pytest.raises(NotImplementedError, match="register"):
+            czi_utils._decompress_subblock(payload, 2, np.uint8)
+
 
 def test_unknown_suffix_routes_to_aicsimageio_seam():
     """Non-CZI/TIFF/Imaris/zarr suffixes delegate to the optional

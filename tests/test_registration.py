@@ -881,3 +881,199 @@ def test_register_zarr_backed_msims_matches_in_memory(tmp_path):
         np.asarray([p.squeeze() for p in p_mem]),
         atol=1e-6,
     )
+
+
+def test_marker_pairwise_plumbing_points_reach_func_in_world_coords():
+    """Point sets are transformed to world coords by each view's
+    transform-key affine before reaching a points-based pairwise func, and
+    the func's affine/quality pass through unchanged (reference
+    test_registration.py:711 test_marker_based_pairwise_registration_plumbing).
+    """
+    transform_key = "stage"
+    fixed_affine = param_utils.affine_from_translation([1.0, 0.0])
+    moving_affine = param_utils.affine_from_translation([0.0, 2.0])
+    fixed_sim = si_utils.get_sim_from_array(
+        np.zeros((10, 10)), dims=["y", "x"],
+        affine=fixed_affine, transform_key=transform_key,
+    )
+    moving_sim = si_utils.get_sim_from_array(
+        np.zeros((10, 10)), dims=["y", "x"],
+        affine=moving_affine, transform_key=transform_key,
+    )
+    pts = np.array([[2.0, 3.0], [4.0, 5.0]])
+    si_utils.set_point_set(fixed_sim, pts)
+    si_utils.set_point_set(moving_sim, pts)
+
+    captured = {}
+
+    def pairwise_func(*, fixed_points, moving_points):
+        captured["fixed"] = np.asarray(fixed_points)
+        captured["moving"] = np.asarray(moving_points)
+        return {"affine_matrix": np.eye(3), "quality": 0.25}
+
+    result = registration.register_pair_of_msims(
+        msi_utils.get_msim_from_sim(fixed_sim, scale_factors=[]),
+        msi_utils.get_msim_from_sim(moving_sim, scale_factors=[]),
+        transform_key=transform_key,
+        registration_binning={"y": 1, "x": 1},
+        pairwise_reg_func=pairwise_func,
+    )
+
+    np.testing.assert_allclose(
+        captured["fixed"], param_utils.transform_pts(pts, fixed_affine)
+    )
+    np.testing.assert_allclose(
+        captured["moving"], param_utils.transform_pts(pts, moving_affine)
+    )
+    np.testing.assert_allclose(
+        np.asarray(result["transform"]).squeeze(), np.eye(3), atol=1e-12
+    )
+    assert float(result["quality"]) == pytest.approx(0.25)
+
+
+def test_marker_prefiltering_controls_overlap_filtering():
+    """prefilter_markers=True restricts each view's markers to its overlap
+    crop before the pairwise func sees them; False passes all markers
+    (reference test_registration.py:773)."""
+    transform_key = "stage"
+    fixed_sim = si_utils.get_sim_from_array(
+        np.zeros((10, 10)), dims=["y", "x"], transform_key=transform_key,
+    )
+    moving_sim = si_utils.get_sim_from_array(
+        np.zeros((10, 10)), dims=["y", "x"],
+        translation={"y": 0.0, "x": 5.0}, transform_key=transform_key,
+    )
+    # fixed view: only the last two points fall in the overlap (x >= 5);
+    # moving view (intrinsic coords): only the first two (x <= 5+margin)
+    si_utils.set_point_set(
+        fixed_sim,
+        np.array([[1.0, 1.0], [2.0, 2.0], [3.0, 6.0], [4.0, 8.0]]),
+    )
+    si_utils.set_point_set(
+        moving_sim,
+        np.array([[1.0, 6.0], [2.0, 7.0], [3.0, 11.0], [4.0, 13.0]]),
+    )
+    fixed_msim = msi_utils.get_msim_from_sim(fixed_sim, scale_factors=[])
+    moving_msim = msi_utils.get_msim_from_sim(moving_sim, scale_factors=[])
+
+    counts = []
+
+    def pairwise_func(*, fixed_points, moving_points):
+        counts.append((len(fixed_points), len(moving_points)))
+        return {"affine_matrix": np.eye(3), "quality": 1.0}
+
+    common = dict(
+        transform_key=transform_key,
+        registration_binning={"y": 1, "x": 1},
+        pairwise_reg_func=pairwise_func,
+    )
+    registration.register_pair_of_msims(fixed_msim, moving_msim, **common)
+    assert counts[-1] == (4, 4)
+    registration.register_pair_of_msims(
+        fixed_msim, moving_msim, prefilter_markers=True, **common
+    )
+    assert counts[-1] == (2, 2)
+
+
+def test_marker_based_register_end_to_end_dummy_points():
+    """register() with pairwise_reg_func=registration_marker_based on two
+    views whose shared markers differ by a pure stage offset resolves with
+    high pairwise quality (reference test_registration.py:1044)."""
+    transform_key = "stage"
+    rng = np.random.default_rng(7)
+    base_points = rng.uniform(2.0, 18.0, size=(12, 2))
+    sims = []
+    for x_origin in [0.0, 5.0]:
+        sim = si_utils.get_sim_from_array(
+            np.zeros((20, 20)), dims=["y", "x"],
+            translation={"y": 0.0, "x": x_origin},
+            transform_key=transform_key,
+        )
+        si_utils.set_point_set(
+            sim, base_points + np.array([0.0, x_origin])
+        )
+        sims.append(sim)
+
+    out = registration.register(
+        [msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims],
+        transform_key=transform_key,
+        reg_channel_index=0,
+        registration_binning={"y": 1, "x": 1},
+        pairwise_reg_func=registration.registration_marker_based,
+        pre_registration_pruning_method=None,
+        return_dict=True,
+    )
+    qualities = out["pairwise_registration"]["metrics"]["qualities"]
+    assert len(qualities) == 1
+    assert list(qualities.values())[0] > 0.75
+
+
+def test_register_constant_tile_warns_and_falls_back_to_identity():
+    """An all-constant overlap through the full register() pipeline warns
+    and assumes identity (reference test_registration.py:682)."""
+    sims = sample_data.generate_tiled_dataset(
+        ndim=2, N_t=1, N_c=1, tile_size=10,
+        tiles_x=2, tiles_y=1, tiles_z=1, overlap=5,
+    )
+    sims[0].data = np.zeros_like(np.asarray(sims[0].data))
+    msims = [
+        msi_utils.get_msim_from_sim(sim, scale_factors=[]) for sim in sims
+    ]
+    with pytest.warns(
+        UserWarning,
+        match="overlap region between tiles/views is all zero or constant",
+    ):
+        params = registration.register(
+            msims,
+            reg_channel_index=0,
+            transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+            pairwise_reg_func=registration.phase_correlation_registration,
+        )
+    assert len(params) == 2
+    for p in params:
+        assert np.all(np.isfinite(np.asarray(p)))
+
+
+@pytest.mark.parametrize(
+    "ndim, overlap, N_t, dtype",
+    [
+        (2, 1, 2, np.uint16),  # single-pixel overlap: not registrable
+        (2, 5, 2, np.uint16),
+        (2, 5, 2, np.uint8),
+        (3, 5, 1, np.uint8),
+    ],
+)
+def test_diversity_stitching(ndim, overlap, N_t, dtype):
+    """End-to-end register+fuse across dtype/ndim/time diversity
+    (reference test_integration.py:31 test_diversity_stitching)."""
+    sims = sample_data.generate_tiled_dataset(
+        ndim=ndim, N_t=N_t, N_c=1, tile_size=15,
+        tiles_x=2, tiles_y=1, tiles_z=1, overlap=overlap,
+        zoom=10, dtype=dtype,
+    )
+    msims = [
+        msi_utils.get_msim_from_sim(sim, scale_factors=[]) for sim in sims
+    ]
+    if overlap <= 1:
+        with pytest.raises(mv_graph.NotEnoughOverlapError):
+            registration.register(
+                msims,
+                reg_channel_index=0,
+                transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+                new_transform_key="affine_registered",
+            )
+        return
+    registration.register(
+        msims,
+        reg_channel_index=0,
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        new_transform_key="affine_registered",
+    )
+    fused = fusion.fuse(
+        [msi_utils.get_sim_from_msim(m) for m in msims],
+        transform_key="affine_registered",
+    )
+    arr = np.asarray(fused.data)
+    assert arr.dtype == np.dtype(dtype)
+    assert np.all(np.isfinite(arr.astype(np.float64)))
+    assert arr.max() > 0
