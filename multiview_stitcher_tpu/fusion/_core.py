@@ -23,6 +23,7 @@ conventions exactly:
 from __future__ import annotations
 
 import json
+import logging
 import warnings
 from functools import partial
 from itertools import product
@@ -38,6 +39,8 @@ from multiview_stitcher_tpu.ops import resample as resample_ops
 from multiview_stitcher_tpu.si_utils import Sim
 from multiview_stitcher_tpu.utils import misc as misc_utils
 from multiview_stitcher_tpu.utils import profiling
+
+logger = logging.getLogger(__name__)
 
 BoundingBox = Dict[str, Dict[str, Union[float, int]]]
 
@@ -949,9 +952,16 @@ def _materialize_tiles(field_sims) -> np.ndarray:
                 try:
                     out[i] = np.asarray(field_sims[i].data[...])
                     return
-                except Exception:  # noqa: BLE001 — store errors vary by backend
+                except (OSError, ConnectionError, TimeoutError) as e:
+                    # transient IO only (HTTP zarr drops, tensorstore
+                    # OSError-wrapped disconnects); deterministic bugs
+                    # (shape/dtype/KeyError) must surface immediately
                     if attempt == max_retries:
                         raise
+                    logger.warning(
+                        "lazy tile read %d failed (%s: %s), retry %d/%d",
+                        i, type(e).__name__, e, attempt + 1, max_retries,
+                    )
                     _time.sleep(0.2 * 2**attempt)
 
         with ThreadPoolExecutor(max_workers=16) as ex:
@@ -1167,10 +1177,6 @@ def fuse(
     untrimmed = (not trim_overlap) and any(
         overlap_in_pixels[d] > 0 for d in sdims
     )
-    if untrimmed and output_zarr_url is not None:
-        raise NotImplementedError(
-            "trim_overlap=False is not supported with output_zarr_url"
-        )
     if untrimmed:
         normalized_untrimmed = normalize_chunks(
             [output_chunksize[d] for d in sdims],
@@ -1200,10 +1206,23 @@ def fuse(
         level0_url = (
             f"{output_zarr_url}/0" if ome_zarr else str(output_zarr_url)
         )
-        zarr_chunks = tuple(1 for _ in nsdims) + tuple(
-            min(output_chunksize[d], output_stack_properties["shape"][d])
-            for d in sdims
-        )
+        if untrimmed:
+            # per-chunk extended regions side by side: make each zarr chunk
+            # one extended region so the region writes stay chunk-aligned
+            # (the reference's zarr branch supports trim_overlap=False the
+            # same way, fusion/_core.py:1068-1170)
+            zarr_chunks = tuple(1 for _ in nsdims) + tuple(
+                min(
+                    output_chunksize[d] + 2 * overlap_in_pixels[d],
+                    spatial_out_shape[i],
+                )
+                for i, d in enumerate(sdims)
+            )
+        else:
+            zarr_chunks = tuple(1 for _ in nsdims) + tuple(
+                min(output_chunksize[d], output_stack_properties["shape"][d])
+                for d in sdims
+            )
         if zarr_options.get("create_output", True):
             output_array = zarr_backend.create_zarr_array(
                 level0_url,
@@ -1317,11 +1336,29 @@ def fuse(
     if streaming:
         from multiview_stitcher_tpu.io import ngff_utils, zarr_backend
 
+        if untrimmed:
+            # the stored layout is per-chunk extended regions side by side;
+            # metadata describes that grid (origin anchored at the first
+            # halo pixel, like the in-memory untrimmed sim)
+            sink_stack_properties = {
+                "shape": {
+                    d: int(spatial_out_shape[i]) for i, d in enumerate(sdims)
+                },
+                "spacing": dict(output_stack_properties["spacing"]),
+                "origin": {
+                    d: output_stack_properties["origin"][d]
+                    - overlap_in_pixels[d]
+                    * output_stack_properties["spacing"][d]
+                    for d in sdims
+                },
+            }
+        else:
+            sink_stack_properties = output_stack_properties
         if zarr_options.get("ome_zarr", True):
             ngff_utils.finalize_ome_zarr_levels(
                 output_zarr_url,
                 dims=tuple(nsdims) + tuple(sdims),
-                stack_properties=output_stack_properties,
+                stack_properties=sink_stack_properties,
                 ngff_version=zarr_options.get("ngff_version", "0.4"),
                 c_coords=ns_coord_lists.get("c"),
             )
@@ -1331,8 +1368,8 @@ def fuse(
             out_sim = si_utils.to_spatial_image(
                 arr,
                 dims=tuple(nsdims) + tuple(sdims),
-                scale=output_stack_properties["spacing"],
-                translation=output_stack_properties["origin"],
+                scale=sink_stack_properties["spacing"],
+                translation=sink_stack_properties["origin"],
                 t_coords=ns_coord_lists.get("t"),
                 c_coords=ns_coord_lists.get("c"),
             )

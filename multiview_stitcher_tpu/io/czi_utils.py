@@ -179,7 +179,12 @@ def _jpegxr_via_imagecodecs(raw: bytes, dtype) -> bytes:
             "(pip install imagecodecs), or a custom decoder registered via "
             "register_subblock_decompressor(4, fn)."
         ) from e
-    img = imagecodecs.jpegxr_decode(raw)
+    try:
+        img = imagecodecs.jpegxr_decode(raw)
+    except Exception as e:  # garbage/corrupt payloads: stable error type
+        raise ValueError(
+            f"JPEG XR subblock decode failed ({type(e).__name__}: {e})"
+        ) from e
     return np.ascontiguousarray(img).astype(
         np.dtype(dtype), copy=False
     ).tobytes()

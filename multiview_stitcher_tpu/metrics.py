@@ -45,6 +45,46 @@ def normalized_cross_correlation(im1, im2) -> float:
     return val
 
 
+def structural_similarity(im1, im2, win_size: int = 7,
+                          data_range=None) -> float:
+    """NaN-aware mean SSIM, importable as a ``metric_funcs`` entry.
+
+    First-party counterpart of the skimage ``structural_similarity`` the
+    reference documents for :func:`tile_pair_image_metrics`
+    (reference metrics.py:455-473). Pixels outside the image domain arrive
+    as NaN (see the metric_funcs contract); they are filled with the
+    joint-valid mean before the SSIM window pass so border windows degrade
+    gracefully instead of propagating NaN.
+    """
+    a = np.asarray(im1, dtype=np.float32)
+    b = np.asarray(im2, dtype=np.float32)
+    valid = np.isfinite(a) & np.isfinite(b)
+    if not valid.any():
+        return float("nan")
+    fill_a = float(a[valid].mean())
+    fill_b = float(b[valid].mean())
+    a = np.where(valid, a, fill_a)
+    b = np.where(valid, b, fill_b)
+    # narrow overlap boxes: clamp the window to the smallest image extent
+    # (largest odd size that fits), so thin comparison regions still score
+    max_win = min(a.shape)
+    if win_size > max_win:
+        win_size = max_win if max_win % 2 == 1 else max_win - 1
+        if win_size < 1:
+            return float("nan")
+    if data_range is None:
+        data_range = float(
+            max(a.max(), b.max()) - min(a.min(), b.min())
+        )
+        if data_range == 0:
+            return 1.0
+    return float(
+        im_metrics.structural_similarity(
+            a, b, win_size=win_size, data_range=float(data_range)
+        )
+    )
+
+
 def _compute_metrics_from_arrays(
     fixed_sim, moving_sim, metric_funcs, intersection_halfspace=None
 ):

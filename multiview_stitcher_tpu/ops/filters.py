@@ -186,15 +186,23 @@ def dct_entropy_quality(
 ):
     """Per-block DCT Shannon-entropy quality for each view.
 
-    views: (V, *spatial). Returns (V, *n_blocks) quality maps. Edge blocks are
-    NaN-padded to the block size (the reference computes DCTs on truncated
-    edge blocks instead; values differ only in the outermost partial blocks).
+    views: (V, *spatial). Returns (V, *n_blocks) quality maps. Edge blocks
+    use a TRUNCATED DCT over the in-bounds extent, matching the reference's
+    per-chunk ``dctn`` on the truncated slice (reference weights.py:203-257):
+    the last block along each axis is transformed with a zero-padded
+    ``r x r`` orthonormal DCT matrix so only the first ``r`` coefficients
+    (and samples) participate, and the entropy normalization uses the
+    truncated block's element count.
     """
     V = views.shape[0]
     spatial_shape = views.shape[1:]
     ndim = len(spatial_shape)
     n_blocks = tuple(
         -(-s // ds) for s, ds in zip(spatial_shape, dct_sizes)
+    )
+    remainders = tuple(
+        s - (nb - 1) * ds
+        for s, nb, ds in zip(spatial_shape, n_blocks, dct_sizes)
     )
 
     pad = [(0, 0)] + [
@@ -216,7 +224,15 @@ def dct_entropy_quality(
     nan_mask = jnp.isnan(blocked)
     block_axes = tuple(range(1 + ndim, 1 + 2 * ndim))
     n_valid = jnp.sum(~nan_mask, axis=block_axes)
-    block_size = int(np.prod(dct_sizes))
+    # per-block truncated element count (edge blocks are smaller)
+    trunc_size = np.ones((1,) + n_blocks, dtype=np.float32)
+    for i, (nb, ds, r) in enumerate(zip(n_blocks, dct_sizes, remainders)):
+        ext = np.full(nb, float(ds), dtype=np.float32)
+        ext[-1] = float(r)
+        shape = [1] * (1 + ndim)
+        shape[1 + i] = nb
+        trunc_size = trunc_size * ext.reshape(shape)
+    trunc_size = jnp.asarray(trunc_size)
 
     fill_val = jnp.nanmin(
         jnp.where(nan_mask, jnp.inf, blocked), axis=block_axes, keepdims=True
@@ -225,13 +241,27 @@ def dct_entropy_quality(
     fill_val = jnp.where(fill_val > 0.0001, fill_val, 0.0)
     filled = jnp.where(nan_mask, fill_val, blocked)
 
-    # per-axis DCT via matmul over the trailing block axes
+    # per-axis DCT via matmul over the trailing block axes; the last block
+    # along each axis uses a zero-padded truncated DCT matrix (exact
+    # truncation: coefficients/samples beyond the remainder never mix in)
     d = filled
-    for i, ds in enumerate(dct_sizes):
+    for i, (ds, r) in enumerate(zip(dct_sizes, remainders)):
         C = jnp.asarray(dct_matrix(ds), dtype=d.dtype)
-        d = jnp.moveaxis(d, 1 + ndim + i, -1)
-        d = d @ C.T
-        d = jnp.moveaxis(d, -1, 1 + ndim + i)
+        d_ax = jnp.moveaxis(d, 1 + ndim + i, -1)
+        d_full = d_ax @ C.T
+        if r < ds:
+            Cr = np.zeros((ds, ds), dtype=np.float64)
+            Cr[:r, :r] = dct_matrix(r)
+            d_r = d_ax @ jnp.asarray(Cr, dtype=d.dtype).T
+            is_last = (
+                jnp.arange(n_blocks[i]).reshape(
+                    [1] * (1 + i) + [n_blocks[i]]
+                    + [1] * (ndim - 1 - i + ndim)
+                )
+                == n_blocks[i] - 1
+            )
+            d_full = jnp.where(is_last, d_r, d_full)
+        d = jnp.moveaxis(d_full, -1, 1 + ndim + i)
 
     absd = jnp.abs(d)
     if otf_support_fraction is not None:
@@ -247,12 +277,16 @@ def dct_entropy_quality(
         sign = jnp.sign(quality)
         quality = sign * jnp.abs(quality) ** exponent
     else:
-        dsl1 = jnp.mean(absd, axis=block_axes, keepdims=True)
+        # L1 mean over the TRUNCATED block size (reference d.mean() on the
+        # truncated chunk); out-of-bounds coefficients are exactly zero
+        dsl1 = jnp.sum(absd, axis=block_axes, keepdims=True) / (
+            trunc_size.reshape((1,) + n_blocks + (1,) * ndim)
+        )
         p = absd / jnp.where(dsl1 == 0, 1.0, dsl1)
         plogp = jnp.where(p > 0, p * jnp.log2(jnp.where(p > 0, p, 1.0)), 0.0)
         entropy = -jnp.sum(plogp, axis=block_axes)
         quality = (dsl1[..., *([0] * ndim)] * entropy) ** exponent
         quality = jnp.where(dsl1[..., *([0] * ndim)] == 0, 0.0, quality)
 
-    quality = jnp.where(n_valid < 0.2 * block_size, 0.0, quality)
+    quality = jnp.where(n_valid < 0.2 * trunc_size, 0.0, quality)
     return quality

@@ -666,6 +666,35 @@ def test_fuse_trim_overlap_false_keeps_chunk_halos():
     np.testing.assert_allclose(untrimmed.origin["y"], -1.0)
 
 
+@pytest.mark.parametrize("ome_zarr", [False, True])
+def test_fuse_trim_overlap_false_with_output_zarr_url(tmp_path, ome_zarr):
+    """trim_overlap=False combines with the streaming zarr sink (reference
+    fusion/_core.py:1068-1170 supports the combination): the stored array
+    holds the per-chunk extended regions and reads back identical to the
+    in-memory untrimmed result, origin anchored at the first halo pixel."""
+    sim = si_utils.get_sim_from_array(
+        np.arange(100, dtype=np.float32).reshape(10, 10), dims=("y", "x")
+    )
+    kw = dict(
+        transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        fusion_func=fusion.max_fusion,
+        output_chunksize={"y": 5, "x": 5},
+        overlap_in_pixels=1,
+        trim_overlap=False,
+    )
+    in_mem = fusion.fuse([sim], **kw)
+    url = str(tmp_path / ("un.ome.zarr" if ome_zarr else "un.zarr"))
+    streamed = fusion.fuse(
+        [sim], **kw, output_zarr_url=url,
+        zarr_options={"ome_zarr": ome_zarr},
+    )
+    assert streamed.shape == in_mem.shape == (14, 14)
+    np.testing.assert_array_equal(
+        np.asarray(streamed.data[...]), in_mem.to_numpy()
+    )
+    np.testing.assert_allclose(streamed.origin["y"], -1.0)
+
+
 def test_fuse_trim_overlap_false_custom_func_host_tier():
     """The untrimmed layout also holds on the host (extension-API) tier."""
     sim = si_utils.get_sim_from_array(

@@ -293,6 +293,51 @@ def test_tile_pair_metrics_custom_metric_and_tolerance():
     assert "mad" in res["summary"]["registered"]
 
 
+def test_tile_pair_metrics_importable_ssim():
+    """metrics.structural_similarity is importable as a metric_funcs entry
+    (reference docs use skimage's structural_similarity the same way,
+    reference metrics.py:455-473) and handles NaN-masked overlap arrays."""
+    rng = np.random.default_rng(7)
+    full = rng.random((40, 70)).astype(np.float32)
+    sims = [
+        si_utils.get_sim_from_array(
+            full[:, :40].copy(), translation={"y": 0.0, "x": 0.0}
+        ),
+        si_utils.get_sim_from_array(
+            full[:, 30:].copy(), translation={"y": 0.0, "x": 30.0}
+        ),
+    ]
+    msims = [msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims]
+    res = metrics.tile_pair_image_metrics(
+        msims,
+        base_transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+        query_transform_keys=[si_utils.DEFAULT_TRANSFORM_KEY],
+        metric_funcs={
+            "ncc": metrics.normalized_cross_correlation,
+            "ssim": metrics.structural_similarity,
+        },
+        max_tolerance=2.0,
+    )
+    assert res["pairs"]
+    for per_key in res["pairs"].values():
+        vals = per_key[si_utils.DEFAULT_TRANSFORM_KEY]
+        # identical overlapping data: both metrics near 1
+        assert vals["ssim"] > 0.99
+        assert vals["ncc"] > 0.99
+    # direct NaN handling: all-NaN returns NaN, partial NaN stays finite
+    assert np.isnan(
+        metrics.structural_similarity(
+            np.full((20, 20), np.nan), np.full((20, 20), np.nan)
+        )
+    )
+    a = rng.random((30, 30)).astype(np.float32)
+    b = a + 0.01 * rng.random((30, 30)).astype(np.float32)
+    a[:5] = np.nan
+    b[:5] = np.nan
+    v = metrics.structural_similarity(a, b)
+    assert np.isfinite(v) and v > 0.5
+
+
 def test_tile_pair_image_metrics_return_structure():
     """Return contract: pairs keyed by directed tuples with per-key metric
     dicts, plus a volume-weighted summary (reference test_metrics.py:217);
