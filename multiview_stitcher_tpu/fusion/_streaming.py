@@ -53,6 +53,24 @@ last_telemetry: dict = {}
 _upload_stash: dict = {}
 
 
+def _stream_delta_default() -> bool:
+    """Streaming default for the delta link transform (MVS_TPU_STREAM_DELTA).
+
+    On by default: the codec is self-deciding per transfer (it compares the
+    packed byte count of the zigzag-residual stream against the plain
+    stream and ships whichever is smaller, ops/link_codec.py:354), so
+    enabling it only ever removes wire bytes; the host-side transform runs
+    through the C codec (io/_codecs.c mvs_delta_*) at memory bandwidth.
+    """
+    import os
+
+    return os.environ.get("MVS_TPU_STREAM_DELTA", "1").lower() in (
+        "1",
+        "true",
+        "auto",
+    )
+
+
 class StreamingDeadlineError(RuntimeError):
     """Raised when a streaming fusion run exceeds its deadline.
 
@@ -196,10 +214,13 @@ def execute_streaming(
         "up_bytes": 0,
         "down_bytes": 0,
         "up_batches_reused": 0,
+        "up_delta_batches": 0,
+        "down_delta_bands": 0,
         "voxels_written": 0,
         "elapsed_s": 0.0,
         "aborted": False,
         "deadline_s": deadline_s,
+        "wire_bits_per_vox": None,
     }
     global last_telemetry
     last_telemetry = tele
@@ -290,6 +311,7 @@ def execute_streaming(
             stash_batches = entry["batches"]
     NB = -(-NV // U) + 1  # batches per assembly window
     packable = link_codec.is_packable(dtype_in)
+    use_delta = _stream_delta_default()
 
     def upload_batch(bi):
         hit = stash_batches.get(bi)
@@ -317,13 +339,23 @@ def execute_streaming(
             else False
         )
         if len(vs) < U:
+            # pad the tail batch by repeating the last tile (never
+            # referenced by the kernel): edge values keep the delta
+            # residual stream free of artificial value->0 jumps that
+            # would widen the packed width
             arr = np.concatenate(
-                [arr, np.zeros((U - len(vs),) + tile, arr.dtype)]
+                [arr, np.repeat(arr[-1:], U - len(vs), axis=0)]
             )
         nb = 16 if (not packable or bneg) else link_codec.nbits_for_max(bmax)
-        dev = link_codec.put_packed(arr, nbits=nb)
+        info = {}
+        dev = link_codec.put_packed(
+            arr, nbits=nb, delta=use_delta and packable and not bneg,
+            info=info,
+        )
         with tele_lock:
-            tele["up_bytes"] += link_codec.packed_byte_count(arr.size, nb)
+            tele["up_bytes"] += info["bytes"]
+            if info.get("delta"):
+                tele["up_delta_batches"] += 1
         return dev, bmax
 
     zero_batch = None  # lazy: only needed when a window overruns the tail
@@ -354,18 +386,19 @@ def execute_streaming(
                 ),
                 dtype=out_dtype,
             )
-            link_codec.fetch_packed(fused_band, out=buf, nbits=nbits)
+            info = {}
+            link_codec.fetch_packed(
+                fused_band, out=buf, nbits=nbits, delta=use_delta, info=info,
+            )
             sl = tuple(
                 slice(b * H, b * H + h_true) if d == a else slice(None)
                 for d in range(ndim)
             )
             out[sl] = buf
             with tele_lock:
-                tele["down_bytes"] += (
-                    link_codec.packed_byte_count(buf.size, nbits)
-                    if nbits is not None
-                    else buf.nbytes
-                )
+                tele["down_bytes"] += info["bytes"]
+                if info.get("delta"):
+                    tele["down_delta_bands"] += 1
                 tele["voxels_written"] += buf.size
                 tele["bands_done"] += 1
                 tele["elapsed_s"] = _time.perf_counter() - t_begin
@@ -509,6 +542,17 @@ def execute_streaming(
                 "key": stash_key, "batches": stash_batches,
             }
 
+    def _finalize_wire_stats():
+        # wire cost per fused output voxel (both directions): the honest
+        # "how close to the link's information-theoretic floor" number
+        if tele["voxels_written"]:
+            tele["wire_bits_per_vox"] = (
+                8.0
+                * (tele["up_bytes"] + tele["down_bytes"])
+                / tele["voxels_written"]
+            )
+
+    _finalize_wire_stats()
     if errors:
         _save_stash()
         raise errors[0]

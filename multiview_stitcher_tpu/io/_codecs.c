@@ -185,6 +185,59 @@ long mvs_bitpack(const uint16_t *v, long count, int nbits, uint8_t *out)
     return count + blocks;
 }
 
+/* Row-segmented zigzag delta transform (ops/link_codec.py delta mode).
+ * Rows of `row` values, edge-padded: firsts[r] is each row's first value,
+ * resid holds zigzag-coded wrapped first differences ((row-1) per row).
+ * Matches the numpy/JAX codecs bit-for-bit (uint16 wraparound). The numpy
+ * encode/decode run ~100-300 MB/s on this one-core host; these loops are
+ * memory-bound and release the GIL through ctypes. */
+
+long mvs_delta_encode(const uint16_t *v, long count, int row,
+                      uint16_t *firsts, uint16_t *resid)
+{
+    long n_rows = (count + row - 1) / row;
+    long r, i;
+    for (r = 0; r < n_rows; r++) {
+        long base = r * (long)row;
+        uint16_t prev = v[base];
+        uint16_t *rr = resid + r * (long)(row - 1);
+        firsts[r] = prev;
+        for (i = 1; i < row; i++) {
+            long j = base + i;
+            uint16_t cur = j < count ? v[j] : v[count - 1];
+            int16_t d = (int16_t)(uint16_t)(cur - prev);
+            rr[i - 1] = (uint16_t)(((int)d << 1) ^ ((int)d >> 15));
+            prev = cur;
+        }
+    }
+    return n_rows;
+}
+
+long mvs_delta_decode(const uint16_t *firsts, const uint16_t *resid,
+                      long count, int row, uint16_t *out)
+{
+    long n_rows = (count + row - 1) / row;
+    long r, i;
+    for (r = 0; r < n_rows; r++) {
+        long base = r * (long)row;
+        uint16_t cur = firsts[r];
+        const uint16_t *rr = resid + r * (long)(row - 1);
+        if (base < count)
+            out[base] = cur;
+        for (i = 1; i < row; i++) {
+            long j = base + i;
+            int z = rr[i - 1];
+            int d = (z >> 1) ^ -(z & 1);
+            cur = (uint16_t)(cur + (uint16_t)d);
+            if (j < count)
+                out[j] = cur;
+            else
+                break;
+        }
+    }
+    return count;
+}
+
 long mvs_bitunpack(const uint8_t *buf, long buf_len, int nbits, long count,
                    uint16_t *out)
 {

@@ -94,6 +94,14 @@ def _native_codecs():
         lib.mvs_bitunpack.argtypes = [
             u8p, ctypes.c_long, ctypes.c_int, ctypes.c_long, u16p,
         ]
+        lib.mvs_delta_encode.restype = ctypes.c_long
+        lib.mvs_delta_encode.argtypes = [
+            u16p, ctypes.c_long, ctypes.c_int, u16p, u16p,
+        ]
+        lib.mvs_delta_decode.restype = ctypes.c_long
+        lib.mvs_delta_decode.argtypes = [
+            u16p, u16p, ctypes.c_long, ctypes.c_int, u16p,
+        ]
         lib._bitpack_ready = True
     return lib
 
@@ -246,6 +254,14 @@ def delta_encode_np(flat: np.ndarray):
     """uint16 stream -> (firsts, zigzag residuals), both uint16."""
     flat = flat.reshape(-1).astype(np.uint16, copy=False)
     n_rows = _delta_rows(flat.size)
+    lib = _native_codecs()
+    if lib is not None and flat.size:
+        flat_c = np.ascontiguousarray(flat)
+        firsts = np.empty(n_rows, np.uint16)
+        resid = np.empty(n_rows * (_DELTA_ROW - 1), np.uint16)
+        n = lib.mvs_delta_encode(flat_c, flat_c.size, _DELTA_ROW, firsts, resid)
+        if n == n_rows:
+            return firsts, resid
     pad = n_rows * _DELTA_ROW - flat.size
     m = np.pad(flat, (0, pad), mode="edge").reshape(n_rows, _DELTA_ROW)
     firsts = m[:, 0].copy()
@@ -258,6 +274,14 @@ def delta_encode_np(flat: np.ndarray):
 def delta_decode_np(firsts: np.ndarray, resid_z: np.ndarray, count: int):
     """Inverse of :func:`delta_encode_np`."""
     n_rows = firsts.size
+    lib = _native_codecs()
+    if lib is not None and count:
+        firsts_c = np.ascontiguousarray(firsts, dtype=np.uint16)
+        resid_c = np.ascontiguousarray(resid_z, dtype=np.uint16)
+        out = np.empty(count, np.uint16)
+        n = lib.mvs_delta_decode(firsts_c, resid_c, count, _DELTA_ROW, out)
+        if n == count:
+            return out
     zi = resid_z.reshape(n_rows, _DELTA_ROW - 1).astype(np.int32)
     d = (zi >> 1) ^ -(zi & 1)
     m = np.concatenate(
@@ -304,6 +328,58 @@ def _delta_probe_jax(flat: jax.Array):
     )
 
 
+# sparse residual exceptions: a handful of large jumps (batch padding
+# seams, hot pixels/beads, stitched tile boundaries) must not force the
+# global residual width up a whole tier. Residuals above the chosen width
+# travel as (int32 index, uint16 value) pairs and are scattered back in
+# before the reconstruction cumsum.
+_EXC_BYTES = 6  # int32 index + uint16 true residual
+
+
+def _choose_delta_width_np(resid: np.ndarray):
+    """Pick the cheapest (nbits, exception list) for a residual stream.
+
+    Returns (nbits, exc_idx | None, exc_val | None); total wire cost is
+    ``packed_byte_count(resid.size, nbits) + 6 * n_exceptions``.
+    """
+    if resid.size >= 2**31:  # int32 exception indices
+        return nbits_for_max(int(resid.max(initial=0))), None, None
+    best = None
+    for nb in ALLOWED_NBITS:
+        lim = (1 << nb) - 1
+        n_exc = (
+            int(np.count_nonzero(resid > lim)) if nb < 16 else 0
+        )
+        cost = packed_byte_count(resid.size, nb) + _EXC_BYTES * n_exc
+        if best is None or cost < best[0]:
+            best = (cost, nb, n_exc)
+    _, nb, n_exc = best
+    if n_exc == 0:
+        return nb, None, None
+    idx = np.flatnonzero(resid > ((1 << nb) - 1)).astype(np.int32)
+    return nb, idx, resid[idx]
+
+
+def _pad_exceptions(exc_idx: np.ndarray, exc_val: np.ndarray):
+    """Pad exception arrays to a quantized capacity (compile-cache reuse).
+
+    Duplicated (index, value) pairs are harmless: the scatter writes the
+    same value twice.
+    """
+    n = exc_idx.size
+    cap = 16
+    while cap < n:
+        cap *= 2
+    if cap != n:
+        exc_idx = np.concatenate(
+            [exc_idx, np.full(cap - n, exc_idx[0], exc_idx.dtype)]
+        )
+        exc_val = np.concatenate(
+            [exc_val, np.full(cap - n, exc_val[0], exc_val.dtype)]
+        )
+    return exc_idx, exc_val
+
+
 # ---------------------------------------------------------------------------
 # high-level transfers
 # ---------------------------------------------------------------------------
@@ -333,12 +409,16 @@ def _default_streams() -> int:
 def _default_delta() -> bool:
     """Env default for the delta transform (MVS_TPU_LINK_DELTA=1/auto/0).
 
-    Off by default: enable once A/B-validated on the live link (the extra
-    host/device pass is only worth it when residual entropy is lower).
+    On by default: the codec is self-deciding per transfer — it compares
+    the exact wire cost of the zigzag-residual stream (including sparse
+    out-of-width exceptions) against plain bit-packing and ships whichever
+    is smaller, so enabling it only ever removes wire bytes. The host-side
+    transform runs through the C codec (io/_codecs.c mvs_delta_*) at
+    ~1 GB/s; the device side is fused XLA shifts/cumsum.
     """
     import os
 
-    return os.environ.get("MVS_TPU_LINK_DELTA", "0").lower() in (
+    return os.environ.get("MVS_TPU_LINK_DELTA", "1").lower() in (
         "1",
         "true",
         "auto",
@@ -395,14 +475,24 @@ def put_packed(
     # try the delta representation (uint16 only: signed wraparound
     # semantics are defined for the unsigned container)
     firsts = resid = None
+    exc_idx = exc_val = None
     use_delta = False
     nbits_send, count_send = nbits, count
     if delta and arr.dtype == np.uint16:
         firsts, resid = delta_encode_np(flat)
-        nbits_d = nbits_for_max(int(resid.max(initial=0)))
-        if delta_byte_count(count, nbits_d) < packed_byte_count(count, nbits):
+        nbits_d, exc_idx, exc_val = _choose_delta_width_np(resid)
+        n_exc = 0 if exc_idx is None else exc_idx.size
+        dbytes = delta_byte_count(count, nbits_d) + _EXC_BYTES * n_exc
+        if dbytes < packed_byte_count(count, nbits):
             use_delta = True
             nbits_send, count_send = nbits_d, resid.size
+            if exc_idx is not None:
+                # zero out-of-width residuals in the packed stream (their
+                # high bits would corrupt neighbouring bit fields); the
+                # exception scatter restores the true values on device
+                resid[exc_idx] = 0
+        else:
+            exc_idx = exc_val = None
     send = resid if use_delta else flat
     if info is not None:
         info.update(
@@ -410,6 +500,7 @@ def put_packed(
             delta=use_delta,
             bytes=(
                 delta_byte_count(count, nbits_send)
+                + _EXC_BYTES * (0 if exc_idx is None else exc_idx.size)
                 if use_delta
                 else packed_byte_count(count, nbits_send)
             ),
@@ -434,6 +525,14 @@ def put_packed(
     part_counts = tuple(int(bounds[i + 1] - bounds[i]) for i in range(n_streams))
 
     if use_delta:
+        if exc_idx is not None:
+            pidx, pval = _pad_exceptions(exc_idx, exc_val)
+            return _assemble_streams_delta_exc(
+                jax.device_put(firsts), jax.device_put(pidx),
+                jax.device_put(pval), parts_dev,
+                nbits=nbits_send, counts=part_counts, count=count,
+                shape=arr.shape, dtype=np.dtype(arr.dtype).name,
+            )
         return _assemble_streams_delta(
             jax.device_put(firsts), parts_dev,
             nbits=nbits_send, counts=part_counts, count=count,
@@ -463,6 +562,21 @@ def _assemble_streams_delta(firsts, parts, nbits, counts, count, shape, dtype):
     resid = jnp.concatenate(
         [unpack_jax(p, nbits, c, jnp.uint16) for p, c in zip(parts, counts)]
     )
+    return delta_decode_jax(firsts, resid, count).reshape(shape).astype(dtype)
+
+
+@partial(
+    jax.jit, static_argnames=("nbits", "counts", "count", "shape", "dtype")
+)
+def _assemble_streams_delta_exc(
+    firsts, exc_idx, exc_val, parts, nbits, counts, count, shape, dtype
+):
+    """Exception-list variant: scatter the out-of-width residuals back in
+    before the reconstruction cumsum."""
+    resid = jnp.concatenate(
+        [unpack_jax(p, nbits, c, jnp.uint16) for p, c in zip(parts, counts)]
+    )
+    resid = resid.at[exc_idx].set(exc_val)
     return delta_decode_jax(firsts, resid, count).reshape(shape).astype(dtype)
 
 

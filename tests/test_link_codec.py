@@ -225,10 +225,49 @@ def test_fetch_packed_delta_noisy_falls_back_to_plain():
     np.testing.assert_array_equal(out, vals)
 
 
-def test_delta_env_default_off(monkeypatch):
+def test_delta_env_default_on(monkeypatch):
+    # self-deciding (ships delta only when strictly smaller), so the
+    # default is on; MVS_TPU_LINK_DELTA=0 disables
     monkeypatch.delenv("MVS_TPU_LINK_DELTA", raising=False)
-    assert lc._default_delta() is False
+    assert lc._default_delta() is True
     monkeypatch.setenv("MVS_TPU_LINK_DELTA", "auto")
     assert lc._default_delta() is True
     monkeypatch.setenv("MVS_TPU_LINK_DELTA", "0")
     assert lc._default_delta() is False
+
+
+def test_delta_exception_list_outlier_tolerance():
+    """A handful of large jumps (padding seams, hot pixels) must not force
+    the global residual width up a tier: they travel as sparse (index,
+    value) exceptions and the stream packs at the narrow width."""
+    rng = np.random.default_rng(7)
+    n = 1 << 20
+    vals = (1000 + np.cumsum(rng.integers(-3, 4, n))).astype(np.uint16)
+    hot = rng.choice(n, 50, replace=False)
+    vals[hot] = 60000  # hot pixels: residuals way beyond 8 bits
+    info = {}
+    dev = lc.put_packed(vals, delta=True, info=info)
+    assert info["delta"] is True
+    assert info["nbits"] == 8  # narrow width kept despite outliers
+    # wire cost: 8-bit residuals + ~100 exceptions (2 per hot pixel)
+    assert info["bytes"] < lc.packed_byte_count(n, 10)
+    np.testing.assert_array_equal(np.asarray(dev), vals)
+
+
+def test_choose_delta_width_tradeoff():
+    # all-small residuals: 8 bits, no exceptions
+    r = np.full(1 << 16, 3, np.uint16)
+    nb, idx, val = lc._choose_delta_width_np(r)
+    assert nb == 8 and idx is None
+    # a quarter of residuals at 12 bits: exceptions would cost more than
+    # the wider width
+    r[: r.size // 4] = 4000
+    nb, idx, val = lc._choose_delta_width_np(r)
+    assert nb == 12 and idx is None
+    # three 16-bit outliers: keep 8 bits + 3 exceptions
+    r = np.full(1 << 16, 3, np.uint16)
+    r[[5, 500, 5000]] = 65535
+    nb, idx, val = lc._choose_delta_width_np(r)
+    assert nb == 8
+    assert list(idx) == [5, 500, 5000]
+    assert list(val) == [65535] * 3

@@ -249,6 +249,63 @@ def test_streaming_telemetry_recorded(force_streaming):
     assert tele["down_bytes"] > 0
     assert tele["voxels_written"] == out.size
     assert tele["elapsed_s"] > 0
+    # wire accounting (VERDICT r3 item 2): bits per fused voxel over both
+    # directions, well below the raw uint16 cost for packed transfers
+    assert tele["wire_bits_per_vox"] == pytest.approx(
+        8.0 * (tele["up_bytes"] + tele["down_bytes"]) / out.size
+    )
+
+
+def test_streaming_smooth_data_ships_delta(force_streaming, monkeypatch):
+    """Smooth (low first-difference entropy) uint16 tiles trigger the delta
+    link codec on uploads AND band downloads, shrinking wire bytes below
+    plain bit-packing (VERDICT r3 item 2)."""
+    from multiview_stitcher_tpu.ops import link_codec
+
+    # test-sized arrays sit under the real packing threshold; lower it so
+    # the codec decision logic is exercised end-to-end, and shrink the
+    # upload batch so batch padding stays negligible at test scale
+    monkeypatch.setattr(link_codec, "_MIN_PACK_SIZE", 0)
+    monkeypatch.setenv("MVS_TPU_STREAM_BATCH_BYTES", str(6 * 48 * 48 * 2))
+    tk = si_utils.DEFAULT_TRANSFORM_KEY
+    n, tile, overlap = 6, 48, 12
+    step = tile - overlap
+    # smooth ramp + small noise: residuals fit 8 bits, plain max needs 12
+    yy, xx = np.mgrid[0:tile, 0:tile]
+    rng = np.random.default_rng(3)
+    sims = []
+    for idx in np.ndindex((n, n)):
+        data = (
+            1024 + 2 * (yy + xx) + rng.integers(0, 4, (tile, tile))
+        ).astype(np.uint16)
+        sims.append(
+            si_utils.get_sim_from_array(
+                data, dims=["y", "x"],
+                translation={"y": float(idx[0] * step),
+                             "x": float(idx[1] * step)},
+            )
+        )
+    _core.clear_device_tile_cache()
+    fused = fusion.fuse(sims, transform_key=tk, output_chunksize=64)
+    out = np.asarray(fused.data)
+    tele = _streaming.last_telemetry
+    assert tele["up_delta_batches"] > 0
+    assert tele["down_delta_bands"] > 0
+    # delta residuals pack to 8 bits -> strictly fewer wire bytes than the
+    # 12-bit plain packing of values ~1024-1400
+    up_vox = sum(int(np.prod(s.data.shape)) for s in sims)
+    assert tele["up_bytes"] < link_codec.packed_byte_count(up_vox, 12)
+    assert tele["down_bytes"] < link_codec.packed_byte_count(out.size, 12)
+
+    # parity: delta-coded run matches the delta-disabled run bit-exactly
+    monkeypatch.setenv("MVS_TPU_STREAM_DELTA", "0")
+    monkeypatch.setenv("MVS_TPU_LINK_DELTA", "0")
+    _core.clear_device_tile_cache()
+    out_plain = np.asarray(
+        fusion.fuse(sims, transform_key=tk, output_chunksize=64).data
+    )
+    assert _streaming.last_telemetry["up_delta_batches"] == 0
+    np.testing.assert_array_equal(out, out_plain)
 
 
 def test_streaming_deadline_aborts(force_streaming, monkeypatch):
