@@ -1678,6 +1678,27 @@ def _views_output_scale(field_sims, output_stack_properties, sdims):
     return tuple(float(x) for x in scale)
 
 
+def _views_output_scales_per_view(field_sims, output_stack_properties, sdims):
+    """(V, ndim) per-view output-pixel -> view-pixel scales for the
+    mixed-resolution Pallas path (views at DIFFERENT spacings fused onto
+    one output grid — the reference handles per-view spacing transparently
+    via transform_sim, transformation.py:15), or None when any view's
+    scale falls outside the kernels' window budget. Unlike the uniform
+    path, the z scale may be any float (banded z-lerp)."""
+    osp = np.array(
+        [float(output_stack_properties["spacing"][d]) for d in sdims]
+    )
+    scales = np.zeros((len(field_sims), len(sdims)))
+    for v, s in enumerate(field_sims):
+        sp = si_utils.get_spacing_from_sim(s)
+        sc = osp / np.array([float(sp[d]) for d in sdims])
+        sc = np.where(np.abs(sc - np.round(sc)) < 1e-9, np.round(sc), sc)
+        if np.any(sc > 8.0) or np.any(sc <= 0.0):
+            return None
+        scales[v] = sc
+    return scales
+
+
 def translation_kernel_params(
     plan, views_bb, output_stack_properties, sdims,
     blending_widths, shrink_distance, scale_arr=None,
@@ -1713,13 +1734,15 @@ def translation_kernel_params(
             output_spacing=osp_spacing,
             output_origin=osp_origin,
         )
-        if scale_arr is not None and not np.allclose(
-            np.diag(m), scale_arr, rtol=1e-6
-        ):
-            raise ValueError(
-                "per-view pixel map diag disagrees with the uniform "
-                "scale; falling back to the XLA tiers"
+        if scale_arr is not None:
+            expect = (
+                scale_arr[v] if np.ndim(scale_arr) == 2 else scale_arr
             )
+            if not np.allclose(np.diag(m), expect, rtol=1e-6):
+                raise ValueError(
+                    "per-view pixel map diag disagrees with the expected "
+                    "scale; falling back to the XLA tiers"
+                )
         offs[v] = o
         extents[v] = [views_bb[v]["shape"][d] for d in sdims]
         g, wm, wo = weights.blending_weights_pixel_params(
@@ -1739,6 +1762,7 @@ def _pallas_fused_sharded(
     tiles_dev, view_idx, offs, extents, wdiags, woffs, wgrids,
     out_shape_full, tile_shape, K, interpret, out_dtype, mesh,
     scale=None,
+    scales=None,
 ):
     """Multi-chip Pallas tier (SURVEY.md §2.4 P2): the output is band-split
     along the leading spatial dim over the mesh's leading axis; every device
@@ -1781,18 +1805,26 @@ def _pallas_fused_sharded(
     if scale is None:
         scale = (1,) * ndim if ndim == 3 else (1.0,) * ndim
 
-    def body(tiles, vi, org, offs_, exts, wd, wo, wg):
+    per_view = scales is not None
+    scales_rep = (
+        jnp.asarray(scales, jnp.float32)
+        if per_view
+        else jnp.zeros((offs.shape[0], ndim), jnp.float32)
+    )
+
+    def body(tiles, vi, org, offs_, exts, wd, wo, wg, scs):
         return fuse_fn(
             tiles, vi, offs_, exts, wd, wo, wg,
             out_shape=band_shape, tile_shape=tile_shape, K=K,
             interpret=interpret, out_dtype=out_dtype,
             origin=org[0], scale=scale,
+            scales=scs if per_view else None,
         )
 
     fused = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis)) + (P(),) * 5,
+        in_specs=(P(), P(axis), P(axis)) + (P(),) * 6,
         out_specs=P(axis),
         check_vma=False,
     )(
@@ -1804,6 +1836,7 @@ def _pallas_fused_sharded(
         jnp.asarray(wdiags, dtype=jnp.float32),
         jnp.asarray(woffs, dtype=jnp.float32),
         jnp.asarray(wgrids, dtype=jnp.float32),
+        scales_rep,
     )
     return fused[tuple(slice(0, int(s)) for s in out_shape_full)]
 
@@ -1821,11 +1854,13 @@ def _execute_fusion_plan_pallas(
     tile_shape=None,
     mesh=None,
     scale=None,
+    scales=None,
 ):
     """Translation layouts on TPU: the whole output in ONE Pallas kernel
     call with per-tile view lists (see ops/pallas_fusion; 2D and 3D).
     ``scale`` is the static per-dim output-pixel -> view-pixel scale
-    (non-unit when fusing at a coarser/finer output spacing)."""
+    (non-unit when fusing at a coarser/finer output spacing); ``scales``
+    is the (V, ndim) per-view variant for mixed-resolution mosaics."""
     from multiview_stitcher_tpu.ops import pallas_fusion
 
     ndim = len(sdims)
@@ -1842,20 +1877,30 @@ def _execute_fusion_plan_pallas(
     osp_spacing = np.array(
         [output_stack_properties["spacing"][d] for d in sdims]
     )
-    if scale is None:
+    if scale is None and scales is None:
         scale = _views_output_scale(
             field_sims, output_stack_properties, sdims
         )
         if scale is None:
-            raise ValueError(
-                "Pallas tier needs a uniform view->output scale"
+            scales = _views_output_scales_per_view(
+                field_sims, output_stack_properties, sdims
             )
-    scale_arr = np.asarray(scale, dtype=np.float64)
+        if scale is None and scales is None:
+            raise ValueError(
+                "Pallas tier needs per-view view->output scales <= 8"
+            )
+    if scales is not None:
+        # static per-dim MAX bounds the kernels' VMEM window sizes
+        scale = tuple(float(x) for x in np.max(scales, axis=0))
+        scale_arr = np.asarray(scales, dtype=np.float64)  # (V, ndim)
+    else:
+        scale_arr = np.asarray(scale, dtype=np.float64)
 
     # prepared kernel inputs are cached on the plan (geometry-keyed): a
     # repeated fuse() over the same plan skips this entire host loop
     prep_key = (
         "prep:pallas", tuple(tile_shape), tuple(scale),
+        None if scales is None else scales.tobytes(),
         json.dumps(blending_widths, sort_keys=True, default=float),
         json.dumps(shrink_distance, sort_keys=True, default=float),
     )
@@ -1873,8 +1918,9 @@ def _execute_fusion_plan_pallas(
         tile_lists = {}
         for v in range(V):
             # view v covers output pixels o with 0 <= scale*o + off <= ext-1
-            lo = -offs[v] / scale_arr - 1
-            hi = (extents[v] - offs[v]) / scale_arr + 1
+            sc_v = scale_arr[v] if scale_arr.ndim == 2 else scale_arr
+            lo = -offs[v] / sc_v - 1
+            hi = (extents[v] - offs[v]) / sc_v + 1
             ranges = []
             empty = False
             for d in range(ndim):
@@ -1910,12 +1956,18 @@ def _execute_fusion_plan_pallas(
     interpret = jax.devices()[0].platform == "cpu"
     kscale = tuple(scale)
     if ndim == 3:
-        kscale = (int(kscale[0]),) + kscale[1:]
+        # per-view mode: ceil bounds the window; the kernel reads the true
+        # per-view float z scale from SMEM
+        kscale = (
+            int(np.ceil(kscale[0])) if scales is not None
+            else int(kscale[0]),
+        ) + kscale[1:]
+    kscales = None if scales is None else np.asarray(scales, np.float32)
     if mesh is not None and mesh.size > 1:
         fused = _pallas_fused_sharded(
             tiles_dev, view_idx, offs, extents, wdiags, woffs, wgrids,
             out_shape_full, tile_shape, K, interpret,
-            np.dtype(out_dtype), mesh, kscale,
+            np.dtype(out_dtype), mesh, kscale, scales=kscales,
         )
     else:
         fuse_fn = (
@@ -1930,6 +1982,7 @@ def _execute_fusion_plan_pallas(
             interpret=interpret,
             out_dtype=np.dtype(out_dtype),
             scale=kscale,
+            scales=kscales,
         )
     # fetch through the packing codec in parallel bands; the fused output of
     # every builtin mode is bounded by the input maximum, so the cached
@@ -2672,6 +2725,15 @@ def _execute_fusion_plan(
     pallas_scale = _views_output_scale(
         field_sims, output_stack_properties, sdims
     )
+    # mixed-resolution mosaics (per-view spacing): the kernels read
+    # per-view scales from SMEM instead of falling to the XLA tiers
+    pallas_scales_pv = (
+        None
+        if pallas_scale is not None
+        else _views_output_scales_per_view(
+            field_sims, output_stack_properties, sdims
+        )
+    )
     # untrimmed output (trim_overlap=False with halos) writes per-chunk
     # extended regions: only the batched/host tiers implement that layout
     untrimmed = (not trim_overlap) and any(
@@ -2690,7 +2752,7 @@ def _execute_fusion_plan(
             )
         )
         and _plan_is_translation(plan["sparams"], ndim)
-        and pallas_scale is not None
+        and (pallas_scale is not None or pallas_scales_pv is not None)
         and _os.environ.get("MVS_TPU_PALLAS", "1") != "0"
     )
     if pallas_base_eligible:
@@ -2703,6 +2765,7 @@ def _execute_fusion_plan(
             _os.environ.get("MVS_TPU_STREAM", "1") != "0"
             and mesh is None  # banded pipeline is single-device
             and len(tile_shapes) == 1  # band planner assumes uniform tiles
+            and pallas_scale is not None  # uniform-spacing views only
             and all(s == 1.0 for s in pallas_scale)  # unit-scale bands only
             and (
                 not tiles_in_memory
@@ -2758,6 +2821,7 @@ def _execute_fusion_plan(
                 out_sink=out_sink,
                 mesh=mesh,
                 scale=pallas_scale,
+                scales=pallas_scales_pv,
             )
         except Exception as e:  # noqa: BLE001
             # Mosaic limits (e.g. scalar-prefetch size on extreme tile

@@ -106,6 +106,8 @@ def _fuse_tile_kernel(
     extents_ref,    # (2, V) f32 — valid tile extents (pixels) per view
     wdiags_ref,     # (2, V) f32 — output pixel -> weight-grid pixel diag
     woffs_ref,      # (2, V) f32 — ... offset
+    scales_ref,     # (2, V) f32 — per-view out-pixel -> view-pixel scale
+    #                 (read only when PER_VIEW; mixed-resolution mosaics)
     # tensor inputs
     atlas_ref,      # (HA, WA) f32 in ANY/HBM — zero-padded packed views
     wgrids_ref,     # (V, 8, 128) f32 in ANY/HBM (5x5 grids padded)
@@ -122,6 +124,8 @@ def _fuse_tile_kernel(
     TX: int,
     SY_SC: float = 1.0,   # output-pixel -> view-pixel scale (y)
     SX_SC: float = 1.0,   # ... (x); uniform across views, static
+    PER_VIEW: bool = False,  # read per-view scales from scales_ref; the
+    #                       static SY_SC/SX_SC then bound the window sizes
     HW: int = None,       # VMEM window rows (ceil(SY_SC*TY) + margin)
     WW: int = None,       # VMEM window cols
 ):
@@ -156,10 +160,16 @@ def _fuse_tile_kernel(
         vi = jnp.maximum(slot, 0)
         off_y = offs_ref[0, vi]
         off_x = offs_ref[1, vi]
+        if PER_VIEW:
+            sc_y = scales_ref[0, vi]
+            sc_x = scales_ref[1, vi]
+        else:
+            sc_y = jnp.float32(SY_SC)
+            sc_x = jnp.float32(SX_SC)
 
         # atlas-pixel coordinates of this output tile's origin
-        cy0 = aoffs_ref[0, vi] + jnp.float32(SY_SC) * jnp.float32(oy0)
-        cx0 = aoffs_ref[1, vi] + jnp.float32(SX_SC) * jnp.float32(ox0)
+        cy0 = aoffs_ref[0, vi] + sc_y * jnp.float32(oy0)
+        cx0 = aoffs_ref[1, vi] + sc_x * jnp.float32(ox0)
         iy0 = jnp.floor(cy0)
         ix0 = jnp.floor(cx0)
         fy = cy0 - iy0
@@ -197,7 +207,7 @@ def _fuse_tile_kernel(
         sx = rx.astype(jnp.float32) + fx
         row_i = jax.lax.broadcasted_iota(jnp.int32, (TY, HW), 0)
         row_j = jax.lax.broadcasted_iota(jnp.int32, (TY, HW), 1)
-        ty_pos = jnp.float32(SY_SC) * row_i.astype(jnp.float32) + sy
+        ty_pos = sc_y * row_i.astype(jnp.float32) + sy
         ty_i = jnp.floor(ty_pos).astype(jnp.int32)
         ty_f = ty_pos - jnp.floor(ty_pos)
         Sy = jnp.where(
@@ -205,7 +215,7 @@ def _fuse_tile_kernel(
         ) + jnp.where(row_j == ty_i + 1, ty_f, 0.0)
         col_i = jax.lax.broadcasted_iota(jnp.int32, (WW, TX), 0)
         col_j = jax.lax.broadcasted_iota(jnp.int32, (WW, TX), 1)
-        tx_pos = jnp.float32(SX_SC) * col_j.astype(jnp.float32) + sx
+        tx_pos = sc_x * col_j.astype(jnp.float32) + sx
         tx_i = jnp.floor(tx_pos).astype(jnp.int32)
         tx_f = tx_pos - jnp.floor(tx_pos)
         SxT = jnp.where(
@@ -227,8 +237,8 @@ def _fuse_tile_kernel(
         )
 
         # validity: true view-local coordinates within [0, extent-1]
-        cy = jnp.float32(SY_SC) * row_ids + off_y
-        cx = jnp.float32(SX_SC) * col_ids + off_x
+        cy = sc_y * row_ids + off_y
+        cx = sc_x * col_ids + off_x
         valid = (
             (cy >= 0)
             & (cy <= extents_ref[0, vi] - 1)
@@ -283,6 +293,8 @@ def fuse_translation_2d(
     out_dtype=jnp.float32,
     origin=None,    # (2,) int32 — output-pixel origin (banded calls)
     scale: Tuple[float, float] = (1.0, 1.0),  # out-pixel -> view-pixel
+    scales=None,    # (V, 2) f32 per-view scales (mixed-resolution mosaics);
+    #                 ``scale`` must then be the per-dim MAX (window sizing)
 ):
     """Fuse a full 2D output from translation-placed tiles (weighted average
     with cosine blending), single pass in VMEM with per-tile view lists.
@@ -294,7 +306,9 @@ def fuse_translation_2d(
     ``scale`` supports a uniform (per-dim static) non-unit output-pixel ->
     view-pixel map — e.g. fusing at a coarser output spacing (reference
     fuses any output grid through its general resample path,
-    transformation.py:15); the VMEM window grows by ~scale.
+    transformation.py:15); the VMEM window grows by ~scale. ``scales``
+    switches to per-view scales read from SMEM (the reference's
+    transform_sim handles per-view spacing transparently).
     """
     TY, TX = tile_shape
     OY, OX = out_shape
@@ -323,9 +337,15 @@ def fuse_translation_2d(
 
     if origin is None:
         origin = jnp.zeros((2,), jnp.int32)
+    per_view = scales is not None
+    scales_t = (
+        jnp.asarray(scales, dtype=jnp.float32).T
+        if per_view
+        else jnp.zeros((2, V), jnp.float32)
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=8,
         grid=(n_ty, n_tx),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),        # atlas stays in HBM
@@ -345,7 +365,8 @@ def fuse_translation_2d(
     out = pl.pallas_call(
         partial(
             _fuse_tile_kernel, K=K, TY=TY, TX=TX,
-            SY_SC=float(scale[0]), SX_SC=float(scale[1]), HW=HW, WW=WW,
+            SY_SC=float(scale[0]), SX_SC=float(scale[1]),
+            PER_VIEW=per_view, HW=HW, WW=WW,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_ty * TY, n_tx * TX), jnp.float32),
@@ -362,6 +383,7 @@ def fuse_translation_2d(
         jnp.asarray(extents, dtype=jnp.float32).T,
         jnp.asarray(wdiags, dtype=jnp.float32).T,
         jnp.asarray(woffs, dtype=jnp.float32).T,
+        scales_t,
         atlas,
         wgrids_padded,
     )
@@ -383,6 +405,8 @@ def _fuse_tile_kernel_3d(
     extents_ref,    # (3, V) f32
     wdiags_ref,     # (3, V) f32
     woffs_ref,      # (3, V) f32
+    scales_ref,     # (3, V) f32 — per-view out-pixel -> view-pixel scale
+    #                 (read only when PER_VIEW; mixed-resolution mosaics)
     # tensor inputs
     atlas_ref,      # (DA, HA, WA) f32 in ANY/HBM — zero-padded packed views
     wgrids_ref,     # (V, 5, 8, 128) f32 in ANY/HBM (5x5x5 grids padded)
@@ -402,6 +426,9 @@ def _fuse_tile_kernel_3d(
     #                       keeps the z lerp a static strided slice)
     SY_SC: float = 1.0,
     SX_SC: float = 1.0,
+    PER_VIEW: bool = False,  # per-view scales from scales_ref; the z lerp
+    #                       becomes a banded matmul (any float z scale) and
+    #                       the static scales bound the window sizes
     DW: int = None,       # VMEM window depth (SZ_SC*TZ + 1)
     HW: int = None,
     WW: int = None,
@@ -443,10 +470,18 @@ def _fuse_tile_kernel_3d(
         slot_valid = slot >= 0
         vi = jnp.maximum(slot, 0)
         off = [offs_ref[d, vi] for d in range(3)]
+        if PER_VIEW:
+            sc_z = scales_ref[0, vi]
+            sc_y = scales_ref[1, vi]
+            sc_x = scales_ref[2, vi]
+        else:
+            sc_z = jnp.float32(SZ_SC)
+            sc_y = jnp.float32(SY_SC)
+            sc_x = jnp.float32(SX_SC)
 
-        cz0 = aoffs_ref[0, vi] + jnp.float32(SZ_SC) * jnp.float32(oz0)
-        cy0 = aoffs_ref[1, vi] + jnp.float32(SY_SC) * jnp.float32(oy0)
-        cx0 = aoffs_ref[2, vi] + jnp.float32(SX_SC) * jnp.float32(ox0)
+        cz0 = aoffs_ref[0, vi] + sc_z * jnp.float32(oz0)
+        cy0 = aoffs_ref[1, vi] + sc_y * jnp.float32(oy0)
+        cx0 = aoffs_ref[2, vi] + sc_x * jnp.float32(ox0)
         iz0 = jnp.floor(cz0)
         iy0 = jnp.floor(cy0)
         ix0 = jnp.floor(cx0)
@@ -484,13 +519,33 @@ def _fuse_tile_kernel_3d(
         copy.wait()
         wcopy.wait()
 
-        # z lerp: window starts exactly at floor(cz0); the integer z scale
-        # keeps the per-output-plane fraction constant, so the lerp stays a
-        # pair of static (strided) slices
-        wlerp = (
-            (1.0 - fz) * win_ref[0 : SZ_SC * TZ : SZ_SC, :, :]
-            + fz * win_ref[1 : SZ_SC * TZ + 1 : SZ_SC, :, :]
-        )
+        if PER_VIEW:
+            # arbitrary float z scale: the z lerp is a banded (TZ, DW)
+            # matmul (band position varies per output plane), batched over
+            # the window's (HW, WW) minor dims on the MXU
+            sz = fz + (iz0 - wz.astype(jnp.float32))
+            zrow_i = jax.lax.broadcasted_iota(jnp.int32, (TZ, DW), 0)
+            zrow_j = jax.lax.broadcasted_iota(jnp.int32, (TZ, DW), 1)
+            tz_pos = sc_z * zrow_i.astype(jnp.float32) + sz
+            tz_i = jnp.floor(tz_pos).astype(jnp.int32)
+            tz_f = tz_pos - jnp.floor(tz_pos)
+            Sz = jnp.where(
+                zrow_j == tz_i, 1.0 - tz_f, 0.0
+            ) + jnp.where(zrow_j == tz_i + 1, tz_f, 0.0)
+            wlerp = jax.lax.dot_general(
+                Sz, win_ref[:, :, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (TZ, HW, WW)
+        else:
+            # z lerp: window starts exactly at floor(cz0); the integer z
+            # scale keeps the per-output-plane fraction constant, so the
+            # lerp stays a pair of static (strided) slices
+            wlerp = (
+                (1.0 - fz) * win_ref[0 : SZ_SC * TZ : SZ_SC, :, :]
+                + fz * win_ref[1 : SZ_SC * TZ + 1 : SZ_SC, :, :]
+            )
 
         # y/x residual shift + scale + fraction as banded matmuls (batched
         # over z); band position varies per row for non-unit scale
@@ -498,7 +553,7 @@ def _fuse_tile_kernel_3d(
         sx = rx.astype(jnp.float32) + fx
         row_i = jax.lax.broadcasted_iota(jnp.int32, (TY, HW), 0)
         row_j = jax.lax.broadcasted_iota(jnp.int32, (TY, HW), 1)
-        ty_pos = jnp.float32(SY_SC) * row_i.astype(jnp.float32) + sy
+        ty_pos = sc_y * row_i.astype(jnp.float32) + sy
         ty_i = jnp.floor(ty_pos).astype(jnp.int32)
         ty_f = ty_pos - jnp.floor(ty_pos)
         Sy = jnp.where(
@@ -506,7 +561,7 @@ def _fuse_tile_kernel_3d(
         ) + jnp.where(row_j == ty_i + 1, ty_f, 0.0)
         col_i = jax.lax.broadcasted_iota(jnp.int32, (WW, TX), 0)
         col_j = jax.lax.broadcasted_iota(jnp.int32, (WW, TX), 1)
-        tx_pos = jnp.float32(SX_SC) * col_j.astype(jnp.float32) + sx
+        tx_pos = sc_x * col_j.astype(jnp.float32) + sx
         tx_i = jnp.floor(tx_pos).astype(jnp.int32)
         tx_f = tx_pos - jnp.floor(tx_pos)
         SxT = jnp.where(
@@ -530,9 +585,9 @@ def _fuse_tile_kernel_3d(
         )  # (TZ, TY, TX)
 
         # validity from true view-local coordinates
-        cz = jnp.float32(SZ_SC) * z_ids + off[0]
-        cy = jnp.float32(SY_SC) * y_ids + off[1]
-        cx = jnp.float32(SX_SC) * x_ids + off[2]
+        cz = sc_z * z_ids + off[0]
+        cy = sc_y * y_ids + off[1]
+        cx = sc_x * x_ids + off[2]
         valid = (
             (cz >= 0) & (cz <= extents_ref[0, vi] - 1)
             & (cy >= 0) & (cy <= extents_ref[1, vi] - 1)
@@ -593,6 +648,9 @@ def fuse_translation_3d(
     out_dtype=jnp.float32,
     origin=None,    # (3,) int32 — output-pixel origin (banded calls)
     scale=(1, 1.0, 1.0),  # out-pixel -> view-pixel; z scale must be INTEGER
+    scales=None,    # (V, 3) f32 per-view scales (mixed-resolution mosaics);
+    #                 ``scale`` must then be the per-dim MAX (window sizing;
+    #                 z may be any float in this mode)
 ):
     """Fuse a full 3D output from translation-placed tiles, single pass.
 
@@ -601,13 +659,15 @@ def fuse_translation_3d(
 
     ``scale`` supports a uniform (per-dim static) non-unit output-pixel ->
     view-pixel map; the z component must be an integer so the z lerp stays
-    a static strided slice.
+    a static strided slice. ``scales`` switches to per-view scales (any
+    float z) via a banded z-lerp matmul.
     """
     TZ, TY, TX = tile_shape
     OZ, OY, OX = out_shape
-    if float(scale[0]) != int(scale[0]):
+    per_view = scales is not None
+    if not per_view and float(scale[0]) != int(scale[0]):
         raise ValueError("3D Pallas fusion requires an integer z scale")
-    SZ = int(scale[0])
+    SZ = int(np.ceil(float(scale[0])))
     n_tz = -(-OZ // TZ)
     n_ty = -(-OY // TY)
     n_tx = -(-OX // TX)
@@ -632,9 +692,14 @@ def fuse_translation_3d(
 
     if origin is None:
         origin = jnp.zeros((3,), jnp.int32)
+    scales_t = (
+        jnp.asarray(scales, dtype=jnp.float32).T
+        if per_view
+        else jnp.zeros((3, V), jnp.float32)
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=8,
         grid=(n_tz, n_ty, n_tx),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -656,7 +721,7 @@ def fuse_translation_3d(
         partial(
             _fuse_tile_kernel_3d, K=K, TZ=TZ, TY=TY, TX=TX,
             SZ_SC=SZ, SY_SC=float(scale[1]), SX_SC=float(scale[2]),
-            DW=DW, HW=HW, WW=WW,
+            PER_VIEW=per_view, DW=DW, HW=HW, WW=WW,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
@@ -676,6 +741,7 @@ def fuse_translation_3d(
         jnp.asarray(extents, dtype=jnp.float32).T,
         jnp.asarray(wdiags, dtype=jnp.float32).T,
         jnp.asarray(woffs, dtype=jnp.float32).T,
+        scales_t,
         atlas,
         wgrids_padded,
     )

@@ -160,3 +160,74 @@ def test_pallas_3d_matches_xla_path():
         )
     )
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("ndim", [2, 3])
+def test_mixed_resolution_views_take_pallas_tier(ndim, monkeypatch):
+    """Views at DIFFERENT spacings (mixed-resolution mosaic) fuse through
+    the Pallas tier via per-view SMEM scales — including a non-integer
+    per-view z scale in 3D — and match the XLA path (VERDICT r3 item 6;
+    the reference handles per-view spacing transparently through
+    transform_sim, reference transformation.py:15)."""
+    from multiview_stitcher_tpu.fusion import _core
+
+    monkeypatch.setenv("MVS_TPU_PALLAS_TILE_2D", "64,64")
+    monkeypatch.setenv("MVS_TPU_PALLAS_TILE_3D", "8,32,64")
+    rng = np.random.default_rng(5)
+    if ndim == 2:
+        spacings = [{"y": 1.0, "x": 1.0}, {"y": 0.5, "x": 0.5}]
+        shapes = [(40, 40), (64, 64)]
+        translations = [
+            {"y": 0.0, "x": 0.0}, {"y": 2.3, "x": 30.7},
+        ]
+        dims = ("y", "x")
+    else:
+        # non-integer z scale for view 1: 1.0 / 0.8 = 1.25
+        spacings = [
+            {"z": 1.0, "y": 1.0, "x": 1.0},
+            {"z": 0.8, "y": 0.5, "x": 0.5},
+        ]
+        shapes = [(10, 32, 32), (12, 48, 48)]
+        translations = [
+            {"z": 0.0, "y": 0.0, "x": 0.0},
+            {"z": 1.7, "y": 2.3, "x": 22.4},
+        ]
+        dims = ("z", "y", "x")
+    sims = [
+        si_utils.get_sim_from_array(
+            (rng.random(shapes[i]) * 900).astype(np.uint16),
+            dims=dims,
+            scale=spacings[i],
+            translation=translations[i],
+        )
+        for i in range(2)
+    ]
+
+    pallas_ran = {}
+    orig = _core._execute_fusion_plan_pallas
+
+    def spy(*a, **k):
+        pallas_ran["scales"] = k.get("scales")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(_core, "_execute_fusion_plan_pallas", spy)
+    fused_p = fusion.fuse(
+        sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+    )
+    out_p = np.asarray(fused_p.data)
+    assert pallas_ran.get("scales") is not None, (
+        "mixed-resolution fuse did not reach the Pallas per-view-scale path"
+    )
+    assert pallas_ran["scales"].shape == (2, ndim)
+
+    monkeypatch.setenv("MVS_TPU_PALLAS", "0")
+    fused_x = fusion.fuse(
+        sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+    )
+    out_x = np.asarray(fused_x.data)
+    assert out_p.shape == out_x.shape
+    # same f32 lerp evaluated in different op orders -> ±1 count on
+    # integer truncation ties
+    assert np.abs(
+        out_p.astype(np.int64) - out_x.astype(np.int64)
+    ).max() <= 1
