@@ -1,0 +1,631 @@
+"""Exact general-affine resampling as Pallas TPU kernels.
+
+The scipy-parity gather tier (:func:`ops.resample.affine_resample`) is
+TPU-hostile (per-voxel gathers, ~1 Mvox/s device-side) and the shear tier
+(:mod:`ops.shear`) is fast but *approximate* for rotations (one lerp per
+elementary pass). This module closes that gap: EXACT bi/trilinear
+interpolation at affine sample positions, with no gathers, built from two
+observations:
+
+1. Bilinear interpolation at positions ``(u(n), v(n))`` affine in the
+   output index ``n`` factors as::
+
+       out[n] = sum_r hat(u(n) - r) * B[r, n]
+       B      = win @ Hv,   Hv[c, n] = hat(v(n) - c)
+
+   where ``hat(x) = max(0, 1 - |x|)`` is the exact lerp-weight tent.
+   ``Hv`` is a dense (window_cols, N) matrix with exactly <=2 nonzeros
+   per column — the matmul runs on the MXU, and the ``r``-sum is a
+   vectorized sublane reduction of ``HU * B`` with ``HU[r, n] =
+   hat(u(n) - r)``. No data-dependent indexing anywhere; out-of-domain
+   outputs are masked to ``cval`` analytically (scipy
+   ``affine_transform(order=1, mode='constant')`` semantics, reference
+   transformation.py:15,118-139).
+
+2. In 3D, the multiview acquisition family rotates views around ONE axis
+   (reference czi_utils.py:707 "rotate_around_y_positions"; Appendix C of
+   SURVEY.md): the map decouples as an arbitrary affine in the (z, x)
+   plane times an independent y map. Laying the output tile out as
+   (TZ*TX, TY) with y on the LANES amortizes the (z, x) interpolation
+   matmul across all y — ~1-2K f32 MACs/voxel instead of the 2D kernel's
+   window-area cost — followed by an exact banded y-lerp matmul.
+
+Fully general 3D affines (all axes coupled) keep the gather tier.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# hard VMEM ceiling for planned windows: beyond this the rotation is too
+# extreme for the tile shape and callers fall back to the gather tier
+_MAX_WINDOW_ELEMS_2D = 512 * 1024      # f32 window <= 2 MB
+_MAX_WINDOW_ELEMS_3D = 1024 * 1024     # f32 window <= 4 MB
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-int(x) // m) * m
+
+
+def hat(x):
+    """Exact lerp-weight tent: contributes (1-frac, frac) to the two
+    neighbouring integer positions and exactly 0 elsewhere."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x))
+
+
+# ---------------------------------------------------------------------------
+# 2D: any affine
+# ---------------------------------------------------------------------------
+
+
+def plan_windows_2d(mats, tile=(8, 128)):
+    """Static (HW, WW) window sizes covering every map in ``mats``
+    ((B, 2, 2) output-pixel -> input-pixel), or None when too large.
+
+    Margins: +3 interpolation/floor slack, plus the DMA alignment
+    residual (window starts align down to 8 sublanes / 128 lanes)."""
+    mats = np.abs(np.asarray(mats, dtype=np.float64)).reshape(-1, 2, 2)
+    TY, TX = tile
+    hw = float(np.max(mats[:, 0, 0])) * (TY - 1) + float(
+        np.max(mats[:, 0, 1])
+    ) * (TX - 1)
+    ww = float(np.max(mats[:, 1, 0])) * (TY - 1) + float(
+        np.max(mats[:, 1, 1])
+    ) * (TX - 1)
+    HW = _round_up(int(np.ceil(hw)) + 3 + 8, 8)
+    WW = _round_up(int(np.ceil(ww)) + 3 + 128, 128)
+    if HW * WW > _MAX_WINDOW_ELEMS_2D:
+        return None
+    return HW, WW
+
+
+def _exact2d_kernel(
+    # scalar prefetch
+    mats_ref,     # (B, 4) f32 rows [a00, a01, a10, a11]
+    wstart_ref,   # (B, n_ty, n_tx, 2) int32 window starts (padded coords)
+    base_ref,     # (B, n_ty, n_tx, 2) f32 window-local (u0, v0) at tile org
+    # tensor input
+    data_ref,     # (B, Hp, Wp) f32 in ANY/HBM, zero-padded
+    # output
+    out_ref,      # (1, 1, 1, N) f32
+    # scratch
+    win_ref,      # (HW, WW) f32
+    sem,
+    *,
+    TY: int,
+    TX: int,
+    HW: int,
+    WW: int,
+):
+    b = pl.program_id(0)
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+    N = TY * TX
+
+    wy = wstart_ref[b, ty, tx, 0]
+    wx = wstart_ref[b, ty, tx, 1]
+    u0 = base_ref[b, ty, tx, 0]
+    v0 = base_ref[b, ty, tx, 1]
+    a00 = mats_ref[b, 0]
+    a01 = mats_ref[b, 1]
+    a10 = mats_ref[b, 2]
+    a11 = mats_ref[b, 3]
+
+    copy = pltpu.make_async_copy(
+        data_ref.at[b, pl.ds(wy, HW), pl.ds(wx, WW)], win_ref, sem
+    )
+    copy.start()
+
+    # output pixel coords, flattened to the lane dim (n = di*TX + dj)
+    n_ids = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    di = (n_ids // TX).astype(jnp.float32)
+    dj = (n_ids - (n_ids // TX) * TX).astype(jnp.float32)
+    u = u0 + a00 * di + a01 * dj      # (1, N) window-local input row coord
+    v = v0 + a10 * di + a11 * dj      # (1, N) window-local input col coord
+
+    c_ids = jax.lax.broadcasted_iota(jnp.float32, (WW, N), 0)
+    Hv = jnp.maximum(0.0, 1.0 - jnp.abs(v - c_ids))       # (WW, N)
+
+    copy.wait()
+    # column interpolation on the MXU; HIGHEST keeps true f32 (default TPU
+    # matmul precision would round the image VALUES through bf16)
+    B_ = jnp.dot(
+        win_ref[:, :], Hv,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                     # (HW, N)
+    r_ids = jax.lax.broadcasted_iota(jnp.float32, (HW, N), 0)
+    HU = jnp.maximum(0.0, 1.0 - jnp.abs(u - r_ids))       # (HW, N)
+    out_ref[0, 0, 0, :] = jnp.sum(HU * B_, axis=0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("out_shape", "tile", "HW", "WW", "interpret"),
+)
+def _exact2d_batch_call(
+    data,       # (B, Hs, Ws) f32 (NaN-free)
+    mats,       # (B, 2, 2) f32 output pixel -> input pixel
+    offs,       # (B, 2) f32
+    out_shape: Tuple[int, int],
+    tile: Tuple[int, int],
+    HW: int,
+    WW: int,
+    interpret: bool = False,
+):
+    B, Hs, Ws = data.shape
+    TY, TX = tile
+    OY, OX = out_shape
+    N = TY * TX
+    n_ty = -(-OY // TY)
+    n_tx = -(-OX // TX)
+
+    # zero-pad so every (aligned) window DMA is in-bounds; padded coord =
+    # original + (HW, WW)
+    data_p = jnp.pad(data, ((0, 0), (HW, HW), (WW, WW)))
+    Hp, Wp = Hs + 2 * HW, Ws + 2 * WW
+
+    mats = mats.astype(jnp.float32)
+    offs = offs.astype(jnp.float32)
+    a = mats  # (B, 2, 2)
+
+    # per-tile window starts + window-local bases (traced host-side math
+    # inside the jit; tile origins are small so f32 is exact enough)
+    i0 = (jnp.arange(n_ty, dtype=jnp.float32) * TY)[None, :, None]
+    j0 = (jnp.arange(n_tx, dtype=jnp.float32) * TX)[None, None, :]
+    ii = jnp.stack([i0 + 0.0, i0 + (TY - 1)])      # (2, 1, n_ty, 1)
+    jj = jnp.stack([j0 + 0.0, j0 + (TX - 1)])      # (2, 1, 1, n_tx)
+
+    def corner_minmax(ai, aj, b0):
+        # min over the 4 tile corners of ai*i + aj*j + b0
+        vals = (
+            ai[None, None, :, None, None] * ii[:, None]
+            + aj[None, None, :, None, None] * jj[None, :]
+            + b0[None, None, :, None, None]
+        )  # (2, 2, B, n_ty, n_tx)
+        return jnp.min(vals, axis=(0, 1))
+
+    umin = corner_minmax(a[:, 0, 0], a[:, 0, 1], offs[:, 0])
+    vmin = corner_minmax(a[:, 1, 0], a[:, 1, 1], offs[:, 1])
+    # aligned window starts in padded coords; clamped in-bounds to an
+    # aligned start (clamping only binds for fully-out-of-domain tiles)
+    wy = jnp.floor(umin).astype(jnp.int32) - 1 + HW
+    wx = jnp.floor(vmin).astype(jnp.int32) - 1 + WW
+    wy = jnp.clip((wy // 8) * 8, 0, ((Hp - HW) // 8) * 8)
+    wx = jnp.clip((wx // 128) * 128, 0, ((Wp - WW) // 128) * 128)
+    # window-local coords of each tile's (i0, j0) output corner
+    u00 = (
+        a[:, 0, 0, None, None] * i0[0]
+        + a[:, 0, 1, None, None] * j0[0]
+        + offs[:, 0, None, None]
+    )
+    v00 = (
+        a[:, 1, 0, None, None] * i0[0]
+        + a[:, 1, 1, None, None] * j0[0]
+        + offs[:, 1, None, None]
+    )
+    base_u = u00 + HW - wy.astype(jnp.float32)
+    base_v = v00 + WW - wx.astype(jnp.float32)
+
+    wstart = jnp.stack([wy, wx], axis=-1)                 # (B,n_ty,n_tx,2)
+    base = jnp.stack([base_u, base_v], axis=-1)
+    mats_flat = mats.reshape(B, 4)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, n_ty, n_tx),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, N),
+            lambda b, i, j, *_: (b, i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((HW, WW), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    tiles_out = pl.pallas_call(
+        partial(_exact2d_kernel, TY=TY, TX=TX, HW=HW, WW=WW),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, n_ty, n_tx, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(mats_flat, wstart, base, data_p)
+
+    # un-flatten tiles (XLA relayout, HBM-bandwidth) and crop
+    out = (
+        tiles_out.reshape(B, n_ty, n_tx, TY, TX)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(B, n_ty * TY, n_tx * TX)[:, :OY, :OX]
+    )
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("out_shape", "tile", "HW", "WW", "interpret"),
+)
+def exact_affine_batch_2d(
+    data,        # (B, Hs, Ws) float (may contain NaN padding)
+    mats,        # (B, 2, 2)
+    offs,        # (B, 2)
+    extents,     # (B, 2) f32 TRUE per-item extents (validity domain)
+    out_shape: Tuple[int, int],
+    tile: Tuple[int, int] = (8, 128),
+    HW: int = 16,
+    WW: int = 136,
+    cval=jnp.nan,
+    interpret: bool = False,
+):
+    """Exact batched 2D affine resample (scipy order=1 'constant' parity).
+
+    Output pixel ``(i, j)`` of item ``b`` samples input coordinate
+    ``mats[b] @ (i, j) + offs[b]``; coordinates outside
+    ``[0, extents[b]-1]`` produce exactly ``cval``.
+    """
+    data_f = jnp.nan_to_num(data.astype(jnp.float32))
+    vals = _exact2d_batch_call(
+        data_f, mats, offs, out_shape, tile, HW, WW, interpret
+    )
+    OY, OX = out_shape
+    i = jnp.arange(OY, dtype=jnp.float32)[None, :, None]
+    j = jnp.arange(OX, dtype=jnp.float32)[None, None, :]
+    mats = mats.astype(jnp.float32)
+    offs = offs.astype(jnp.float32)
+    u = mats[:, 0, 0, None, None] * i + mats[:, 0, 1, None, None] * j + (
+        offs[:, 0, None, None]
+    )
+    v = mats[:, 1, 0, None, None] * i + mats[:, 1, 1, None, None] * j + (
+        offs[:, 1, None, None]
+    )
+    ext = extents.astype(jnp.float32)
+    valid = (
+        (u >= 0)
+        & (u <= ext[:, 0, None, None] - 1)
+        & (v >= 0)
+        & (v <= ext[:, 1, None, None] - 1)
+    )
+    return jnp.where(valid, vals, jnp.asarray(cval, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# 3D: y-decoupled family (rotation/scale/shear in (z, x) x independent y)
+# ---------------------------------------------------------------------------
+
+
+def is_y_decoupled(mats, atol=1e-9) -> bool:
+    """True when every (3, 3) pixel map decouples the middle axis:
+    input y depends only on output y, and input z/x do not depend on
+    output y (the multiview rotate-around-y family, reference
+    czi_utils.py:638-737)."""
+    m = np.asarray(mats, dtype=np.float64).reshape(-1, 3, 3)
+    return bool(
+        np.all(np.abs(m[:, 0, 1]) <= atol)
+        & np.all(np.abs(m[:, 2, 1]) <= atol)
+        & np.all(np.abs(m[:, 1, 0]) <= atol)
+        & np.all(np.abs(m[:, 1, 2]) <= atol)
+    )
+
+
+def plan_windows_3d(mats, tile=(8, 32, 128)):
+    """Static (ZS, XS, YW) window sizes for the y-decoupled 3D kernel, or
+    None when too large. ``tile`` is the (TZ, TX, TY) output tile.
+
+    Margins: +3 slack, plus DMA alignment residual on the sublane (8) and
+    lane (128) dims; z is an untiled major dim (arbitrary start)."""
+    m = np.abs(np.asarray(mats, dtype=np.float64)).reshape(-1, 3, 3)
+    TZ, TX, TY = tile
+    zs = float(np.max(m[:, 0, 0])) * (TZ - 1) + float(
+        np.max(m[:, 0, 2])
+    ) * (TX - 1)
+    xs = float(np.max(m[:, 2, 0])) * (TZ - 1) + float(
+        np.max(m[:, 2, 2])
+    ) * (TX - 1)
+    yw = float(np.max(m[:, 1, 1])) * (TY - 1)
+    ZS = int(np.ceil(zs)) + 3
+    XS = _round_up(int(np.ceil(xs)) + 3 + 8, 8)
+    YW = _round_up(int(np.ceil(yw)) + 3 + 128, 128)
+    if ZS * XS * YW > _MAX_WINDOW_ELEMS_3D:
+        return None
+    return ZS, XS, YW
+
+
+def _exact3d_sepy_kernel(
+    # scalar prefetch
+    mats_ref,     # (B, 5) f32 [m00, m02, m20, m22, m11]
+    wstart_ref,   # (B, n_tz, n_tx, n_ty, 3) int32 (z, x, y) window starts
+    base_ref,     # (B, n_tz, n_tx, n_ty, 3) f32 window-local (w0, v0, u0)
+    # tensor input: (B, Zp, Xp, Yp) f32 — input TRANSPOSED to (z, x, y)
+    data_ref,
+    # output: (1, 1, 1, 1, N2, TY) f32, N2 = TZ*TX
+    out_ref,
+    # scratch
+    win_ref,      # (ZS, XS, YW) f32
+    sem,
+    *,
+    TZ: int,
+    TX: int,
+    TY: int,
+    ZS: int,
+    XS: int,
+    YW: int,
+):
+    b = pl.program_id(0)
+    tz = pl.program_id(1)
+    tx = pl.program_id(2)
+    ty = pl.program_id(3)
+    N2 = TZ * TX
+
+    wz = wstart_ref[b, tz, tx, ty, 0]
+    wx = wstart_ref[b, tz, tx, ty, 1]
+    wy = wstart_ref[b, tz, tx, ty, 2]
+    w0 = base_ref[b, tz, tx, ty, 0]
+    v0 = base_ref[b, tz, tx, ty, 1]
+    u0 = base_ref[b, tz, tx, ty, 2]
+    m00 = mats_ref[b, 0]
+    m02 = mats_ref[b, 1]
+    m20 = mats_ref[b, 2]
+    m22 = mats_ref[b, 3]
+    m11 = mats_ref[b, 4]
+
+    copy = pltpu.make_async_copy(
+        data_ref.at[b, pl.ds(wz, ZS), pl.ds(wx, XS), pl.ds(wy, YW)],
+        win_ref,
+        sem,
+    )
+    copy.start()
+
+    # (z, x) sample positions per n2 = dz*TX + dx (lanes of the Hv build)
+    n2 = jax.lax.broadcasted_iota(jnp.int32, (1, N2), 1)
+    dz = (n2 // TX).astype(jnp.float32)
+    dx = (n2 - (n2 // TX) * TX).astype(jnp.float32)
+    w = w0 + m00 * dz + m02 * dx            # (1, N2) window z coord
+    v = v0 + m20 * dz + m22 * dx            # (1, N2) window x coord
+
+    # x-interpolation matrix shared by every z-slab: (N2, XS)
+    c_ids = jax.lax.broadcasted_iota(jnp.float32, (N2, XS), 1)
+    Hv = jnp.maximum(0.0, 1.0 - jnp.abs(v.reshape(N2, 1) - c_ids))
+    wcol = w.reshape(N2, 1)                 # (N2, 1)
+
+    copy.wait()
+
+    # z loop: acc[n2, y'] += hat(w - dz_w) * (Hv_z @ win[dz_w])
+    def body(dzw, acc):
+        hz = jnp.maximum(
+            0.0, 1.0 - jnp.abs(wcol - dzw.astype(jnp.float32))
+        )                                   # (N2, 1)
+        slab = win_ref[pl.ds(dzw, 1), :, :].reshape(XS, YW)
+        m = jnp.dot(
+            Hv, slab,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                   # (N2, YW)
+        return acc + hz * m
+
+    acc = jax.lax.fori_loop(
+        0, ZS, body, jnp.zeros((N2, YW), jnp.float32)
+    )
+
+    # exact banded y lerp: positions u(ty') = m11*ty' + u0 shared by all n2
+    yrow = jax.lax.broadcasted_iota(jnp.float32, (YW, TY), 1)
+    ypos = m11 * yrow + u0                  # target window-y per output y
+    yband = jax.lax.broadcasted_iota(jnp.float32, (YW, TY), 0)
+    Sy = jnp.maximum(0.0, 1.0 - jnp.abs(ypos - yband))    # (YW, TY)
+    out_ref[0, 0, 0, 0, :, :] = jnp.dot(
+        acc, Sy,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("out_shape", "tile", "ZS", "XS", "YW", "interpret"),
+)
+def _exact3d_sepy_call(
+    data_zxy,    # (B, Zs, Xs, Ys) f32 — input transposed to (z, x, y)
+    mats5,       # (B, 5) f32 [m00, m02, m20, m22, m11]
+    offs,        # (B, 3) f32 (z, y, x) translation (original axis order)
+    out_shape: Tuple[int, int, int],
+    tile: Tuple[int, int, int],
+    ZS: int,
+    XS: int,
+    YW: int,
+    interpret: bool = False,
+):
+    B, Zs, Xs, Ys = data_zxy.shape
+    TZ, TX, TY = tile
+    OZ, OY, OX = out_shape
+    N2 = TZ * TX
+    n_tz = -(-OZ // TZ)
+    n_tx = -(-OX // TX)
+    n_ty = -(-OY // TY)
+
+    data_p = jnp.pad(
+        data_zxy, ((0, 0), (ZS, ZS), (XS, XS), (YW, YW))
+    )
+    Zp, Xp, Yp = Zs + 2 * ZS, Xs + 2 * XS, Ys + 2 * YW
+
+    m = mats5.astype(jnp.float32)
+    offs = offs.astype(jnp.float32)
+
+    z0 = (jnp.arange(n_tz, dtype=jnp.float32) * TZ)
+    x0 = (jnp.arange(n_tx, dtype=jnp.float32) * TX)
+    y0 = (jnp.arange(n_ty, dtype=jnp.float32) * TY)
+
+    def minmax2(c_a, c_b, a0, b0, ta, tb, off):
+        # min over the 4 corners of c_a*a + c_b*b + off for a tile
+        vals = []
+        for da in (0.0, ta - 1.0):
+            for db in (0.0, tb - 1.0):
+                vals.append(
+                    c_a[:, None, None] * (a0[None, :, None] + da)
+                    + c_b[:, None, None] * (b0[None, None, :] + db)
+                    + off[:, None, None]
+                )
+        v = jnp.stack(vals)
+        return jnp.min(v, axis=0)
+
+    wmin = minmax2(m[:, 0], m[:, 1], z0, x0, TZ, TX, offs[:, 0])
+    vmin = minmax2(m[:, 2], m[:, 3], z0, x0, TZ, TX, offs[:, 2])
+    umin = jnp.minimum(
+        m[:, 4, None] * y0[None, :] + offs[:, 1, None],
+        m[:, 4, None] * (y0[None, :] + TY - 1) + offs[:, 1, None],
+    )                                            # (B, n_ty)
+
+    wz = jnp.clip(
+        jnp.floor(wmin).astype(jnp.int32) - 1 + ZS, 0, Zp - ZS
+    )                                            # (B, n_tz, n_tx)
+    wx = jnp.clip(
+        ((jnp.floor(vmin).astype(jnp.int32) - 1 + XS) // 8) * 8,
+        0, ((Xp - XS) // 8) * 8,
+    )
+    wy = jnp.clip(
+        ((jnp.floor(umin).astype(jnp.int32) - 1 + YW) // 128) * 128,
+        0, ((Yp - YW) // 128) * 128,
+    )                                            # (B, n_ty)
+
+    w00 = (
+        m[:, 0, None, None] * z0[None, :, None]
+        + m[:, 1, None, None] * x0[None, None, :]
+        + offs[:, 0, None, None]
+    )
+    v00 = (
+        m[:, 2, None, None] * z0[None, :, None]
+        + m[:, 3, None, None] * x0[None, None, :]
+        + offs[:, 2, None, None]
+    )
+    u00 = m[:, 4, None] * y0[None, :] + offs[:, 1, None]   # (B, n_ty)
+
+    base_w = w00 + ZS - wz.astype(jnp.float32)
+    base_v = v00 + XS - wx.astype(jnp.float32)
+    base_u = u00 + YW - wy.astype(jnp.float32)
+
+    # broadcast to the full (B, n_tz, n_tx, n_ty, 3) prefetch tables
+    shape4 = (B, n_tz, n_tx, n_ty)
+    wstart = jnp.stack(
+        [
+            jnp.broadcast_to(wz[:, :, :, None], shape4),
+            jnp.broadcast_to(wx[:, :, :, None], shape4),
+            jnp.broadcast_to(wy[:, None, None, :], shape4),
+        ],
+        axis=-1,
+    )
+    base = jnp.stack(
+        [
+            jnp.broadcast_to(base_w[:, :, :, None], shape4),
+            jnp.broadcast_to(base_v[:, :, :, None], shape4),
+            jnp.broadcast_to(base_u[:, None, None, :], shape4),
+        ],
+        axis=-1,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, n_tz, n_tx, n_ty),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, 1, N2, TY),
+            lambda b, i, j, k, *_: (b, i, j, k, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ZS, XS, YW), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    tiles_out = pl.pallas_call(
+        partial(
+            _exact3d_sepy_kernel,
+            TZ=TZ, TX=TX, TY=TY, ZS=ZS, XS=XS, YW=YW,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_tz, n_tx, n_ty, N2, TY), jnp.float32
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(mats5, wstart, base, data_p)
+
+    # (B, n_tz, n_tx, n_ty, TZ*TX, TY) -> (B, OZ, OY, OX)
+    out = tiles_out.reshape(B, n_tz, n_tx, n_ty, TZ, TX, TY)
+    out = out.transpose(0, 1, 4, 3, 6, 2, 5).reshape(
+        B, n_tz * TZ, n_ty * TY, n_tx * TX
+    )
+    return out[:, :OZ, :OY, :OX]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("out_shape", "tile", "ZS", "XS", "YW", "interpret"),
+)
+def exact_affine_batch_3d_sepy(
+    data,        # (B, Sz, Sy, Sx) float (may contain NaN padding)
+    mats,        # (B, 3, 3) y-decoupled output-pixel -> input-pixel maps
+    offs,        # (B, 3)
+    extents,     # (B, 3) f32 TRUE per-item (z, y, x) extents
+    out_shape: Tuple[int, int, int],
+    tile: Tuple[int, int, int] = (8, 32, 128),
+    ZS: int = 16,
+    XS: int = 40,
+    YW: int = 256,
+    cval=jnp.nan,
+    interpret: bool = False,
+):
+    """Exact batched 3D affine resample for the y-decoupled family
+    (scipy order=1 'constant' parity). ``tile`` is (TZ, TX, TY)."""
+    data_f = jnp.nan_to_num(data.astype(jnp.float32))
+    # input laid out (z, x, y): y on the lanes amortizes the (z, x)
+    # interpolation across the whole y extent
+    data_zxy = data_f.transpose(0, 1, 3, 2)
+    mats = mats.astype(jnp.float32)
+    mats5 = jnp.stack(
+        [
+            mats[:, 0, 0], mats[:, 0, 2],
+            mats[:, 2, 0], mats[:, 2, 2],
+            mats[:, 1, 1],
+        ],
+        axis=-1,
+    )
+    vals = _exact3d_sepy_call(
+        data_zxy, mats5, offs, out_shape, tile, ZS, XS, YW, interpret
+    )
+
+    OZ, OY, OX = out_shape
+    zz = jnp.arange(OZ, dtype=jnp.float32)[None, :, None, None]
+    yy = jnp.arange(OY, dtype=jnp.float32)[None, None, :, None]
+    xx = jnp.arange(OX, dtype=jnp.float32)[None, None, None, :]
+    offs = offs.astype(jnp.float32)
+    w = (
+        mats[:, 0, 0, None, None, None] * zz
+        + mats[:, 0, 2, None, None, None] * xx
+        + offs[:, 0, None, None, None]
+    )
+    u = (
+        mats[:, 1, 1, None, None, None] * yy
+        + offs[:, 1, None, None, None]
+    )
+    v = (
+        mats[:, 2, 0, None, None, None] * zz
+        + mats[:, 2, 2, None, None, None] * xx
+        + offs[:, 2, None, None, None]
+    )
+    ext = extents.astype(jnp.float32)
+    valid = (
+        (w >= 0) & (w <= ext[:, 0, None, None, None] - 1)
+        & (u >= 0) & (u <= ext[:, 1, None, None, None] - 1)
+        & (v >= 0) & (v <= ext[:, 2, None, None, None] - 1)
+    )
+    return jnp.where(valid, vals, jnp.asarray(cval, jnp.float32))

@@ -1,0 +1,217 @@
+"""Exact Pallas affine tier (ops/exact_affine.py) vs the gather oracle.
+
+The kernels run in interpret mode on the CPU suite; on TPU they compile
+to MXU banded-hat matmuls. Unlike the shear tier they are EXACT: parity
+with the scipy-semantics gather tier is f32-ulp noise, not an
+interpolation-model tolerance.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from multiview_stitcher_tpu import fusion, si_utils
+from multiview_stitcher_tpu.fusion import _core
+from multiview_stitcher_tpu.ops import exact_affine as ea
+from multiview_stitcher_tpu.ops import resample as rs
+
+
+def _rot2(theta, scale=1.0):
+    c, s = np.cos(theta), np.sin(theta)
+    return np.array([[c, -s], [s, c]]) * scale
+
+
+@pytest.mark.parametrize(
+    "theta,scale,off",
+    [
+        (0.3, 1.0, (2.3, -4.7)),
+        (0.0, 1.0, (0.5, 0.5)),
+        (-0.8, 1.3, (10.0, 3.2)),
+        (1.4, 0.7, (-3.0, 8.1)),
+    ],
+)
+def test_exact_2d_matches_gather(theta, scale, off):
+    rng = np.random.default_rng(0)
+    H, W = 60, 90
+    data = (rng.random((H, W)) * 100).astype(np.float32)
+    M = _rot2(theta, scale)
+    o = np.array(off)
+    out_shape = (50, 80)
+    ref = np.asarray(
+        rs.affine_resample(
+            data, M.astype(np.float32), o.astype(np.float32),
+            out_shape, order=1, cval=np.nan,
+        )
+    )
+    win = ea.plan_windows_2d(M[None])
+    assert win is not None
+    got = np.asarray(
+        ea.exact_affine_batch_2d(
+            jnp.asarray(data)[None],
+            jnp.asarray(M, jnp.float32)[None],
+            jnp.asarray(o, jnp.float32)[None],
+            jnp.asarray([[H, W]], jnp.float32),
+            out_shape, tile=(8, 128), HW=win[0], WW=win[1],
+            interpret=True,
+        )
+    )[0]
+    # out-of-domain (cval) masks must be IDENTICAL
+    np.testing.assert_array_equal(np.isnan(ref), np.isnan(got))
+    m = ~np.isnan(ref)
+    if m.any():
+        # f32 position ulp noise only (~5e-5 relative on range-100 data)
+        assert np.abs(ref[m] - got[m]).max() < 5e-3
+
+
+@pytest.mark.parametrize("theta", [0.4, -0.7, 0.0, 1.2])
+def test_exact_3d_sepy_matches_gather(theta):
+    rng = np.random.default_rng(1)
+    Sz, Sy, Sx = 20, 30, 40
+    data = (rng.random((Sz, Sy, Sx)) * 100).astype(np.float32)
+    c, s = np.cos(theta), np.sin(theta)
+    # rotation around y + y scale: the y-decoupled multiview family
+    M = np.array([[c, 0, -s], [0, 1.1, 0], [s, 0, c]])
+    o = np.array([1.2, -2.3, 3.4])
+    out_shape = (18, 25, 35)
+    assert ea.is_y_decoupled(M[None])
+    ref = np.asarray(
+        rs.affine_resample(
+            data, M.astype(np.float32), o.astype(np.float32),
+            out_shape, order=1, cval=np.nan,
+        )
+    )
+    win = ea.plan_windows_3d(M[None], tile=(8, 32, 128))
+    assert win is not None
+    got = np.asarray(
+        ea.exact_affine_batch_3d_sepy(
+            jnp.asarray(data)[None],
+            jnp.asarray(M, jnp.float32)[None],
+            jnp.asarray(o, jnp.float32)[None],
+            jnp.asarray([[Sz, Sy, Sx]], jnp.float32),
+            out_shape, tile=(8, 32, 128),
+            ZS=win[0], XS=win[1], YW=win[2], interpret=True,
+        )
+    )[0]
+    np.testing.assert_array_equal(np.isnan(ref), np.isnan(got))
+    m = ~np.isnan(ref)
+    if m.any():
+        assert np.abs(ref[m] - got[m]).max() < 5e-3
+
+
+def test_is_y_decoupled_rejects_general_rotation():
+    # rotation mixing y with x: all axes coupled -> gather tier
+    th = 0.3
+    M = np.eye(3)
+    M[1:3, 1:3] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+    assert not ea.is_y_decoupled(M[None])
+    # batches: one coupled map disqualifies the batch
+    ok = np.array([[0.9, 0, -0.1], [0, 1, 0], [0.1, 0, 0.9]])
+    assert ea.is_y_decoupled(ok[None])
+    assert not ea.is_y_decoupled(np.stack([ok, M]))
+
+
+def test_plan_windows_reject_oversized():
+    # a 200x downscale map needs a window far beyond VMEM
+    M = np.diag([200.0, 200.0])
+    assert ea.plan_windows_2d(M[None], tile=(8, 128)) is None
+
+
+def _smooth(shape, seed=3):
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(seed)
+    return gaussian_filter(rng.random(shape), 1.5).astype(np.float32)
+
+
+def _roty_sims(ndim):
+    """Two overlapping views, one rotated: 2D in-plane rotation / 3D
+    rotation AROUND y (the light-sheet multiview geometry)."""
+    if ndim == 2:
+        img = _smooth((80, 80)) * 100
+        th = 0.06
+        R = np.eye(3)
+        R[:2, :2] = _rot2(th)
+        ms = [np.eye(3), R]
+        mk = lambda i: si_utils.get_sim_from_array(
+            img.copy(), translation={"y": 0.0, "x": i * 60.0}
+        )
+    else:
+        vol = _smooth((40, 48, 48)) * 100
+        th = 0.05
+        R = np.eye(4)
+        c, s = np.cos(th), np.sin(th)
+        R[0, 0], R[0, 2], R[2, 0], R[2, 2] = c, -s, s, c  # rotate around y
+        ms = [np.eye(4), R]
+        mk = lambda i: si_utils.get_sim_from_array(
+            vol.copy(),
+            translation={"z": 0.0, "y": 0.0, "x": i * 36.0},
+        )
+    sims = []
+    for i, m in enumerate(ms):
+        sim = mk(i)
+        si_utils.set_sim_affine(sim, m, transform_key="affine")
+        sims.append(sim)
+    return sims
+
+
+@pytest.mark.parametrize("ndim,cs", [(2, 48), (3, 32)])
+def test_fusion_exact_tier_matches_gather(ndim, cs, monkeypatch):
+    """End-to-end fuse() of rotated views through the exact Pallas tier
+    (MVS_TPU_EXACT_AFFINE=1) matches the gather tier to f32 noise — the
+    exactness-by-default guarantee VERDICT r3 item 3 asks for."""
+    calls = {"n": 0}
+    orig = _core._fuse_chunk_batch_kernel_exact
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setenv("MVS_TPU_EXACT_AFFINE", "0")
+    monkeypatch.setenv("MVS_TPU_SHEAR", "0")
+    ref = fusion.fuse(
+        _roty_sims(ndim), transform_key="affine", output_chunksize=cs
+    ).to_numpy()
+    monkeypatch.setenv("MVS_TPU_EXACT_AFFINE", "1")
+    monkeypatch.setattr(_core, "_fuse_chunk_batch_kernel_exact", spy)
+    out = fusion.fuse(
+        _roty_sims(ndim), transform_key="affine", output_chunksize=cs
+    ).to_numpy()
+    assert calls["n"] >= 1, "exact tier not engaged"
+    assert out.shape == ref.shape
+    d = np.abs(out.astype(float) - ref.astype(float))
+    # both tiers are exact: only f32 op-order noise remains
+    assert d.max() <= 1.0  # uint16 rounding ties at f32 noise
+
+
+def test_fusion_general_3d_rotation_falls_back_to_gather(monkeypatch):
+    """A 3D rotation coupling y (not in the sepy family) must NOT take
+    the exact Pallas tier; fuse() still succeeds via the gather tier."""
+    vol = _smooth((24, 32, 32)) * 100
+    th = 0.08
+    R = np.eye(4)
+    R[1:3, 1:3] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+    sims = []
+    for i, m in enumerate([np.eye(4), R]):
+        sim = si_utils.get_sim_from_array(
+            vol.copy(),
+            translation={"z": 0.0, "y": 0.0, "x": i * 24.0},
+        )
+        si_utils.set_sim_affine(sim, m, transform_key="affine")
+        sims.append(sim)
+
+    calls = {"n": 0}
+    orig = _core._fuse_chunk_batch_kernel_exact
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setenv("MVS_TPU_EXACT_AFFINE", "1")
+    monkeypatch.setenv("MVS_TPU_SHEAR", "0")
+    monkeypatch.setattr(_core, "_fuse_chunk_batch_kernel_exact", spy)
+    out = fusion.fuse(
+        sims, transform_key="affine", output_chunksize=32
+    ).to_numpy()
+    assert calls["n"] == 0, "coupled-y map wrongly took the sepy kernel"
+    assert np.isfinite(out.astype(float)).all()
