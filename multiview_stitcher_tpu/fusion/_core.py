@@ -1548,6 +1548,46 @@ def _fuse_chunk_batch_kernel_exact(
     return jax.vmap(lambda d: one(d, None))(data_t)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "S_max", "out_shape", "win", "wwin", "tile", "mode", "use_bw",
+        "interpret",
+    ),
+)
+def _fuse_chunk_batch_kernel_exact_devtiles(
+    tiles,        # (V, *T) device-resident tile stack (any dtype)
+    tile_idx,     # (B, K) int32 view index per chunk slot (0 for padding)
+    starts,       # (B, K, ndim) int32 slab window starts (pre-clamped)
+    mats, offs, extents, wgrids, wmats, woffs, view_valid,
+    S_max, out_shape, win, wwin, tile, mode, use_bw,
+    interpret=False,
+):
+    """Exact-tier batch kernel reading slabs from a DEVICE-RESIDENT tile
+    stack via dynamic_slice — repeated rotated fuse() calls skip the
+    host->device slab uploads entirely (same _DeviceTileCache regime as
+    the translation and shear tiers)."""
+    ndim = len(out_shape)
+    tiles_f = tiles.astype(jnp.float32)
+    if jnp.issubdtype(tiles.dtype, jnp.floating):
+        tiles_f = jnp.nan_to_num(tiles_f)
+    pad = [(0, max(0, S_max[i] - int(tiles.shape[1 + i])))
+           for i in range(ndim)]
+    if any(p[1] for p in pad):
+        tiles_f = jnp.pad(tiles_f, [(0, 0)] + pad, mode="edge")
+
+    def slice_one(idx, st):
+        return jax.lax.dynamic_slice(
+            tiles_f[idx], [st[i] for i in range(ndim)], S_max
+        )
+
+    slabs = jax.vmap(jax.vmap(slice_one))(tile_idx, starts)
+    return _fuse_chunk_batch_kernel_exact(
+        slabs, mats, offs, extents, wgrids, wmats, woffs, view_valid,
+        out_shape, win, wwin, tile, mode, use_bw, interpret=interpret,
+    )
+
+
 def _shear_tier_enabled() -> bool:
     """MVS_TPU_SHEAR: '1' force on, '0' off, 'auto' (default) = on when the
     default backend is TPU. The shear tier trades scipy-exactness for
@@ -2422,7 +2462,7 @@ def _execute_fusion_plan_batched(
     except Exception:  # noqa: BLE001
         total_tile_bytes = None
     device_tiles = (
-        _shear_tier_enabled()
+        (_shear_tier_enabled() or _exact_affine_tier_enabled())
         and _os2.environ.get("MVS_TPU_DEVICE_SLABS", "1") != "0"
         and total_tile_bytes is not None
         and total_tile_bytes
@@ -2583,14 +2623,16 @@ def _execute_fusion_plan_batched(
             else:
                 shear_bundle = (splan, sctx, None, None)
 
-    if device_tiles and shear_bundle is None:
+    if device_tiles and shear_bundle is None and exact_bundle is None:
         # params were start-clamped for the device slice path; the gather
         # fallback extracts host slabs at unclamped starts — recompute
         device_tiles = False
         compute_params(None)
 
     tiles_dev = None
-    if device_tiles and shear_bundle is not None:
+    if device_tiles and (
+        shear_bundle is not None or exact_bundle is not None
+    ):
         try:
             tiles_dev, _nbits = _tiles_to_device(field_sims)
         except Exception as e:  # noqa: BLE001
@@ -2664,6 +2706,21 @@ def _execute_fusion_plan_batched(
          woffs, valid) = arrays
         if exact_bundle is not None:
             win, wwin, etile = exact_bundle
+            interp = jax.devices()[0].platform == "cpu"
+            if device_tiles:
+                return _fuse_chunk_batch_kernel_exact_devtiles(
+                    tiles_dev, jnp.asarray(tile_idx),
+                    jnp.asarray(starts),
+                    jnp.asarray(mats, dtype=jnp.float32),
+                    jnp.asarray(offs, dtype=jnp.float32),
+                    jnp.asarray(extents),
+                    jnp.asarray(wgrids),
+                    jnp.asarray(wmats, dtype=jnp.float32),
+                    jnp.asarray(woffs, dtype=jnp.float32),
+                    jnp.asarray(valid),
+                    S_max, O_max, win, wwin, etile, mode, use_bw,
+                    interpret=interp,
+                )
             return _fuse_chunk_batch_kernel_exact(
                 jnp.asarray(slabs),
                 jnp.asarray(mats, dtype=jnp.float32),

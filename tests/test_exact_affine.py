@@ -215,3 +215,52 @@ def test_fusion_general_3d_rotation_falls_back_to_gather(monkeypatch):
     ).to_numpy()
     assert calls["n"] == 0, "coupled-y map wrongly took the sepy kernel"
     assert np.isfinite(out.astype(float)).all()
+
+
+def test_exact_devtiles_matches_host_slabs(monkeypatch):
+    """Device-resident-tiles exact fusion (slabs sliced on device) is
+    bit-exact vs the host slab path, incl. mixed tile shapes."""
+    rng = np.random.default_rng(9)
+    th = 0.07
+    R = np.eye(3)
+    R[:2, :2] = _rot2(th)
+    sims = []
+    for i, (shp, org) in enumerate(
+        [((40, 80), (0.0, 0.0)), ((60, 60), (20.0, 30.0))]
+    ):
+        data = rng.integers(100, 1100, size=shp).astype(np.uint16)
+        sim = si_utils.get_sim_from_array(
+            data, dims=("y", "x"),
+            translation={"y": org[0], "x": org[1]},
+        )
+        si_utils.set_sim_affine(
+            sim, R if i % 2 else np.eye(3), transform_key="affine"
+        )
+        sims.append(sim)
+
+    monkeypatch.setenv("MVS_TPU_EXACT_AFFINE", "1")
+    monkeypatch.setenv("MVS_TPU_SHEAR", "0")
+    calls = {"dev": 0, "host": 0}
+    orig_dev = _core._fuse_chunk_batch_kernel_exact_devtiles
+    orig_host = _core._fuse_chunk_batch_kernel_exact
+
+    def spy_dev(*a, **k):
+        calls["dev"] += 1
+        return orig_dev(*a, **k)
+
+    monkeypatch.setattr(
+        _core, "_fuse_chunk_batch_kernel_exact_devtiles", spy_dev
+    )
+    _core.clear_device_tile_cache()
+    out_dev = fusion.fuse(
+        sims, transform_key="affine", output_chunksize=32
+    ).to_numpy()
+    assert calls["dev"] >= 1, "devtiles exact path not engaged"
+
+    monkeypatch.setenv("MVS_TPU_DEVICE_SLABS", "0")
+    _core.clear_device_tile_cache()
+    out_host = fusion.fuse(
+        sims, transform_key="affine", output_chunksize=32
+    ).to_numpy()
+    d = np.abs(out_dev.astype(np.int64) - out_host.astype(np.int64))
+    assert d.max() <= 1  # f32 op-order rounding ties only
