@@ -77,14 +77,25 @@ def transform_sim(
     if is_noop:
         out_data = data
     else:
-        out_data = resample_ops.affine_resample(
-            jnp.asarray(np.asarray(data[...] if not isinstance(data, (np.ndarray, jnp.ndarray)) else data)),
-            matrix,
-            offset,
-            out_shape,
-            order=order,
-            cval=cval,
+        arr = jnp.asarray(
+            np.asarray(
+                data[...]
+                if not isinstance(data, (np.ndarray, jnp.ndarray))
+                else data
+            )
         )
+        out_data = None
+        if order == 1:
+            # exact Pallas tier on TPU (banded-hat matmuls — scipy-parity
+            # without the gather path, ops/exact_affine.py); eligibility:
+            # any 2D map, y-decoupled 3D maps, window fits VMEM
+            out_data = _try_exact_affine(
+                arr, matrix, offset, out_shape, cval
+            )
+        if out_data is None:
+            out_data = resample_ops.affine_resample(
+                arr, matrix, offset, out_shape, order=order, cval=cval,
+            )
 
     out = si_utils.to_spatial_image(
         out_data,
@@ -95,6 +106,57 @@ def transform_sim(
     if keep_transform_keys:
         out.transforms = {k: v.copy() for k, v in sim.transforms.items()}
     return out
+
+
+def _try_exact_affine(arr, matrix, offset, out_shape, cval):
+    """Route an order-1 resample through the exact Pallas tier when the
+    backend is TPU (or MVS_TPU_EXACT_AFFINE=1) and the map is eligible;
+    returns None to fall back to the gather kernel."""
+    import os
+
+    import jax
+
+    mode = os.environ.get("MVS_TPU_EXACT_AFFINE", "auto")
+    if mode == "0":
+        return None
+    if mode != "1" and jax.default_backend() != "tpu":
+        return None
+    from multiview_stitcher_tpu.ops import exact_affine as ea
+
+    if np.dtype(arr.dtype) == np.float64:
+        return None  # gather tier keeps full f64 compute for x64 oracles
+    ndim = len(out_shape)
+    m = np.asarray(matrix, dtype=np.float64)
+    try:
+        if ndim == 2:
+            win = ea.plan_windows_2d(m[None])
+            if win is None:
+                return None
+            out = ea.exact_affine_batch_2d(
+                arr[None], jnp.asarray(m, jnp.float32)[None],
+                jnp.asarray(offset, jnp.float32)[None],
+                jnp.asarray([arr.shape], jnp.float32),
+                tuple(out_shape), HW=win[0], WW=win[1], cval=cval,
+                interpret=jax.default_backend() == "cpu",
+            )[0]
+        elif ndim == 3 and ea.is_y_decoupled(m[None]):
+            win = ea.plan_windows_3d(m[None])
+            if win is None:
+                return None
+            out = ea.exact_affine_batch_3d_sepy(
+                arr[None], jnp.asarray(m, jnp.float32)[None],
+                jnp.asarray(offset, jnp.float32)[None],
+                jnp.asarray([arr.shape], jnp.float32),
+                tuple(out_shape), ZS=win[0], XS=win[1], YW=win[2],
+                cval=cval, interpret=jax.default_backend() == "cpu",
+            )[0]
+        else:
+            return None
+    except Exception:  # noqa: BLE001  (Mosaic limits -> gather fallback)
+        return None
+    if not np.issubdtype(np.dtype(arr.dtype), np.floating):
+        return out  # float32 like the gather tier's integer promotion
+    return out.astype(arr.dtype)
 
 
 def transform_pts(pts, affine):
