@@ -34,6 +34,17 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def _smooth_tile(rng, shape, scale=1000.0, sigma=1.5):
+    """Microscopy-like synthetic content: band-limited noise. White noise
+    is adversarial for the delta link codec (residual entropy above raw)
+    and unrepresentative — camera images are spatially correlated."""
+    from scipy.ndimage import gaussian_filter
+
+    d = gaussian_filter(rng.random(shape), sigma)
+    d -= d.min()
+    return (d * (scale / max(d.max(), 1e-9))).astype(np.uint16)
+
+
 def make_grid_sims(n=3, tile=100, overlap=20, ndim=3, dtype=np.uint16):
     from multiview_stitcher_tpu import si_utils
 
@@ -46,7 +57,7 @@ def make_grid_sims(n=3, tile=100, overlap=20, ndim=3, dtype=np.uint16):
     grid = (1, n, n) if ndim == 3 else (n, n)
     step = tile - overlap
     for idx in np.ndindex(grid):
-        data = rng.integers(0, 1000, (tile,) * ndim).astype(dtype)
+        data = _smooth_tile(rng, (tile,) * ndim).astype(dtype)
         translation = {
             d: float(idx[i] * step) for i, d in enumerate(sdims)
         }
@@ -626,9 +637,19 @@ def large_zarr_to_zarr_rate(extras, n=32, tile=64, overlap=12, chunksize=128,
 
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         ".bench_large")
+    # content v2: smooth microscopy-like tiles (see _smooth_tile); bump
+    # the marker to invalidate stores generated with white-noise content
+    marker = os.path.join(root, ".content_v2")
+    if not os.path.exists(marker):
+        import shutil as _sh
+
+        _sh.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("smooth tiles\n")
     rng = np.random.default_rng(0)
     step = tile - overlap
-    base = rng.integers(0, 1000, (tile,) * 3).astype(np.uint16)
+    base = _smooth_tile(rng, (tile,) * 3)
     sims = []
     for iy in range(n):
         for ix in range(n):

@@ -1077,3 +1077,38 @@ def test_diversity_stitching(ndim, overlap, N_t, dtype):
     assert arr.dtype == np.dtype(dtype)
     assert np.all(np.isfinite(arr.astype(np.float64)))
     assert arr.max() > 0
+
+
+def test_crops_to_device_packed_roundtrip(monkeypatch):
+    """Packed crop uploads (uint16+delta wire) reconstruct the NaN-padded
+    f32 batch bit-exactly; float-valued or interior-NaN batches fall back
+    to the raw f32 path."""
+    import jax
+
+    from multiview_stitcher_tpu.ops import link_codec
+
+    # force the non-CPU branch (put_packed itself runs fine on CPU)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(link_codec, "_MIN_PACK_SIZE", 0)
+    rng = np.random.default_rng(0)
+    shapes = [(30, 40), (25, 37), (30, 40)]
+    B, S = len(shapes), (30, 40)
+    crops = np.full((B + 1,) + S, np.nan, np.float32)  # +1 all-NaN pad row
+    for bi, shp in enumerate(shapes):
+        crops[bi][tuple(slice(0, s) for s in shp)] = rng.integers(
+            0, 3000, shp
+        )
+    dev = registration._crops_to_device(crops, shapes)
+    np.testing.assert_array_equal(np.asarray(dev), crops)
+
+    # fractional values: raw f32 fallback, still bit-exact
+    crops_f = crops.copy()
+    crops_f[0, 0, 0] = 1.5
+    dev = registration._crops_to_device(crops_f, shapes)
+    np.testing.assert_array_equal(np.asarray(dev), crops_f)
+
+    # interior NaN: raw f32 fallback preserves it
+    crops_n = crops.copy()
+    crops_n[0, 5, 5] = np.nan
+    dev = registration._crops_to_device(crops_n, shapes)
+    np.testing.assert_array_equal(np.asarray(dev), crops_n)
