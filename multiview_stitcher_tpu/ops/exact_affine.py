@@ -109,8 +109,9 @@ def _exact2d_kernel(
     tx = pl.program_id(2)
     N = TY * TX
 
-    wy = wstart_ref[b, ty, tx, 0]
-    wx = wstart_ref[b, ty, tx, 1]
+    # the wrapper pre-aligns window starts; Mosaic needs the proof hint
+    wy = pl.multiple_of(wstart_ref[b, ty, tx, 0], 8)
+    wx = pl.multiple_of(wstart_ref[b, ty, tx, 1], 128)
     u0 = base_ref[b, ty, tx, 0]
     v0 = base_ref[b, ty, tx, 1]
     a00 = mats_ref[b, 0]
@@ -130,7 +131,9 @@ def _exact2d_kernel(
     u = u0 + a00 * di + a01 * dj      # (1, N) window-local input row coord
     v = v0 + a10 * di + a11 * dj      # (1, N) window-local input col coord
 
-    c_ids = jax.lax.broadcasted_iota(jnp.float32, (WW, N), 0)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (WW, N), 0).astype(
+        jnp.float32
+    )
     Hv = jnp.maximum(0.0, 1.0 - jnp.abs(v - c_ids))       # (WW, N)
 
     copy.wait()
@@ -141,7 +144,9 @@ def _exact2d_kernel(
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )                                                     # (HW, N)
-    r_ids = jax.lax.broadcasted_iota(jnp.float32, (HW, N), 0)
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (HW, N), 0).astype(
+        jnp.float32
+    )
     HU = jnp.maximum(0.0, 1.0 - jnp.abs(u - r_ids))       # (HW, N)
     out_ref[0, 0, 0, :] = jnp.sum(HU * B_, axis=0)
 
@@ -366,9 +371,10 @@ def _exact3d_sepy_kernel(
     ty = pl.program_id(3)
     N2 = TZ * TX
 
+    # wrapper-aligned starts (z is an untiled major dim: any start)
     wz = wstart_ref[b, tz, tx, ty, 0]
-    wx = wstart_ref[b, tz, tx, ty, 1]
-    wy = wstart_ref[b, tz, tx, ty, 2]
+    wx = pl.multiple_of(wstart_ref[b, tz, tx, ty, 1], 8)
+    wy = pl.multiple_of(wstart_ref[b, tz, tx, ty, 2], 128)
     w0 = base_ref[b, tz, tx, ty, 0]
     v0 = base_ref[b, tz, tx, ty, 1]
     u0 = base_ref[b, tz, tx, ty, 2]
@@ -393,7 +399,9 @@ def _exact3d_sepy_kernel(
     v = v0 + m20 * dz + m22 * dx            # (1, N2) window x coord
 
     # x-interpolation matrix shared by every z-slab: (N2, XS)
-    c_ids = jax.lax.broadcasted_iota(jnp.float32, (N2, XS), 1)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (N2, XS), 1).astype(
+        jnp.float32
+    )
     Hv = jnp.maximum(0.0, 1.0 - jnp.abs(v.reshape(N2, 1) - c_ids))
     wcol = w.reshape(N2, 1)                 # (N2, 1)
 
@@ -417,9 +425,13 @@ def _exact3d_sepy_kernel(
     )
 
     # exact banded y lerp: positions u(ty') = m11*ty' + u0 shared by all n2
-    yrow = jax.lax.broadcasted_iota(jnp.float32, (YW, TY), 1)
+    yrow = jax.lax.broadcasted_iota(jnp.int32, (YW, TY), 1).astype(
+        jnp.float32
+    )
     ypos = m11 * yrow + u0                  # target window-y per output y
-    yband = jax.lax.broadcasted_iota(jnp.float32, (YW, TY), 0)
+    yband = jax.lax.broadcasted_iota(jnp.int32, (YW, TY), 0).astype(
+        jnp.float32
+    )
     Sy = jnp.maximum(0.0, 1.0 - jnp.abs(ypos - yband))    # (YW, TY)
     out_ref[0, 0, 0, 0, :, :] = jnp.dot(
         acc, Sy,

@@ -321,10 +321,19 @@ def delta_decode_jax(firsts: jax.Array, resid_z: jax.Array, count: int):
 
 @jax.jit
 def _delta_probe_jax(flat: jax.Array):
-    """(plain max, residual zigzag max) in one device computation."""
+    """(plain max, resid max, #resid>255, #resid>1023, #resid>4095) in one
+    device computation — everything the host needs to choose the residual
+    width + exception capacity with a single tiny fetch."""
     _, z = delta_encode_jax(flat)
+    z32 = z.astype(jnp.int32)
     return jnp.stack(
-        [jnp.max(flat.reshape(-1)).astype(jnp.uint16), jnp.max(z)]
+        [
+            jnp.max(flat.reshape(-1)).astype(jnp.int32),
+            jnp.max(z32),
+            jnp.sum(z32 > 255),
+            jnp.sum(z32 > 1023),
+            jnp.sum(z32 > 4095),
+        ]
     )
 
 
@@ -334,6 +343,17 @@ def _delta_probe_jax(flat: jax.Array):
 # travel as (int32 index, uint16 value) pairs and are scattered back in
 # before the reconstruction cumsum.
 _EXC_BYTES = 6  # int32 index + uint16 true residual
+
+
+def _exc_capacity(n_exc: int) -> int:
+    """Quantized exception-buffer capacity (compile-cache reuse on the
+    device-side scatter compaction)."""
+    if n_exc <= 0:
+        return 0
+    cap = 16
+    while cap < n_exc:
+        cap *= 2
+    return cap
 
 
 def _choose_delta_width_np(resid: np.ndarray):
@@ -608,6 +628,35 @@ def _pack_bands_delta(x, nbits, counts):
     return firsts, parts
 
 
+@partial(jax.jit, static_argnames=("nbits", "counts", "E"))
+def _pack_bands_delta_exc(x, nbits, counts, E):
+    """Exception-list variant of :func:`_pack_bands_delta`: residuals
+    above the width travel as (int32 idx, uint16 val) pairs built with a
+    scatter compaction; the packed stream carries zeros at those spots.
+
+    ``E`` must be >= the true exceedance count (host knows it from the
+    probe). Unused slots point at index 0 with its own stored value — a
+    harmless duplicate write at decode time."""
+    firsts, resid = delta_encode_jax(x.reshape(-1))
+    lim = jnp.uint16((1 << nbits) - 1)
+    mask = resid > lim
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    slot = jnp.where(mask & (pos < E), pos, E)  # E = trash slot
+    resid0 = jnp.where(mask[0], jnp.uint16(0), resid[0])
+    idx_buf = jnp.zeros(E + 1, jnp.int32).at[slot].set(
+        jnp.arange(resid.size, dtype=jnp.int32)
+    )
+    val_buf = jnp.full(E + 1, resid0, jnp.uint16).at[slot].set(resid)
+    resid = jnp.where(mask, jnp.uint16(0), resid)
+    parts, o = [], 0
+    for c in counts:
+        parts.append(
+            pack_jax(jax.lax.dynamic_slice(resid, (o,), (c,)), nbits)
+        )
+        o += c
+    return firsts, idx_buf[:E], val_buf[:E], parts
+
+
 def fetch_packed(
     arr: jax.Array,
     out: np.ndarray = None,
@@ -651,14 +700,23 @@ def fetch_packed(
     count = arr.size
     use_delta = False
     nbits_d = 16
+    n_exc = 0
     if delta and dtype == np.uint16:
-        pm, zm = (int(v) for v in np.asarray(_delta_probe_jax(arr.reshape(-1))))
+        pm, zm, c8, c10, c12 = (
+            int(v) for v in np.asarray(_delta_probe_jax(arr.reshape(-1)))
+        )
         if nbits is None:
             nbits = nbits_for_max(pm)
-        nbits_d = nbits_for_max(zm)
-        use_delta = delta_byte_count(count, nbits_d) < packed_byte_count(
-            count, nbits
-        )
+        counts_over = {8: c8, 10: c10, 12: c12, 16: 0}
+        best = None
+        for nb in ALLOWED_NBITS:
+            ne = counts_over[nb]
+            cap = _exc_capacity(ne)
+            cost = delta_byte_count(count, nb) + _EXC_BYTES * cap
+            if best is None or cost < best[0]:
+                best = (cost, nb, ne)
+        dcost, nbits_d, n_exc = best
+        use_delta = dcost < packed_byte_count(count, nbits)
     elif nbits is None:
         nbits = nbits_for_max(int(jnp.max(arr)))
         if np.issubdtype(dtype, np.signedinteger) and int(jnp.min(arr)) < 0:
@@ -686,6 +744,7 @@ def fetch_packed(
             delta=use_delta,
             bytes=(
                 delta_byte_count(count, nbits_send)
+                + _EXC_BYTES * _exc_capacity(n_exc)
                 if use_delta
                 else packed_byte_count(count, nbits_send)
             ),
@@ -696,9 +755,18 @@ def fetch_packed(
     flat_out = out.reshape(-1)
 
     if use_delta:
-        firsts_dev, bands = _pack_bands_delta(
-            arr, nbits=nbits_send, counts=part_counts
-        )
+        exc_idx_dev = exc_val_dev = None
+        if n_exc > 0:
+            E = _exc_capacity(n_exc)
+            firsts_dev, exc_idx_dev, exc_val_dev, bands = (
+                _pack_bands_delta_exc(
+                    arr, nbits=nbits_send, counts=part_counts, E=E
+                )
+            )
+        else:
+            firsts_dev, bands = _pack_bands_delta(
+                arr, nbits=nbits_send, counts=part_counts
+            )
         resid = np.empty(count_send, np.uint16)
 
         def fetch_resid(i):
@@ -706,10 +774,21 @@ def fetch_packed(
             v0, v1 = int(bounds[i]), int(bounds[i + 1])
             resid[v0:v1] = unpack_np(buf, nbits_send, v1 - v0, np.uint16)
 
-        with ThreadPoolExecutor(n_streams + 1) as ex:
+        with ThreadPoolExecutor(n_streams + 3) as ex:
             firsts_fut = ex.submit(np.asarray, firsts_dev)
+            exc_futs = (
+                (ex.submit(np.asarray, exc_idx_dev),
+                 ex.submit(np.asarray, exc_val_dev))
+                if exc_idx_dev is not None
+                else None
+            )
             list(ex.map(fetch_resid, range(n_streams)))
             firsts = firsts_fut.result()
+            if exc_futs is not None:
+                exc_idx, exc_val = (f.result() for f in exc_futs)
+        if exc_idx_dev is not None:
+            # restore out-of-width residuals before the cumsum
+            resid[exc_idx] = exc_val
         flat_out[:] = delta_decode_np(firsts, resid, count)
         return out
 

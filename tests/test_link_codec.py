@@ -271,3 +271,37 @@ def test_choose_delta_width_tradeoff():
     assert nb == 8
     assert list(idx) == [5, 500, 5000]
     assert list(val) == [65535] * 3
+
+
+def test_fetch_packed_delta_exceptions_narrow_width():
+    """Device->host delta: a handful of large jumps (hot pixels, row-seam
+    wraps) ride the exception list so the residual stream keeps the
+    narrow width, bit-exactly."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    n = 1 << 20
+    vals = (1000 + np.cumsum(rng.integers(-3, 4, n))).astype(np.uint16)
+    hot = rng.choice(n, 40, replace=False)
+    vals[hot] = 64000
+    dev = jnp.asarray(vals)
+    info = {}
+    out = lc.fetch_packed(dev, delta=True, info=info)
+    assert info["delta"] is True and info["nbits"] == 8
+    assert info["bytes"] < lc.packed_byte_count(n, 10)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_fetch_packed_delta_exceptions_prefer_wider_when_many():
+    """Dense exceedances: the decision falls back to a wider width (or
+    plain) instead of a huge exception list; always bit-exact."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(12)
+    n = 1 << 20
+    # residuals mostly ~600 (needs 12 bits zigzagged) -> width 12 wins
+    vals = np.cumsum(rng.integers(-600, 601, n)).astype(np.uint16)
+    dev = jnp.asarray(vals)
+    info = {}
+    out = lc.fetch_packed(dev, delta=True, info=info)
+    np.testing.assert_array_equal(out, vals)
