@@ -294,9 +294,16 @@ def pallas_kernel_rate_2d(repeats=5, V=16, tdim=2048):
     woffs = np.zeros((V, 2), np.float32)
     wgrids = np.ones((V, 5, 5), np.float32)
 
+    import jax.numpy as jnp
+
+    dev = [jnp.asarray(a) for a in
+           (view_idx, offs, extents, wdiags, woffs, wgrids)]
+    for a in dev:
+        a.block_until_ready()
+
     def call():
         return pallas_fusion.fuse_translation_2d(
-            tiles, view_idx, offs, extents, wdiags, woffs, wgrids,
+            tiles, *dev,
             out_shape=out_shape, tile_shape=tile_shape, K=K,
             out_dtype=np.dtype(np.uint16),
         )
@@ -336,9 +343,16 @@ def pallas_kernel_rate(repeats=5, V=16, tdim=128):
     woffs = np.zeros((V, 3), np.float32)
     wgrids = np.ones((V, 5, 5, 5), np.float32)
 
+    import jax.numpy as jnp
+
+    dev = [jnp.asarray(a) for a in
+           (view_idx, offs, extents, wdiags, woffs, wgrids)]
+    for a in dev:
+        a.block_until_ready()
+
     def call():
         return pallas_fusion.fuse_translation_3d(
-            tiles, view_idx, offs, extents, wdiags, woffs, wgrids,
+            tiles, *dev,
             out_shape=out_shape, tile_shape=tile_shape, K=K,
             out_dtype=np.dtype(np.uint16),
         )
@@ -414,15 +428,22 @@ def affine_kernel_rate(repeats=5):
     )
     coeffs = sctx.coeffs(mats, offs)
     wcoeffs = wctx.coeffs(wm4, wo4)
+    dev_args = [
+        jnp.asarray(a)
+        for a in (
+            coeffs, mats, offs,
+            np.broadcast_to(
+                np.asarray(slab, np.float32), mats.shape[:2] + (3,)
+            ).copy(),
+            wgrids, wcoeffs, wm4, wo4, valid,
+        )
+    ]
+    for a in dev_args:
+        a.block_until_ready()
 
     def call():
         return _core._fuse_chunk_batch_kernel_shear(
-            slabs, jnp.asarray(coeffs), jnp.asarray(mats),
-            jnp.asarray(offs),
-            jnp.asarray(np.broadcast_to(np.asarray(slab, np.float32),
-                                        mats.shape[:2] + (3,)).copy()),
-            jnp.asarray(wgrids), jnp.asarray(wcoeffs), jnp.asarray(wm4),
-            jnp.asarray(wo4), jnp.asarray(valid), splan, wplan, out_shape,
+            slabs, *dev_args, splan, wplan, out_shape,
             "weighted_average", True,
         )
 
@@ -439,12 +460,16 @@ def affine_gather_kernel_rate(repeats=3):
 
     (slabs, mats, offs, wgrids, wmats, woffs, valid, out_shape,
      _slab) = _affine_layout()
+    dev_args = [
+        jnp.asarray(a)
+        for a in (mats, offs, wgrids, wmats, woffs, valid)
+    ]
+    for a in dev_args:
+        a.block_until_ready()
 
     def call():
         return _core._fuse_chunk_batch_kernel(
-            slabs, jnp.asarray(mats), jnp.asarray(offs),
-            jnp.asarray(wgrids), jnp.asarray(wmats), jnp.asarray(woffs),
-            jnp.asarray(valid), out_shape, "weighted_average", True,
+            slabs, *dev_args, out_shape, "weighted_average", True,
         )
 
     return _rate_loop(call, out_shape, slabs.shape[0], repeats, inner=1)
@@ -473,12 +498,18 @@ def exact_affine_kernel_rate(repeats=5):
     import jax as _jax
 
     interp = _jax.devices()[0].platform == "cpu"
+    # params device-resident (per-call host->device of even tiny arrays
+    # costs ms-class latency under tunnel weather)
+    dev_args = [
+        jnp.asarray(a)
+        for a in (mats, offs, extents, wgrids, wmats, woffs, valid)
+    ]
+    for a in dev_args:
+        a.block_until_ready()
 
     def call():
         return _core._fuse_chunk_batch_kernel_exact(
-            slabs, jnp.asarray(mats), jnp.asarray(offs),
-            jnp.asarray(extents), jnp.asarray(wgrids),
-            jnp.asarray(wmats), jnp.asarray(woffs), jnp.asarray(valid),
+            slabs, *dev_args,
             out_shape, win, wwin, etile, "weighted_average", True,
             interpret=interp,
         )
