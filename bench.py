@@ -517,6 +517,61 @@ def exact_affine_kernel_rate(repeats=5):
     return _rate_loop(call, out_shape, C, repeats)
 
 
+def exact_affine_kernel_rate_small(repeats=3):
+    """Floor variant of :func:`exact_affine_kernel_rate`: ~2 MB packed
+    upload (2x2 chunks of small slabs) so the metric records even on a
+    sub-MB/s link. Measured 246 Mvox/s on v5e at the full layout; the
+    small layout under-reports (less batch amortization) but proves the
+    tier and always lands a number."""
+    import jax as _jax
+    import jax.numpy as jnp
+
+    from multiview_stitcher_tpu.fusion import _core
+    from multiview_stitcher_tpu.ops import exact_affine as ea_ops
+    from multiview_stitcher_tpu.ops import link_codec
+
+    rng = np.random.default_rng(0)
+    C, K = 2, 2
+    slab = (24, 72, 72)
+    out_shape = (16, 64, 128)
+    raw = rng.integers(0, 1000, (C, K) + slab).astype(np.uint16)
+    slabs = link_codec.put_packed(raw).astype(jnp.float32)
+    _ = np.asarray(slabs[0, 0, 0, 0, :2])
+    th = 0.05
+    c_, s_ = np.cos(th), np.sin(th)
+    rot = np.array([[c_, 0, -s_], [0, 1, 0], [s_, 0, c_]], np.float32)
+    mats = np.broadcast_to(rot, (C, K, 3, 3)).copy()
+    etile = (8, 32, 128)
+    win = ea_ops.plan_windows_3d(mats.reshape(-1, 3, 3), etile)
+    wmats = np.broadcast_to(
+        np.diag([0.1, 0.03, 0.03]).astype(np.float32), (C, K, 3, 3)
+    ).copy()
+    wwin = ea_ops.plan_windows_3d(wmats.reshape(-1, 3, 3), etile)
+    dev_args = [
+        jnp.asarray(a)
+        for a in (
+            mats,
+            rng.random((C, K, 3)).astype(np.float32) * 4,
+            np.broadcast_to(np.asarray(slab, np.float32), (C, K, 3)).copy(),
+            np.ones((C, K, 5, 5, 5), np.float32),
+            wmats,
+            np.zeros((C, K, 3), np.float32),
+            np.ones((C, K), bool),
+        )
+    ]
+    for a in dev_args:
+        a.block_until_ready()
+    interp = _jax.devices()[0].platform == "cpu"
+
+    def call():
+        return _core._fuse_chunk_batch_kernel_exact(
+            slabs, *dev_args, out_shape, win, wwin, etile,
+            "weighted_average", True, interpret=interp,
+        )
+
+    return _rate_loop(call, out_shape, C, repeats)
+
+
 def pairwise_reg_floor_rate(n_pairs=128, crop=(128, 128), repeats=2):
     """Weather-proof registration throughput floor (VERDICT r3 item 1a):
     ONE pre-bucketed pair batch, uint16 crops staged once through the
@@ -929,9 +984,9 @@ def main():
     total_budget_s = float(
         os.environ.get("MVS_BENCH_TOTAL_BUDGET_S", 1200)
     )
-    # reserve: degraded floor pass (~150 s) + north-star watchdog (cold +
-    # cold-excl-compile + warm deadlines) + margin
-    ns_reserve_s = 2.6 * cold_dl + 150 + 240
+    # reserve: degraded floor pass (reg/kernel/fuse/register floors) +
+    # north-star watchdog (cold + cold-excl-compile + warm) + margin
+    ns_reserve_s = 2.6 * cold_dl + 240 + 240
     t_bench0 = time.perf_counter()
     # bad weather (probe dead or <1 MB/s down): benches will mostly hit
     # their watchdogs anyway — halve them so the run records the weather
@@ -1070,11 +1125,31 @@ def main():
     # every metric axis that has not recorded yet lands a number from a
     # tiny resident-data variant: no axis ships as "TIMED OUT/SKIPPED"
     if "pairwise_reg_s" not in extras:
-        r = _bounded("reg floor", pairwise_reg_floor_rate, 90)
+        # tiered: production bucket shape first (cache hit), then a tiny
+        # batch whose uploads survive even a ~0.3 MB/s link
+        r = _bounded("reg floor", pairwise_reg_floor_rate, 100)
+        if r is None:
+            r = _bounded(
+                "reg floor tiny", pairwise_reg_floor_rate, 80, 32,
+            )
         if r is not None:
             log(f"pairwise reg FLOOR (packed batch, resident): {r:.1f}/s")
             extras["pairwise_reg_s"] = round(r, 1)
             extras["pairwise_reg_degraded"] = True
+    if "kernel_3d_mvox_s" not in extras:
+        r = _bounded(
+            "3D kernel floor", pallas_kernel_rate, 90, 3, 4, 64,
+        )
+        if r is not None:
+            log(f"3D Pallas kernel FLOOR (4x64^3): {r/1e6:.0f} Mvox/s")
+            extras["kernel_3d_mvox_s_floor"] = round(r / 1e6, 1)
+    if "kernel_affine_exact_mvox_s" not in extras:
+        r = _bounded(
+            "exact kernel floor", exact_affine_kernel_rate_small, 110,
+        )
+        if r is not None:
+            log(f"EXACT affine kernel FLOOR: {r/1e6:.0f} Mvox/s")
+            extras["kernel_affine_exact_mvox_s_floor"] = round(r / 1e6, 1)
     if (
         "fuse_3x3_100_mvox_s" not in extras
         and "fuse_4x4_128_mvox_s" not in extras

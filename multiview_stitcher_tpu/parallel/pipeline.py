@@ -87,3 +87,72 @@ def register_and_fuse_step(
         out_shape, "weighted_average", True,
     )
     return shifts, peaks, fused
+
+
+def sharded_fuse_chunks_exact(
+    slabs, mats, offs, extents, wgrids, wmats, woffs, valid,
+    out_shape: tuple,
+    mesh,
+    win: tuple = None,
+    wwin: tuple = None,
+    tile: tuple = None,
+    mode: str = "weighted_average",
+    use_bw: bool = True,
+    interpret: bool = False,
+):
+    """EXACT-affine fused chunk kernel (ops/exact_affine.py banded-hat
+    matmuls) with the chunk axis sharded across the mesh — multi-chip
+    rotated multiview fusion (BASELINE config 4 at scale). The chunk
+    batch size must be a multiple of the mesh size (pad with
+    ``valid=False`` rows).
+
+    ``win``/``wwin`` default to the planned windows for the given maps;
+    returns the (N, *out_shape) fused chunk batch."""
+    from jax.sharding import PartitionSpec as P
+
+    from multiview_stitcher_tpu.fusion._core import (
+        _fuse_chunk_batch_kernel_exact,
+    )
+    from multiview_stitcher_tpu.ops import exact_affine as ea
+
+    ndim = len(out_shape)
+    mats = np.asarray(mats, np.float32)
+    if tile is None:
+        tile = (8, 128) if ndim == 2 else (8, 32, 128)
+    planner = ea.plan_windows_2d if ndim == 2 else ea.plan_windows_3d
+    if ndim == 3 and not ea.is_y_decoupled(mats.reshape(-1, 3, 3)):
+        raise ValueError(
+            "sharded exact fusion needs y-decoupled 3D maps "
+            "(rotate-around-y family); use the gather tier otherwise"
+        )
+    if win is None:
+        win = planner(mats.reshape(-1, ndim, ndim), tile)
+    if use_bw and wwin is None:
+        wwin = planner(
+            np.asarray(wmats, np.float32).reshape(-1, ndim, ndim), tile
+        )
+    if win is None or (use_bw and wwin is None):
+        raise ValueError("maps need windows beyond the VMEM budget")
+
+    axis = mesh.axis_names[0]
+
+    def body(s_, m_, o_, e_, wg_, wm_, wo_, v_):
+        return _fuse_chunk_batch_kernel_exact(
+            s_, m_, o_, e_, wg_, wm_, wo_, v_,
+            out_shape, win, wwin, tile, mode, use_bw,
+            interpret=interpret,
+        )
+
+    import jax.numpy as jnp
+
+    args = [
+        jnp.asarray(a)
+        for a in (slabs, mats, offs, extents, wgrids, wmats, woffs, valid)
+    ]
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis),) * 8,
+        out_specs=P(axis),
+        check_vma=False,
+    )(*args)

@@ -324,3 +324,52 @@ def test_fuse_with_mesh_pallas_tier_nonunit_scale(monkeypatch):
         output_spacing=spacing, mesh=mesh,
     ).to_numpy()
     np.testing.assert_array_equal(out, ref)
+
+
+def test_sharded_exact_affine_chunks_match_unsharded():
+    """parallel.pipeline.sharded_fuse_chunks_exact: the EXACT Pallas
+    affine tier sharded over the chunk axis matches the unsharded kernel
+    on the virtual mesh (multi-chip rotated multiview fusion)."""
+    import jax
+
+    from multiview_stitcher_tpu.fusion._core import (
+        _fuse_chunk_batch_kernel_exact,
+    )
+    from multiview_stitcher_tpu.ops import exact_affine as ea
+    from multiview_stitcher_tpu.parallel import mesh as mesh_utils
+    from multiview_stitcher_tpu.parallel import pipeline
+
+    mesh = mesh_utils.get_mesh(len(jax.devices()))
+    rng = np.random.default_rng(5)
+    C, K = len(jax.devices()), 2
+    th = 0.1
+    R = np.array(
+        [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]], np.float32
+    )
+    S_in, out_shape = (40, 48), (32, 40)
+    slabs = (rng.random((C, K) + S_in) * 500).astype(np.float32)
+    mats = np.broadcast_to(R, (C, K, 2, 2)).copy()
+    offs = rng.random((C, K, 2)).astype(np.float32) * 3
+    extents = np.broadcast_to(
+        np.asarray(S_in, np.float32), (C, K, 2)
+    ).copy()
+    wgrids = np.ones((C, K, 5, 5), np.float32)
+    wmats = np.broadcast_to(
+        np.diag([0.1, 0.1]).astype(np.float32), (C, K, 2, 2)
+    ).copy()
+    woffs = np.zeros((C, K, 2), np.float32)
+    valid = np.ones((C, K), bool)
+
+    fused = pipeline.sharded_fuse_chunks_exact(
+        slabs, mats, offs, extents, wgrids, wmats, woffs, valid,
+        out_shape, mesh, interpret=True,
+    )
+    tile = (8, 128)
+    win = ea.plan_windows_2d(mats.reshape(-1, 2, 2), tile)
+    wwin = ea.plan_windows_2d(wmats.reshape(-1, 2, 2), tile)
+    ref = _fuse_chunk_batch_kernel_exact(
+        slabs, mats, offs, extents, wgrids, wmats, woffs, valid,
+        out_shape, win, wwin, tile, "weighted_average", True,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-4)
