@@ -87,10 +87,11 @@ def plan_windows_2d(mats, tile=(8, 128)):
 
 
 def _exact2d_kernel(
-    # scalar prefetch
+    # scalar prefetch — per-ITEM scalars only: window starts and bases
+    # are affine in the tile indices (plus an in-bounds clamp) and are
+    # computed in-kernel, keeping SMEM O(B) instead of O(B * n_tiles)
     mats_ref,     # (B, 4) f32 rows [a00, a01, a10, a11]
-    wstart_ref,   # (B, n_ty, n_tx, 2) int32 window starts (padded coords)
-    base_ref,     # (B, n_ty, n_tx, 2) f32 window-local (u0, v0) at tile org
+    offs_ref,     # (B, 2) f32 translation (padded input-pixel coords)
     # tensor input
     data_ref,     # (B, Hp, Wp) f32 in ANY/HBM, zero-padded
     # output
@@ -103,21 +104,42 @@ def _exact2d_kernel(
     TX: int,
     HW: int,
     WW: int,
+    HP: int,      # padded input rows (static)
+    WP: int,      # padded input cols (static)
 ):
     b = pl.program_id(0)
     ty = pl.program_id(1)
     tx = pl.program_id(2)
     N = TY * TX
 
-    # the wrapper pre-aligns window starts; Mosaic needs the proof hint
-    wy = pl.multiple_of(wstart_ref[b, ty, tx, 0], 8)
-    wx = pl.multiple_of(wstart_ref[b, ty, tx, 1], 128)
-    u0 = base_ref[b, ty, tx, 0]
-    v0 = base_ref[b, ty, tx, 1]
     a00 = mats_ref[b, 0]
     a01 = mats_ref[b, 1]
     a10 = mats_ref[b, 2]
     a11 = mats_ref[b, 3]
+    # window-start math in padded input coords (offs already carries the
+    # +HW/+WW pad shift); min corner via per-axis sign folding
+    i0 = (ty * TY).astype(jnp.float32)
+    j0 = (tx * TX).astype(jnp.float32)
+    u00 = a00 * i0 + a01 * j0 + offs_ref[b, 0]
+    v00 = a10 * i0 + a11 * j0 + offs_ref[b, 1]
+    umin = (
+        u00
+        + jnp.minimum(a00 * (TY - 1), 0.0)
+        + jnp.minimum(a01 * (TX - 1), 0.0)
+    )
+    vmin = (
+        v00
+        + jnp.minimum(a10 * (TY - 1), 0.0)
+        + jnp.minimum(a11 * (TX - 1), 0.0)
+    )
+    wy = jnp.floor(umin).astype(jnp.int32) - 1
+    wx = jnp.floor(vmin).astype(jnp.int32) - 1
+    wy = jnp.clip((wy // 8) * 8, 0, ((HP - HW) // 8) * 8)
+    wx = jnp.clip((wx // 128) * 128, 0, ((WP - WW) // 128) * 128)
+    wy = pl.multiple_of(wy, 8)
+    wx = pl.multiple_of(wx, 128)
+    u0 = u00 - wy.astype(jnp.float32)
+    v0 = v00 - wx.astype(jnp.float32)
 
     copy = pltpu.make_async_copy(
         data_ref.at[b, pl.ds(wy, HW), pl.ds(wx, WW)], win_ref, sem
@@ -177,54 +199,15 @@ def _exact2d_batch_call(
     data_p = jnp.pad(data, ((0, 0), (HW, HW), (WW, WW)))
     Hp, Wp = Hs + 2 * HW, Ws + 2 * WW
 
-    mats = mats.astype(jnp.float32)
-    offs = offs.astype(jnp.float32)
-    a = mats  # (B, 2, 2)
-
-    # per-tile window starts + window-local bases (traced host-side math
-    # inside the jit; tile origins are small so f32 is exact enough)
-    i0 = (jnp.arange(n_ty, dtype=jnp.float32) * TY)[None, :, None]
-    j0 = (jnp.arange(n_tx, dtype=jnp.float32) * TX)[None, None, :]
-    ii = jnp.stack([i0 + 0.0, i0 + (TY - 1)])      # (2, 1, n_ty, 1)
-    jj = jnp.stack([j0 + 0.0, j0 + (TX - 1)])      # (2, 1, 1, n_tx)
-
-    def corner_minmax(ai, aj, b0):
-        # min over the 4 tile corners of ai*i + aj*j + b0
-        vals = (
-            ai[None, None, :, None, None] * ii[:, None]
-            + aj[None, None, :, None, None] * jj[None, :]
-            + b0[None, None, :, None, None]
-        )  # (2, 2, B, n_ty, n_tx)
-        return jnp.min(vals, axis=(0, 1))
-
-    umin = corner_minmax(a[:, 0, 0], a[:, 0, 1], offs[:, 0])
-    vmin = corner_minmax(a[:, 1, 0], a[:, 1, 1], offs[:, 1])
-    # aligned window starts in padded coords; clamped in-bounds to an
-    # aligned start (clamping only binds for fully-out-of-domain tiles)
-    wy = jnp.floor(umin).astype(jnp.int32) - 1 + HW
-    wx = jnp.floor(vmin).astype(jnp.int32) - 1 + WW
-    wy = jnp.clip((wy // 8) * 8, 0, ((Hp - HW) // 8) * 8)
-    wx = jnp.clip((wx // 128) * 128, 0, ((Wp - WW) // 128) * 128)
-    # window-local coords of each tile's (i0, j0) output corner
-    u00 = (
-        a[:, 0, 0, None, None] * i0[0]
-        + a[:, 0, 1, None, None] * j0[0]
-        + offs[:, 0, None, None]
+    mats_flat = mats.astype(jnp.float32).reshape(B, 4)
+    # offsets in padded coords: the kernel computes per-tile windows and
+    # bases from these per-item scalars (SMEM stays O(B))
+    offs_p = offs.astype(jnp.float32) + jnp.asarray(
+        [HW, WW], jnp.float32
     )
-    v00 = (
-        a[:, 1, 0, None, None] * i0[0]
-        + a[:, 1, 1, None, None] * j0[0]
-        + offs[:, 1, None, None]
-    )
-    base_u = u00 + HW - wy.astype(jnp.float32)
-    base_v = v00 + WW - wx.astype(jnp.float32)
-
-    wstart = jnp.stack([wy, wx], axis=-1)                 # (B,n_ty,n_tx,2)
-    base = jnp.stack([base_u, base_v], axis=-1)
-    mats_flat = mats.reshape(B, 4)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(B, n_ty, n_tx),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -238,14 +221,16 @@ def _exact2d_batch_call(
         ],
     )
     tiles_out = pl.pallas_call(
-        partial(_exact2d_kernel, TY=TY, TX=TX, HW=HW, WW=WW),
+        partial(
+            _exact2d_kernel, TY=TY, TX=TX, HW=HW, WW=WW, HP=Hp, WP=Wp,
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_ty, n_tx, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
-    )(mats_flat, wstart, base, data_p)
+    )(mats_flat, offs_p, data_p)
 
     # un-flatten tiles (XLA relayout, HBM-bandwidth) and crop
     out = (
@@ -346,10 +331,10 @@ def plan_windows_3d(mats, tile=(8, 32, 128)):
 
 
 def _exact3d_sepy_kernel(
-    # scalar prefetch
+    # scalar prefetch — per-ITEM scalars only (windows/bases computed
+    # in-kernel: SMEM stays O(B), not O(B * n_tiles))
     mats_ref,     # (B, 5) f32 [m00, m02, m20, m22, m11]
-    wstart_ref,   # (B, n_tz, n_tx, n_ty, 3) int32 (z, x, y) window starts
-    base_ref,     # (B, n_tz, n_tx, n_ty, 3) f32 window-local (w0, v0, u0)
+    offs_ref,     # (B, 3) f32 (w, u, v) translation in PADDED coords
     # tensor input: (B, Zp, Xp, Yp) f32 — input TRANSPOSED to (z, x, y)
     data_ref,
     # output: (1, 1, 1, 1, N2, TY) f32, N2 = TZ*TX
@@ -364,6 +349,9 @@ def _exact3d_sepy_kernel(
     ZS: int,
     XS: int,
     YW: int,
+    ZP: int,
+    XP: int,
+    YP: int,
 ):
     b = pl.program_id(0)
     tz = pl.program_id(1)
@@ -371,18 +359,44 @@ def _exact3d_sepy_kernel(
     ty = pl.program_id(3)
     N2 = TZ * TX
 
-    # wrapper-aligned starts (z is an untiled major dim: any start)
-    wz = wstart_ref[b, tz, tx, ty, 0]
-    wx = pl.multiple_of(wstart_ref[b, tz, tx, ty, 1], 8)
-    wy = pl.multiple_of(wstart_ref[b, tz, tx, ty, 2], 128)
-    w0 = base_ref[b, tz, tx, ty, 0]
-    v0 = base_ref[b, tz, tx, ty, 1]
-    u0 = base_ref[b, tz, tx, ty, 2]
     m00 = mats_ref[b, 0]
     m02 = mats_ref[b, 1]
     m20 = mats_ref[b, 2]
     m22 = mats_ref[b, 3]
     m11 = mats_ref[b, 4]
+    z0 = (tz * TZ).astype(jnp.float32)
+    x0 = (tx * TX).astype(jnp.float32)
+    y0 = (ty * TY).astype(jnp.float32)
+    w00 = m00 * z0 + m02 * x0 + offs_ref[b, 0]
+    u00 = m11 * y0 + offs_ref[b, 1]
+    v00 = m20 * z0 + m22 * x0 + offs_ref[b, 2]
+    wmin = (
+        w00
+        + jnp.minimum(m00 * (TZ - 1), 0.0)
+        + jnp.minimum(m02 * (TX - 1), 0.0)
+    )
+    vmin = (
+        v00
+        + jnp.minimum(m20 * (TZ - 1), 0.0)
+        + jnp.minimum(m22 * (TX - 1), 0.0)
+    )
+    umin = u00 + jnp.minimum(m11 * (TY - 1), 0.0)
+    wz = jnp.clip(
+        jnp.floor(wmin).astype(jnp.int32) - 1, 0, ZP - ZS
+    )  # z: untiled major dim, any start
+    wx = jnp.clip(
+        ((jnp.floor(vmin).astype(jnp.int32) - 1) // 8) * 8,
+        0, ((XP - XS) // 8) * 8,
+    )
+    wy = jnp.clip(
+        ((jnp.floor(umin).astype(jnp.int32) - 1) // 128) * 128,
+        0, ((YP - YW) // 128) * 128,
+    )
+    wx = pl.multiple_of(wx, 8)
+    wy = pl.multiple_of(wy, 128)
+    w0 = w00 - wz.astype(jnp.float32)
+    v0 = v00 - wx.astype(jnp.float32)
+    u0 = u00 - wy.astype(jnp.float32)
 
     copy = pltpu.make_async_copy(
         data_ref.at[b, pl.ds(wz, ZS), pl.ds(wx, XS), pl.ds(wy, YW)],
@@ -468,82 +482,14 @@ def _exact3d_sepy_call(
     )
     Zp, Xp, Yp = Zs + 2 * ZS, Xs + 2 * XS, Ys + 2 * YW
 
-    m = mats5.astype(jnp.float32)
-    offs = offs.astype(jnp.float32)
-
-    z0 = (jnp.arange(n_tz, dtype=jnp.float32) * TZ)
-    x0 = (jnp.arange(n_tx, dtype=jnp.float32) * TX)
-    y0 = (jnp.arange(n_ty, dtype=jnp.float32) * TY)
-
-    def minmax2(c_a, c_b, a0, b0, ta, tb, off):
-        # min over the 4 corners of c_a*a + c_b*b + off for a tile
-        vals = []
-        for da in (0.0, ta - 1.0):
-            for db in (0.0, tb - 1.0):
-                vals.append(
-                    c_a[:, None, None] * (a0[None, :, None] + da)
-                    + c_b[:, None, None] * (b0[None, None, :] + db)
-                    + off[:, None, None]
-                )
-        v = jnp.stack(vals)
-        return jnp.min(v, axis=0)
-
-    wmin = minmax2(m[:, 0], m[:, 1], z0, x0, TZ, TX, offs[:, 0])
-    vmin = minmax2(m[:, 2], m[:, 3], z0, x0, TZ, TX, offs[:, 2])
-    umin = jnp.minimum(
-        m[:, 4, None] * y0[None, :] + offs[:, 1, None],
-        m[:, 4, None] * (y0[None, :] + TY - 1) + offs[:, 1, None],
-    )                                            # (B, n_ty)
-
-    wz = jnp.clip(
-        jnp.floor(wmin).astype(jnp.int32) - 1 + ZS, 0, Zp - ZS
-    )                                            # (B, n_tz, n_tx)
-    wx = jnp.clip(
-        ((jnp.floor(vmin).astype(jnp.int32) - 1 + XS) // 8) * 8,
-        0, ((Xp - XS) // 8) * 8,
-    )
-    wy = jnp.clip(
-        ((jnp.floor(umin).astype(jnp.int32) - 1 + YW) // 128) * 128,
-        0, ((Yp - YW) // 128) * 128,
-    )                                            # (B, n_ty)
-
-    w00 = (
-        m[:, 0, None, None] * z0[None, :, None]
-        + m[:, 1, None, None] * x0[None, None, :]
-        + offs[:, 0, None, None]
-    )
-    v00 = (
-        m[:, 2, None, None] * z0[None, :, None]
-        + m[:, 3, None, None] * x0[None, None, :]
-        + offs[:, 2, None, None]
-    )
-    u00 = m[:, 4, None] * y0[None, :] + offs[:, 1, None]   # (B, n_ty)
-
-    base_w = w00 + ZS - wz.astype(jnp.float32)
-    base_v = v00 + XS - wx.astype(jnp.float32)
-    base_u = u00 + YW - wy.astype(jnp.float32)
-
-    # broadcast to the full (B, n_tz, n_tx, n_ty, 3) prefetch tables
-    shape4 = (B, n_tz, n_tx, n_ty)
-    wstart = jnp.stack(
-        [
-            jnp.broadcast_to(wz[:, :, :, None], shape4),
-            jnp.broadcast_to(wx[:, :, :, None], shape4),
-            jnp.broadcast_to(wy[:, None, None, :], shape4),
-        ],
-        axis=-1,
-    )
-    base = jnp.stack(
-        [
-            jnp.broadcast_to(base_w[:, :, :, None], shape4),
-            jnp.broadcast_to(base_v[:, :, :, None], shape4),
-            jnp.broadcast_to(base_u[:, None, None, :], shape4),
-        ],
-        axis=-1,
+    # offsets in padded (z, x, y)-layout coords, kernel order (w, u, v);
+    # per-tile windows/bases are computed in-kernel from these scalars
+    offs_p = offs.astype(jnp.float32) + jnp.asarray(
+        [ZS, YW, XS], jnp.float32
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(B, n_tz, n_tx, n_ty),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -560,6 +506,7 @@ def _exact3d_sepy_call(
         partial(
             _exact3d_sepy_kernel,
             TZ=TZ, TX=TX, TY=TY, ZS=ZS, XS=XS, YW=YW,
+            ZP=Zp, XP=Xp, YP=Yp,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
@@ -569,7 +516,7 @@ def _exact3d_sepy_call(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
-    )(mats5, wstart, base, data_p)
+    )(mats5.astype(jnp.float32), offs_p, data_p)
 
     # (B, n_tz, n_tx, n_ty, TZ*TX, TY) -> (B, OZ, OY, OX)
     out = tiles_out.reshape(B, n_tz, n_tx, n_ty, TZ, TX, TY)
