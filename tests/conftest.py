@@ -40,6 +40,14 @@ _cache_dir = os.path.join(
 )
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+# ... and export the same settings as env vars: service-bridge worker
+# processes are started with the `spawn` method and inherit os.environ,
+# not the parent's jax.config — without this, every worker recompiles
+# its programs on every run, and those compiles run CONCURRENTLY with
+# the parent's (the known 1-core segfault mode). With the env vars set,
+# warm workers hit the shared persistent cache and never compile.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.3")
 
 # allow float64 parity checks against scipy/numpy oracles
 jax.config.update("jax_enable_x64", True)
