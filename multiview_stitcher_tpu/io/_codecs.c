@@ -167,6 +167,26 @@ long mvs_bitpack(const uint16_t *v, long count, int nbits, uint8_t *out)
             out[k] = (uint8_t)(v[k] & 0xFF);
         return count;
     }
+    if (nbits < 8) {
+        /* sub-byte widths (delta residuals): groups of g values -> b
+         * bytes, little-endian fields (ops/link_codec.py
+         * _SUB_BYTE_GROUP layout) */
+        int g = nbits == 4 ? 2 : 4, b = nbits == 6 ? 3 : 1, j;
+        long groups = (count + g - 1) / g;
+        if (nbits != 2 && nbits != 4 && nbits != 6)
+            return -1;
+        for (k = 0; k < groups; k++) {
+            uint32_t acc = 0;
+            for (i = 0; i < g; i++) {
+                long p = k * (long)g + i;
+                uint32_t f = p < count ? (uint32_t)v[p] : 0;
+                acc |= f << (i * nbits);
+            }
+            for (j = 0; j < b; j++)
+                out[k * (long)b + j] = (uint8_t)(acc >> (8 * j));
+        }
+        return groups * (long)b;
+    }
     if (e != 2 && e != 4)
         return -1;
     per = 8 / e;
@@ -249,6 +269,26 @@ long mvs_bitunpack(const uint8_t *buf, long buf_len, int nbits, long count,
             return -1;
         for (k = 0; k < count; k++)
             out[k] = buf[k];
+        return count;
+    }
+    if (nbits < 8) {
+        int g = nbits == 4 ? 2 : 4, b = nbits == 6 ? 3 : 1, j;
+        long groups = (count + g - 1) / g;
+        uint32_t m = (uint32_t)((1u << nbits) - 1);
+        if (nbits != 2 && nbits != 4 && nbits != 6)
+            return -1;
+        if (buf_len < groups * (long)b)
+            return -1;
+        for (k = 0; k < groups; k++) {
+            uint32_t acc = 0;
+            for (j = 0; j < b; j++)
+                acc |= (uint32_t)buf[k * (long)b + j] << (8 * j);
+            for (i = 0; i < g; i++) {
+                long p = k * (long)g + i;
+                if (p < count)
+                    out[p] = (uint16_t)((acc >> (i * nbits)) & m);
+            }
+        }
         return count;
     }
     if (e != 2 && e != 4)

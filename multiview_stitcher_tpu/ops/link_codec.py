@@ -31,8 +31,13 @@ import jax.numpy as jnp
 import numpy as np
 
 # quantized bit widths: each distinct nbits is a distinct compiled kernel,
-# so round up to a small allowed set (16 = passthrough)
-ALLOWED_NBITS = (8, 10, 12, 16)
+# so round up to a small allowed set (16 = passthrough). Sub-byte widths
+# (2/4/6) exist for the delta path: smooth microscopy content's zigzag
+# residuals concentrate far below 8 bits, and the wire is the bottleneck.
+ALLOWED_NBITS = (2, 4, 6, 8, 10, 12, 16)
+
+# sub-byte widths pack groups of G values into B bytes (G*nbits == 8*B)
+_SUB_BYTE_GROUP = {2: (4, 1), 4: (2, 1), 6: (4, 3)}
 
 _PACKABLE_DTYPES = (np.uint16, np.int16)
 
@@ -47,14 +52,20 @@ def nbits_for_max(max_value: int) -> int:
 
 
 def _extra_bits(nbits: int) -> int:
-    if nbits not in ALLOWED_NBITS:
-        raise ValueError(f"nbits must be one of {ALLOWED_NBITS}, got {nbits}")
+    if nbits not in ALLOWED_NBITS or nbits < 8:
+        raise ValueError(
+            f"nbits must be one of {[n for n in ALLOWED_NBITS if n >= 8]},"
+            f" got {nbits}"
+        )
     return nbits - 8
 
 
 def packed_byte_count(count: int, nbits: int) -> int:
     if nbits >= 16:
         return count * 2
+    if nbits < 8:
+        g, b = _SUB_BYTE_GROUP[nbits]
+        return -(-count // g) * b
     e = _extra_bits(nbits)
     if e == 0:
         return count
@@ -120,6 +131,20 @@ def pack_np(values: np.ndarray, nbits: int) -> np.ndarray:
         if n == out.size:
             return out
         # unexpected width/size: fall through to the numpy path
+    if nbits < 8:
+        g, nb = _SUB_BYTE_GROUP[nbits]
+        n_pad = -(-v.size // g) * g
+        if n_pad != v.size:
+            v = np.concatenate([v, np.zeros(n_pad - v.size, np.uint16)])
+        m = v.reshape(-1, g).astype(np.uint32)
+        acc = m[:, 0].copy()
+        for i in range(1, g):
+            acc |= m[:, i] << np.uint32(i * nbits)
+        cols = [
+            ((acc >> np.uint32(8 * b)) & np.uint32(0xFF)).astype(np.uint8)
+            for b in range(nb)
+        ]
+        return np.stack(cols, axis=1).reshape(-1)
     lo = (v & np.uint16(0xFF)).astype(np.uint8)
     e = _extra_bits(nbits)
     if e == 0:
@@ -148,6 +173,20 @@ def unpack_np(buf: np.ndarray, nbits: int, count: int, dtype=np.uint16) -> np.nd
         n = lib.mvs_bitunpack(cbuf, cbuf.size, nbits, count, out)
         if n == count:
             return out.view(dtype) if dtype != np.uint16 else out
+    if nbits < 8:
+        g, nb = _SUB_BYTE_GROUP[nbits]
+        bb = buf.reshape(-1, nb).astype(np.uint32)
+        acc = bb[:, 0].copy()
+        for b in range(1, nb):
+            acc |= bb[:, b] << np.uint32(8 * b)
+        mask = np.uint32((1 << nbits) - 1)
+        fields = np.stack(
+            [
+                ((acc >> np.uint32(i * nbits)) & mask) for i in range(g)
+            ],
+            axis=1,
+        ).reshape(-1)[:count]
+        return fields.astype(np.uint16).view(dtype)
     lo = buf[:count]
     e = _extra_bits(nbits)
     if e == 0:
@@ -178,6 +217,20 @@ def pack_jax(values: jax.Array, nbits: int) -> jax.Array:
             v.astype(jnp.uint16), jnp.uint8
         ).reshape(-1)
     v = v.astype(jnp.uint16)
+    if nbits < 8:
+        g, nb = _SUB_BYTE_GROUP[nbits]
+        n_pad = -(-v.size // g) * g
+        if n_pad != v.size:
+            v = jnp.concatenate([v, jnp.zeros(n_pad - v.size, jnp.uint16)])
+        m = v.reshape(-1, g).astype(jnp.uint32)
+        acc = m[:, 0]
+        for i in range(1, g):
+            acc = acc | (m[:, i] << np.uint32(i * nbits))
+        cols = [
+            ((acc >> np.uint32(8 * b)) & np.uint32(0xFF)).astype(jnp.uint8)
+            for b in range(nb)
+        ]
+        return jnp.stack(cols, axis=1).reshape(-1)
     lo = (v & np.uint16(0xFF)).astype(jnp.uint8)
     e = _extra_bits(nbits)
     if e == 0:
@@ -202,6 +255,20 @@ def unpack_jax(buf: jax.Array, nbits: int, count: int, dtype=jnp.uint16) -> jax.
         return jax.lax.bitcast_convert_type(
             buf.reshape(-1, 2), jnp.uint16
         ).reshape(-1)[:count].astype(dtype)
+    if nbits < 8:
+        g, nb = _SUB_BYTE_GROUP[nbits]
+        bb = buf.reshape(-1, nb).astype(jnp.uint32)
+        acc = bb[:, 0]
+        for b in range(1, nb):
+            acc = acc | (bb[:, b] << np.uint32(8 * b))
+        mask = np.uint32((1 << nbits) - 1)
+        fields = jnp.stack(
+            [
+                ((acc >> np.uint32(i * nbits)) & mask) for i in range(g)
+            ],
+            axis=1,
+        ).reshape(-1)[:count]
+        return fields.astype(dtype)
     lo = buf[:count]
     e = _extra_bits(nbits)
     if e == 0:
@@ -321,18 +388,18 @@ def delta_decode_jax(firsts: jax.Array, resid_z: jax.Array, count: int):
 
 @jax.jit
 def _delta_probe_jax(flat: jax.Array):
-    """(plain max, resid max, #resid>255, #resid>1023, #resid>4095) in one
+    """(plain max, resid max, #resid over each sub-16 width limit) in one
     device computation — everything the host needs to choose the residual
-    width + exception capacity with a single tiny fetch."""
+    width + exception capacity with a single tiny fetch. Exceedance counts
+    are ordered to match ``[n for n in ALLOWED_NBITS if n < 16]``."""
     _, z = delta_encode_jax(flat)
     z32 = z.astype(jnp.int32)
     return jnp.stack(
-        [
-            jnp.max(flat.reshape(-1)).astype(jnp.int32),
-            jnp.max(z32),
-            jnp.sum(z32 > 255),
-            jnp.sum(z32 > 1023),
-            jnp.sum(z32 > 4095),
+        [jnp.max(flat.reshape(-1)).astype(jnp.int32), jnp.max(z32)]
+        + [
+            jnp.sum(z32 > ((1 << nb) - 1))
+            for nb in ALLOWED_NBITS
+            if nb < 16
         ]
     )
 
@@ -702,12 +769,13 @@ def fetch_packed(
     nbits_d = 16
     n_exc = 0
     if delta and dtype == np.uint16:
-        pm, zm, c8, c10, c12 = (
-            int(v) for v in np.asarray(_delta_probe_jax(arr.reshape(-1)))
-        )
+        probe = [int(v) for v in np.asarray(_delta_probe_jax(arr.reshape(-1)))]
+        pm, zm = probe[0], probe[1]
         if nbits is None:
             nbits = nbits_for_max(pm)
-        counts_over = {8: c8, 10: c10, 12: c12, 16: 0}
+        sub16 = [n for n in ALLOWED_NBITS if n < 16]
+        counts_over = dict(zip(sub16, probe[2:]))
+        counts_over[16] = 0
         best = None
         for nb in ALLOWED_NBITS:
             ne = counts_over[nb]

@@ -6,7 +6,7 @@ import pytest
 from multiview_stitcher_tpu.ops import link_codec as lc
 
 
-@pytest.mark.parametrize("nbits", [8, 10, 12, 16])
+@pytest.mark.parametrize("nbits", [2, 4, 6, 8, 10, 12, 16])
 @pytest.mark.parametrize("count", [1, 7, 16, 1000, 12345])
 def test_np_roundtrip(nbits, count):
     rng = np.random.default_rng(count + nbits)
@@ -22,7 +22,7 @@ def test_np_roundtrip(nbits, count):
         assert buf.size * 8 <= (count + 8) * nbits
 
 
-@pytest.mark.parametrize("nbits", [8, 10, 12])
+@pytest.mark.parametrize("nbits", [2, 4, 6, 8, 10, 12])
 def test_jax_matches_np(nbits):
     import jax.numpy as jnp
 
@@ -36,7 +36,13 @@ def test_jax_matches_np(nbits):
 
 
 def test_nbits_for_max():
-    assert lc.nbits_for_max(0) == 8
+    assert lc.nbits_for_max(0) == 2
+    assert lc.nbits_for_max(3) == 2
+    assert lc.nbits_for_max(4) == 4
+    assert lc.nbits_for_max(15) == 4
+    assert lc.nbits_for_max(16) == 6
+    assert lc.nbits_for_max(63) == 6
+    assert lc.nbits_for_max(64) == 8
     assert lc.nbits_for_max(255) == 8
     assert lc.nbits_for_max(256) == 10
     assert lc.nbits_for_max(1023) == 10
@@ -171,14 +177,15 @@ def test_delta_byte_count_accounting():
 
 
 def test_put_packed_delta_smooth_wins_and_roundtrips():
-    # smooth 12-bit data: residuals fit 8 bits -> delta must be chosen
+    # smooth 12-bit data: residuals (|d|<=2 -> zigzag<=4) fit the 4-bit
+    # sub-byte tier -> delta must be chosen at nbits=4
     rng = np.random.default_rng(1)
     n = 1 << 20
     vals = (2000 + np.cumsum(rng.integers(-2, 3, n))).astype(np.uint16)
     assert vals.max() > 1 << 10  # needs 12-bit plain packing
     info = {}
     dev = lc.put_packed(vals.reshape(1024, 1024), delta=True, info=info)
-    assert info["delta"] is True and info["nbits"] == 8
+    assert info["delta"] is True and info["nbits"] == 4
     assert info["bytes"] < lc.packed_byte_count(n, 12)
     np.testing.assert_array_equal(
         np.asarray(dev), vals.reshape(1024, 1024)
@@ -204,7 +211,7 @@ def test_fetch_packed_delta_smooth_wins_and_roundtrips():
     dev = jnp.asarray(vals.reshape(64, 128, 128))
     info = {}
     out = lc.fetch_packed(dev, delta=True, info=info)
-    assert info["delta"] is True and info["nbits"] == 8
+    assert info["delta"] is True and info["nbits"] == 4
     np.testing.assert_array_equal(out, vals.reshape(64, 128, 128))
     # in-place variant
     buf = np.empty((64, 128, 128), np.uint16)
@@ -248,27 +255,27 @@ def test_delta_exception_list_outlier_tolerance():
     info = {}
     dev = lc.put_packed(vals, delta=True, info=info)
     assert info["delta"] is True
-    assert info["nbits"] == 8  # narrow width kept despite outliers
-    # wire cost: 8-bit residuals + ~100 exceptions (2 per hot pixel)
-    assert info["bytes"] < lc.packed_byte_count(n, 10)
+    assert info["nbits"] == 4  # narrow width kept despite outliers
+    # wire cost: 4-bit residuals + ~100 exceptions (2 per hot pixel)
+    assert info["bytes"] < lc.packed_byte_count(n, 8)
     np.testing.assert_array_equal(np.asarray(dev), vals)
 
 
 def test_choose_delta_width_tradeoff():
-    # all-small residuals: 8 bits, no exceptions
+    # all-small residuals (<=3): the 2-bit sub-byte tier, no exceptions
     r = np.full(1 << 16, 3, np.uint16)
     nb, idx, val = lc._choose_delta_width_np(r)
-    assert nb == 8 and idx is None
+    assert nb == 2 and idx is None
     # a quarter of residuals at 12 bits: exceptions would cost more than
     # the wider width
     r[: r.size // 4] = 4000
     nb, idx, val = lc._choose_delta_width_np(r)
     assert nb == 12 and idx is None
-    # three 16-bit outliers: keep 8 bits + 3 exceptions
+    # three 16-bit outliers: keep the narrow width + 3 exceptions
     r = np.full(1 << 16, 3, np.uint16)
     r[[5, 500, 5000]] = 65535
     nb, idx, val = lc._choose_delta_width_np(r)
-    assert nb == 8
+    assert nb == 2
     assert list(idx) == [5, 500, 5000]
     assert list(val) == [65535] * 3
 
@@ -287,8 +294,8 @@ def test_fetch_packed_delta_exceptions_narrow_width():
     dev = jnp.asarray(vals)
     info = {}
     out = lc.fetch_packed(dev, delta=True, info=info)
-    assert info["delta"] is True and info["nbits"] == 8
-    assert info["bytes"] < lc.packed_byte_count(n, 10)
+    assert info["delta"] is True and info["nbits"] == 4
+    assert info["bytes"] < lc.packed_byte_count(n, 8)
     np.testing.assert_array_equal(out, vals)
 
 
@@ -305,3 +312,35 @@ def test_fetch_packed_delta_exceptions_prefer_wider_when_many():
     info = {}
     out = lc.fetch_packed(dev, delta=True, info=info)
     np.testing.assert_array_equal(out, vals)
+
+
+def test_sub_byte_tier_six_bits():
+    """Moderately smooth content (zigzag residuals <= 63) rides the 6-bit
+    tier: 4 values per 3 bytes, bit-exact both directions."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(21)
+    n = 1 << 20
+    vals = (5000 + np.cumsum(rng.integers(-25, 26, n))).astype(np.uint16)
+    info_up = {}
+    dev = lc.put_packed(vals, delta=True, info=info_up)
+    assert info_up["delta"] is True and info_up["nbits"] == 6
+    assert info_up["bytes"] < lc.packed_byte_count(n, 8)
+    np.testing.assert_array_equal(np.asarray(dev), vals)
+    info_dn = {}
+    out = lc.fetch_packed(jnp.asarray(vals), delta=True, info=info_dn)
+    assert info_dn["delta"] is True and info_dn["nbits"] == 6
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_sub_byte_wire_bits_per_vox():
+    """The headline accounting: near-constant microscopy background must
+    ship at ~2 bits/vox, not the former 8-bit floor."""
+    rng = np.random.default_rng(22)
+    n = 1 << 20
+    vals = (100 + np.cumsum(rng.integers(-1, 2, n))).astype(np.uint16)
+    info = {}
+    dev = lc.put_packed(vals, delta=True, info=info)
+    assert info["delta"] is True and info["nbits"] == 2
+    assert info["bytes"] * 8 / n < 2.2  # ~2 bits/vox + row firsts
+    np.testing.assert_array_equal(np.asarray(dev), vals)
