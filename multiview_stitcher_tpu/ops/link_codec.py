@@ -175,7 +175,7 @@ def unpack_np(buf: np.ndarray, nbits: int, count: int, dtype=np.uint16) -> np.nd
             return out.view(dtype) if dtype != np.uint16 else out
     if nbits < 8:
         g, nb = _SUB_BYTE_GROUP[nbits]
-        bb = buf.reshape(-1, nb).astype(np.uint32)
+        bb = buf[: -(-count // g) * nb].reshape(-1, nb).astype(np.uint32)
         acc = bb[:, 0].copy()
         for b in range(1, nb):
             acc |= bb[:, b] << np.uint32(8 * b)
@@ -257,7 +257,7 @@ def unpack_jax(buf: jax.Array, nbits: int, count: int, dtype=jnp.uint16) -> jax.
         ).reshape(-1)[:count].astype(dtype)
     if nbits < 8:
         g, nb = _SUB_BYTE_GROUP[nbits]
-        bb = buf.reshape(-1, nb).astype(jnp.uint32)
+        bb = buf[: -(-count // g) * nb].reshape(-1, nb).astype(jnp.uint32)
         acc = bb[:, 0]
         for b in range(1, nb):
             acc = acc | (bb[:, b] << np.uint32(8 * b))
