@@ -947,16 +947,34 @@ def _materialize_tiles(field_sims) -> np.ndarray:
 
         max_retries = int(_os.environ.get("MVS_TPU_READ_RETRIES", "2"))
 
+        def _is_transient(e):
+            # tensorstore surfaces transient statuses (UNAVAILABLE,
+            # DEADLINE_EXCEEDED, HTTP disconnects) as ValueError with the
+            # status name in the message, not as OSError
+            if isinstance(e, (OSError, ConnectionError, TimeoutError)):
+                return True
+            if isinstance(e, ValueError):
+                msg = str(e)
+                return any(
+                    k in msg
+                    for k in (
+                        "UNAVAILABLE", "DEADLINE_EXCEEDED", "ABORTED",
+                        "RESOURCE_EXHAUSTED", "connection", "disconnect",
+                        "reset by peer", "timed out",
+                    )
+                )
+            return False
+
         def fetch(i):
             for attempt in range(max_retries + 1):
                 try:
                     out[i] = np.asarray(field_sims[i].data[...])
                     return
-                except (OSError, ConnectionError, TimeoutError) as e:
+                except Exception as e:  # noqa: BLE001 — filtered below
                     # transient IO only (HTTP zarr drops, tensorstore
-                    # OSError-wrapped disconnects); deterministic bugs
+                    # status-carrying ValueErrors); deterministic bugs
                     # (shape/dtype/KeyError) must surface immediately
-                    if attempt == max_retries:
+                    if attempt == max_retries or not _is_transient(e):
                         raise
                     logger.warning(
                         "lazy tile read %d failed (%s: %s), retry %d/%d",
@@ -2552,6 +2570,28 @@ def _execute_fusion_plan_batched(
         else None
     )
 
+    # interior-NaN guard: the exact kernels zero-fill NaN while the
+    # gather tier excludes NaN pixels per view, so float inputs that
+    # carry NaN (invalid-pixel markers, e.g. re-fusing prior fusion
+    # output) must not take the exact tier. In-memory float arrays are
+    # scanned (one memory-bound pass; device arrays reduce on device);
+    # lazy float inputs are conservatively routed away.
+    float_nan_risk = False
+    if np.issubdtype(np.dtype(field_sims[0].data.dtype), np.floating):
+        for _s in field_sims:
+            _d = _s.data
+            if isinstance(_d, jnp.ndarray):
+                if bool(jnp.any(jnp.isnan(_d))):
+                    float_nan_risk = True
+                    break
+            elif isinstance(_d, np.ndarray):
+                if bool(np.isnan(_d).any()):
+                    float_nan_risk = True
+                    break
+            else:
+                float_nan_risk = True  # lazy float: cannot scan cheaply
+                break
+
     # EXACT Pallas affine tier (default for rotated maps, VERDICT r3
     # item 3): banded-hat matmuls, scipy-parity. Eligible for any 2D
     # affine and the y-decoupled 3D family (multiview rotate-around-y);
@@ -2561,6 +2601,7 @@ def _execute_fusion_plan_batched(
 
     if (
         _exact_affine_tier_enabled()
+        and not float_nan_risk
         and _os3.environ.get("MVS_TPU_SHEAR") != "1"
     ):
         from multiview_stitcher_tpu.ops import exact_affine as ea_ops

@@ -431,13 +431,17 @@ def _choose_delta_width_np(resid: np.ndarray):
     """
     if resid.size >= 2**31:  # int32 exception indices
         return nbits_for_max(int(resid.max(initial=0))), None, None
+    # one histogram pass gives every width's exceedance count (the six
+    # count_nonzero sweeps cost ~7 memory-bound passes on the 1-core host)
+    hist = np.bincount(resid, minlength=1 << 16)
+    csum = np.cumsum(hist)
     best = None
     for nb in ALLOWED_NBITS:
         lim = (1 << nb) - 1
-        n_exc = (
-            int(np.count_nonzero(resid > lim)) if nb < 16 else 0
+        n_exc = int(resid.size - csum[lim]) if nb < 16 else 0
+        cost = packed_byte_count(resid.size, nb) + _EXC_BYTES * (
+            _exc_capacity(n_exc)
         )
-        cost = packed_byte_count(resid.size, nb) + _EXC_BYTES * n_exc
         if best is None or cost < best[0]:
             best = (cost, nb, n_exc)
     _, nb, n_exc = best
@@ -454,9 +458,7 @@ def _pad_exceptions(exc_idx: np.ndarray, exc_val: np.ndarray):
     same value twice.
     """
     n = exc_idx.size
-    cap = 16
-    while cap < n:
-        cap *= 2
+    cap = _exc_capacity(n)
     if cap != n:
         exc_idx = np.concatenate(
             [exc_idx, np.full(cap - n, exc_idx[0], exc_idx.dtype)]
@@ -569,7 +571,12 @@ def put_packed(
         firsts, resid = delta_encode_np(flat)
         nbits_d, exc_idx, exc_val = _choose_delta_width_np(resid)
         n_exc = 0 if exc_idx is None else exc_idx.size
-        dbytes = delta_byte_count(count, nbits_d) + _EXC_BYTES * n_exc
+        # cost the exceptions at the PADDED capacity actually shipped
+        # (_pad_exceptions), not the raw count — else the decision can
+        # pick delta when plain is smaller and telemetry under-reports
+        dbytes = delta_byte_count(count, nbits_d) + _EXC_BYTES * (
+            _exc_capacity(n_exc)
+        )
         if dbytes < packed_byte_count(count, nbits):
             use_delta = True
             nbits_send, count_send = nbits_d, resid.size
@@ -587,7 +594,8 @@ def put_packed(
             delta=use_delta,
             bytes=(
                 delta_byte_count(count, nbits_send)
-                + _EXC_BYTES * (0 if exc_idx is None else exc_idx.size)
+                + _EXC_BYTES
+                * _exc_capacity(0 if exc_idx is None else exc_idx.size)
                 if use_delta
                 else packed_byte_count(count, nbits_send)
             ),
@@ -709,11 +717,15 @@ def _pack_bands_delta_exc(x, nbits, counts, E):
     mask = resid > lim
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
     slot = jnp.where(mask & (pos < E), pos, E)  # E = trash slot
-    resid0 = jnp.where(mask[0], jnp.uint16(0), resid[0])
     idx_buf = jnp.zeros(E + 1, jnp.int32).at[slot].set(
         jnp.arange(resid.size, dtype=jnp.int32)
     )
-    val_buf = jnp.full(E + 1, resid0, jnp.uint16).at[slot].set(resid)
+    # unused slots (n_exc < E) keep the init (index 0, value resid[0]):
+    # the RAW residual 0, so the host's last-write-wins scatter re-writes
+    # index 0 with its true value. Initializing with the post-zeroing
+    # value instead silently corrupted delta row 0 whenever residual 0
+    # was itself an exception.
+    val_buf = jnp.full(E + 1, resid[0], jnp.uint16).at[slot].set(resid)
     resid = jnp.where(mask, jnp.uint16(0), resid)
     parts, o = [], 0
     for c in counts:

@@ -125,6 +125,13 @@ def _try_exact_affine(arr, matrix, offset, out_shape, cval):
 
     if np.dtype(arr.dtype) == np.float64:
         return None  # gather tier keeps full f64 compute for x64 oracles
+    if np.issubdtype(np.dtype(arr.dtype), np.floating) and bool(
+        jnp.any(jnp.isnan(arr))
+    ):
+        # interior NaN (the 'invalid pixel' marker) must propagate through
+        # interpolation as the gather tier/scipy do; the exact kernels
+        # zero-fill NaN, so route NaN-carrying floats to the gather tier
+        return None
     ndim = len(out_shape)
     m = np.asarray(matrix, dtype=np.float64)
     try:

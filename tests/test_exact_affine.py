@@ -264,3 +264,89 @@ def test_exact_devtiles_matches_host_slabs(monkeypatch):
     ).to_numpy()
     d = np.abs(out_dev.astype(np.int64) - out_host.astype(np.int64))
     assert d.max() <= 1  # f32 op-order rounding ties only
+
+
+def test_transform_sim_interior_nan_routes_to_gather(monkeypatch):
+    """Regression (r4 review): float inputs carrying interior NaN (the
+    invalid-pixel marker) must NOT take the exact tier, whose kernels
+    zero-fill NaN — transform_sim must match the gather/scipy semantics
+    where NaN propagates through the interpolation stencil."""
+    from multiview_stitcher_tpu import transformation
+
+    rng = np.random.default_rng(40)
+    data = rng.random((40, 50)).astype(np.float32) * 100
+    data[10:14, 10:18] = np.nan  # interior invalid region
+    sim = si_utils.get_sim_from_array(data, dims=("y", "x"))
+    th = 0.05
+    m = np.eye(3)
+    m[:2, :2] = _rot2(th)
+
+    monkeypatch.setenv("MVS_TPU_EXACT_AFFINE", "0")
+    ref = transformation.transform_sim(
+        sim, np.linalg.inv(m), output_stack_properties={
+            "origin": {"y": 0.0, "x": 0.0},
+            "spacing": {"y": 1.0, "x": 1.0},
+            "shape": {"y": 40, "x": 50},
+        }, order=1,
+    ).to_numpy()
+    monkeypatch.setenv("MVS_TPU_EXACT_AFFINE", "1")
+    out = transformation.transform_sim(
+        sim, np.linalg.inv(m), output_stack_properties={
+            "origin": {"y": 0.0, "x": 0.0},
+            "spacing": {"y": 1.0, "x": 1.0},
+            "shape": {"y": 40, "x": 50},
+        }, order=1,
+    ).to_numpy()
+    # identical NaN sets and identical finite values
+    np.testing.assert_array_equal(np.isnan(out), np.isnan(ref))
+    np.testing.assert_allclose(
+        np.nan_to_num(out), np.nan_to_num(ref), rtol=0, atol=1e-4
+    )
+    assert np.isnan(out).sum() > data.size // 400  # NaN actually present
+
+
+def test_fusion_interior_nan_floats_skip_exact_tier(monkeypatch):
+    """Regression (r4 review): fuse() of float views with interior NaN
+    must not take the exact tier (which zero-fills NaN instead of
+    excluding the pixels per view as the gather tier does)."""
+    rng = np.random.default_rng(41)
+    th = 0.06
+    R = np.eye(3)
+    R[:2, :2] = _rot2(th)
+    sims = []
+    for i in range(2):
+        data = (rng.random((40, 60)) * 900 + 100).astype(np.float32)
+        data[8:12, 20:30] = np.nan  # invalid interior pixels
+        sim = si_utils.get_sim_from_array(
+            data, dims=("y", "x"),
+            translation={"y": 0.0, "x": i * 40.0},
+        )
+        si_utils.set_sim_affine(
+            sim, R if i else np.eye(3), transform_key="affine"
+        )
+        sims.append(sim)
+
+    calls = {"n": 0}
+    orig = _core._fuse_chunk_batch_kernel_exact
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setenv("MVS_TPU_EXACT_AFFINE", "1")
+    monkeypatch.setenv("MVS_TPU_SHEAR", "0")
+    monkeypatch.setattr(_core, "_fuse_chunk_batch_kernel_exact", spy)
+    out = fusion.fuse(
+        sims, transform_key="affine", output_chunksize=32
+    ).to_numpy()
+    assert calls["n"] == 0, "NaN-carrying float views took the exact tier"
+
+    monkeypatch.setenv("MVS_TPU_EXACT_AFFINE", "0")
+    ref = fusion.fuse(
+        sims, transform_key="affine", output_chunksize=32
+    ).to_numpy()
+    np.testing.assert_allclose(
+        np.nan_to_num(out.astype(float)),
+        np.nan_to_num(ref.astype(float)),
+        rtol=0, atol=1.0,
+    )

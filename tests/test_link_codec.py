@@ -344,3 +344,39 @@ def test_sub_byte_wire_bits_per_vox():
     assert info["delta"] is True and info["nbits"] == 2
     assert info["bytes"] * 8 / n < 2.2  # ~2 bits/vox + row firsts
     np.testing.assert_array_equal(np.asarray(dev), vals)
+
+
+def test_fetch_packed_exception_at_residual_zero():
+    """Regression: when the FIRST residual is itself an out-of-width
+    exception and the exception buffer has padded (unused) slots, the
+    pad entries must not overwrite index 0's true value in the host's
+    last-write-wins scatter (r4 review finding: 2047 corrupted values)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(31)
+    n = 1 << 20
+    vals = (248 + np.cumsum(rng.integers(-2, 3, n))).astype(np.uint16)
+    vals[0] = 60000  # residual 0 (vals[1]-vals[0]) is a huge jump
+    dev = jnp.asarray(vals)
+    info = {}
+    out = lc.fetch_packed(dev, delta=True, info=info)
+    assert info["delta"] is True and info["nbits"] < 16
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_put_packed_info_bytes_count_padded_exceptions():
+    """info['bytes'] (and the delta-vs-plain decision) must count the
+    PADDED exception capacity actually shipped, not the raw count."""
+    rng = np.random.default_rng(32)
+    n = 1 << 20
+    vals = (1000 + np.cumsum(rng.integers(-3, 4, n))).astype(np.uint16)
+    vals[12345] = 64000  # exactly one hot pixel -> 2 exceptions, cap 16
+    info = {}
+    dev = lc.put_packed(vals, delta=True, info=info)
+    assert info["delta"] is True
+    n_rows = lc._delta_rows(n)
+    base = lc.delta_byte_count(n, info["nbits"])
+    assert (info["bytes"] - base) % lc._EXC_BYTES == 0
+    n_exc_shipped = (info["bytes"] - base) // lc._EXC_BYTES
+    assert n_exc_shipped == lc._exc_capacity(n_exc_shipped)  # quantized
+    np.testing.assert_array_equal(np.asarray(dev), vals)
