@@ -350,3 +350,40 @@ def test_fusion_interior_nan_floats_skip_exact_tier(monkeypatch):
         np.nan_to_num(ref.astype(float)),
         rtol=0, atol=1.0,
     )
+
+
+def test_fusion_clean_floats_still_take_exact_tier(monkeypatch):
+    """The interior-NaN guard must not over-block: NaN-free float views
+    still engage the exact tier."""
+    rng = np.random.default_rng(42)
+    th = 0.06
+    R = np.eye(3)
+    R[:2, :2] = _rot2(th)
+    sims = []
+    for i in range(2):
+        data = (rng.random((40, 60)) * 900 + 100).astype(np.float32)
+        sim = si_utils.get_sim_from_array(
+            data, dims=("y", "x"),
+            translation={"y": 0.0, "x": i * 40.0},
+        )
+        si_utils.set_sim_affine(
+            sim, R if i else np.eye(3), transform_key="affine"
+        )
+        sims.append(sim)
+
+    calls = {"n": 0}
+    orig = _core._fuse_chunk_batch_kernel_exact
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setenv("MVS_TPU_EXACT_AFFINE", "1")
+    monkeypatch.setenv("MVS_TPU_SHEAR", "0")
+    monkeypatch.setenv("MVS_TPU_DEVICE_SLABS", "0")
+    monkeypatch.setattr(_core, "_fuse_chunk_batch_kernel_exact", spy)
+    out = fusion.fuse(
+        sims, transform_key="affine", output_chunksize=32
+    ).to_numpy()
+    assert calls["n"] >= 1, "clean float views should take the exact tier"
+    assert np.isfinite(out[out != 0]).all()
