@@ -140,3 +140,38 @@ class TestGridAndBaseline:
             chunksize=24,
         )
         assert np.isfinite(rate) and rate > 0
+
+
+class TestEntropyFloor:
+    def test_delta_entropy_bits_bounds(self, bench):
+        rng = np.random.default_rng(0)
+        # constant stream: zero entropy
+        assert bench._delta_entropy_bits(np.full(10000, 7, np.uint16)) == 0.0
+        # white 10-bit noise: delta widens entropy toward ~11 bits, and it
+        # can never exceed 16
+        h = bench._delta_entropy_bits(
+            rng.integers(0, 1 << 10, 1 << 16).astype(np.uint16)
+        )
+        assert 10.0 < h <= 16.0
+        # smooth ramp-ish content: far below the 10-bit container
+        h2 = bench._delta_entropy_bits(
+            (500 + np.cumsum(rng.integers(-2, 3, 1 << 16))).astype(np.uint16)
+        )
+        assert h2 < 3.5
+
+    def test_smooth_tile_floor_matches_recorded_regime(self, bench):
+        # the bench's own content floors in the 6-8 bit band — the regime
+        # the north-star telemetry documents (PARITY round 4)
+        rng = np.random.default_rng(0)
+        h = bench._delta_entropy_bits(bench._smooth_tile(rng, (64,) * 3))
+        assert 6.0 < h < 8.5
+
+
+class TestPairwiseRegScenario:
+    def test_device_grown_batch_counts(self, bench):
+        # the scenario must time n_pairs worth of work while uploading
+        # only upload_pairs crops; smoke the shape math on CPU
+        r = bench.pairwise_reg_rate(
+            n_pairs=12, crop=(32, 32), upload_pairs=4, repeats=1
+        )
+        assert r > 0
