@@ -34,6 +34,100 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+# --------------------------------------------------------------------------
+# Last-good ledger (VERDICT r4 item 1b): every successful bench run persists
+# its DEVICE-measured telemetry (values + ISO timestamps + link speeds) to a
+# git-tracked JSON file. When a later run finds the tunnel dead, the emitted
+# JSON merges those fields under explicit ``last_good``/``last_good_at`` keys
+# — measured earlier, clearly labeled, never substituted into ``value`` — so
+# one bad weather window can no longer zero a whole round's evidence
+# (BENCH_r04 recorded 0.0 with all r4 work existing only in PARITY.md).
+# --------------------------------------------------------------------------
+
+_LEDGER_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_ledger.json"
+)
+
+# extras keys that are NOT device measurements (host-only / bookkeeping);
+# everything else in extras is device-measured telemetry worth persisting
+_HOST_ONLY_KEYS = {
+    "cpu_baseline_mvox_s",
+    "cpu_baseline_reg_s",
+    "ns_entropy_floor_up_bits_per_vox",
+    "backend_unavailable",
+    "skipped_for_budget",
+    "host_plan_edges_s",
+    "host_plan_chunks_s",
+    "probe_attempts",
+}
+
+
+def _utcnow_iso():
+    import datetime
+
+    return (
+        datetime.datetime.now(datetime.timezone.utc)
+        .replace(microsecond=0)
+        .isoformat()
+    )
+
+
+def _load_ledger():
+    try:
+        with open(_LEDGER_PATH) as fh:
+            return json.load(fh)
+    except Exception:  # noqa: BLE001 — missing/corrupt ledger = no history
+        return None
+
+
+def _device_metrics_from_extras(extras):
+    return {
+        k: v
+        for k, v in extras.items()
+        if k not in _HOST_ONLY_KEYS and not k.startswith("last_good")
+    }
+
+
+def _update_ledger(new_metrics):
+    """Merge freshly measured device metrics into the ledger (per-key
+    timestamps; newer values overwrite). Atomic write."""
+    if not new_metrics:
+        return
+    led = _load_ledger() or {"version": 1, "last_good": {"metrics": {}, "at": {}}}
+    lg = led.setdefault("last_good", {"metrics": {}, "at": {}})
+    now = _utcnow_iso()
+    for k, v in new_metrics.items():
+        lg.setdefault("metrics", {})[k] = v
+        lg.setdefault("at", {})[k] = now
+    lg["updated_at"] = now
+    tmp = _LEDGER_PATH + ".tmp"
+    try:
+        with open(tmp, "w") as fh:
+            json.dump(led, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        os.replace(tmp, _LEDGER_PATH)
+    except Exception as e:  # noqa: BLE001 — ledger is best-effort
+        log(f"ledger write failed: {type(e).__name__}: {e}")
+
+
+def _merge_last_good(extras):
+    """Attach the ledger's last-good device telemetry to the outgoing JSON
+    under explicit, clearly-labeled keys. Never touches ``value``."""
+    led = _load_ledger()
+    lg = (led or {}).get("last_good") or {}
+    metrics = lg.get("metrics") or {}
+    if not metrics:
+        return
+    extras["last_good"] = metrics
+    at = lg.get("at") or {}
+    if at:
+        extras["last_good_at"] = max(at.values())
+        if len(set(at.values())) > 1:
+            extras["last_good_at_per_key"] = at
+    elif lg.get("updated_at"):
+        extras["last_good_at"] = lg["updated_at"]
+
+
 def _smooth_tile(rng, shape, scale=1000.0, sigma=1.5):
     """Microscopy-like synthetic content: band-limited noise. White noise
     is adversarial for the delta link codec (residual entropy above raw)
@@ -897,6 +991,21 @@ def _emit():
     _state["done"] = True
     cpu_rate = _state["cpu_rate"] or 1.0
     tpu_rate = _state["tpu_rate"]
+    extras = _state["extras"]
+    # persist device-measured telemetry for future bad-weather rounds, and
+    # when THIS run has no device headline, surface the last good one
+    # (labeled, never substituted into value)
+    try:
+        if tpu_rate <= 0:
+            # merge BEFORE updating, so last_good reflects prior runs
+            _merge_last_good(extras)
+        dev = _device_metrics_from_extras(extras)
+        if tpu_rate > 0:
+            dev["headline_mvox_s"] = round(tpu_rate / 1e6, 3)
+            dev["vs_baseline"] = round(tpu_rate / cpu_rate, 3)
+        _update_ledger(dev)
+    except Exception as e:  # noqa: BLE001 — emission must never fail
+        log(f"ledger step failed: {type(e).__name__}: {e}")
     print(
         json.dumps(
             {
@@ -924,6 +1033,128 @@ def _install_term_handler():
             signal.signal(sig, handler)
         except Exception:  # noqa: BLE001
             pass
+
+
+def _device_probe_subprocess(timeout_s):
+    """One device-liveness probe in a FRESH subprocess.
+
+    A hung backend init inside this process would hold jax's init lock and
+    serialize every later probe behind it (CLAUDE.md: the tunnel's channels
+    can stall network-silent); a subprocess probe times out cleanly and
+    leaves the parent untouched."""
+    import subprocess
+
+    code = (
+        "import jax, numpy as np;"
+        "x = jax.numpy.ones((8, 8), np.float32);"
+        "print(float(np.asarray(x + 1.0).sum()))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, timeout=timeout_s,
+        )
+        return r.returncode == 0 and b"128.0" in r.stdout
+    except Exception:  # noqa: BLE001 — timeout or spawn failure = dead
+        return False
+
+
+def host_plan_rate(n=32, tile=64, overlap=12):
+    """Host-side planning throughput (no device): adjacency graph over an
+    n x n grid -> edges/s, plus the 1024-tile fusion chunk plan -> chunks/s.
+    Runs as a between-probe filler so a dead-tunnel round still records the
+    host half of the pipeline (VERDICT r4 item 1a)."""
+    from multiview_stitcher_tpu import msi_utils, mv_graph, si_utils
+    from multiview_stitcher_tpu.fusion import _core
+
+    step = tile - overlap
+    data = np.zeros((tile,) * 3, np.uint16)
+    sims = [
+        si_utils.get_sim_from_array(
+            data, dims=("z", "y", "x"),
+            translation={"z": 0.0, "y": float(iy * step),
+                         "x": float(ix * step)},
+        )
+        for iy in range(n) for ix in range(n)
+    ]
+    sdims = ("z", "y", "x")
+    msims = [msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims]
+    t0 = time.perf_counter()
+    g = mv_graph.build_view_adjacency_graph_from_msims(
+        msims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY
+    )
+    edges_s = g.number_of_edges() / (time.perf_counter() - t0)
+    params = [
+        np.asarray(
+            si_utils.get_affine_from_sim(
+                s, si_utils.DEFAULT_TRANSFORM_KEY
+            ).squeeze()
+        )
+        for s in sims
+    ]
+    osp = _core.process_output_stack_properties(
+        sims, transform_key=si_utils.DEFAULT_TRANSFORM_KEY
+    )
+    ocs = {d: 128 for d in sdims}
+    chunk_bbs, block_indices = mv_graph.get_chunk_bbs(osp, ocs)
+    views_bb = [si_utils.get_stack_properties_from_sim(s) for s in sims]
+    t0 = time.perf_counter()
+    plan = _core._build_spatial_fusion_plan(
+        sparams=params, views_bb=views_bb, output_stack_properties=osp,
+        output_chunksize=ocs, output_chunk_bbs=chunk_bbs,
+        output_chunk_bbs_with_overlap=chunk_bbs,
+        block_indices=block_indices,
+        overlap_in_pixels={d: 0 for d in sdims},
+        interpolation_order=1, sdims=sdims,
+    )
+    chunks_s = len(plan["per_chunk_entries"]) / (time.perf_counter() - t0)
+    return edges_s, chunks_s
+
+
+def _probe_device_schedule(extras, base_tile):
+    """VERDICT r4 item 1a: never write the device off on one probe.
+
+    Three subprocess probes spread across the run, with the CPU-side phases
+    (cpu pairwise-reg baseline, upload entropy floor, host planning rates)
+    and a bounded wait run BETWEEN probes — a transient tunnel outage gets
+    several minutes to clear, and a genuinely dead round still records the
+    host half of every axis. Returns True when the device answered."""
+
+    def _fillers_a():
+        cr = _bounded("cpu pairwise reg", cpu_pairwise_reg_rate, 60)
+        if cr:
+            extras["cpu_baseline_reg_s"] = round(cr, 1)
+        extras["ns_entropy_floor_up_bits_per_vox"] = round(
+            _delta_entropy_bits(base_tile), 2
+        )
+
+    def _fillers_b():
+        r = _bounded("host planning", host_plan_rate, 120)
+        if r is not None:
+            edges_s, chunks_s = r
+            log(
+                f"host planning: {edges_s:.0f} edges/s adjacency, "
+                f"{chunks_s:.0f} chunks/s fusion plan (1024 tiles)"
+            )
+            extras["host_plan_edges_s"] = round(edges_s, 1)
+            extras["host_plan_chunks_s"] = round(chunks_s, 1)
+
+    def _fillers_c():
+        # last chance: give the weather a bounded window to clear
+        log("device still unreachable; waiting 120 s before final probe")
+        time.sleep(120)
+
+    for i, (timeout_s, filler) in enumerate(
+        [(90, _fillers_a), (150, _fillers_b), (210, _fillers_c)]
+    ):
+        log(f"device probe {i + 1}/3 (subprocess, {timeout_s:.0f}s)...")
+        if _device_probe_subprocess(timeout_s):
+            extras["probe_attempts"] = i + 1
+            log(f"device answered on probe {i + 1}")
+            return True
+        filler()
+    extras["probe_attempts"] = 3
+    return False
 
 
 def _bounded(label, fn, timeout_s, *args, **kwargs):
@@ -1013,18 +1244,19 @@ def main():
     # fail-fast when the device is unreachable: backend setup errors can
     # take minutes to surface, and a dead tunnel would otherwise make
     # EVERY scenario below eat its full watchdog timeout (~1 h of
-    # nothing). One trivial round trip decides; on failure the JSON still
-    # ships with the CPU baseline + the flag, self-explaining the zeros.
+    # nothing). But never on ONE probe (BENCH_r04 recorded 0.0 off a
+    # single coin-flip): three subprocess probes spread across the run,
+    # CPU-side phases + a bounded wait between them, and when all three
+    # fail the JSON ships with the CPU baselines, host planning rates,
+    # entropy floors AND the last-good device ledger — self-explaining
+    # and never information-free (VERDICT r4 item 1).
     if "link_up_mb_s" not in extras:
-        def _device_probe():
-            import jax as _jax
-
-            x = _jax.numpy.ones((8, 8), np.float32)
-            return float(np.asarray(x + 1.0).sum())
-
-        alive = _bounded("device probe", _device_probe, 180)
-        if alive is None:
-            log("device unreachable: emitting CPU-baseline-only result")
+        alive = _probe_device_schedule(
+            extras, _smooth_tile(np.random.default_rng(0), (64,) * 3)
+        )
+        if not alive:
+            log("device unreachable after 3 probes: emitting "
+                "CPU+last-good result")
             extras["backend_unavailable"] = True
             _emit()
             return
