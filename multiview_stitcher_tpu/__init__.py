@@ -41,6 +41,7 @@ __all__ = [
     "vis_utils",
     "neuroglancer",
     "parallel",
+    "stitch",
     "ops",
 ]
 

@@ -253,11 +253,15 @@ def exact_affine_batch_2d(
     out_shape: Tuple[int, int],
     tile: Tuple[int, int] = (8, 128),
     HW: int = 16,
-    WW: int = 136,
+    WW: int = 256,
     cval=jnp.nan,
     interpret: bool = False,
 ):
     """Exact batched 2D affine resample (scipy order=1 'constant' parity).
+
+    ``WW`` must be a multiple of 128 (and ``HW`` of 8): the window DMA
+    slice shape must match Mosaic's lane/sublane tiling on real TPUs
+    (interpret mode does not check this) — use :func:`plan_windows_2d`.
 
     Output pixel ``(i, j)`` of item ``b`` samples input coordinate
     ``mats[b] @ (i, j) + offs[b]``; coordinates outside

@@ -507,6 +507,69 @@ def _crops_to_device(crops, shapes):
     return _renan_crops(dev.astype(jnp.float32), jnp.asarray(shp_arr))
 
 
+class _CropRef:
+    """Lightweight handle for one registration crop: identifies the source
+    view, the window start indices and the true crop shape. The host path
+    materializes via ``sim``; the device-resident path slices the same
+    window from the on-device tile stack (no crop bytes on the wire)."""
+
+    __slots__ = ("view", "starts", "shape", "sim", "arr")
+
+    def __init__(self, view, starts, shape, sim):
+        self.view = int(view)
+        self.starts = tuple(int(s) for s in starts)
+        self.shape = tuple(int(s) for s in shape)
+        self.sim = sim
+        self.arr = None
+
+
+@partial(jax.jit, static_argnames=("bucket_shape",))
+def _crops_from_resident(tiles, views, starts, shapes, bucket_shape):
+    """Slice a NaN-padded f32 crop batch from the resident (V, *tile)
+    device stack: per item, ``dynamic_slice`` a ``bucket_shape`` window at
+    the (clamped) start, roll the clamp residue away and mask positions at
+    or beyond the true crop shape to NaN — bit-identical to the host crop
+    batch for integer tiles."""
+    ndim = len(bucket_shape)
+    tdims = tiles.shape[1:]
+    maxs = jnp.asarray(
+        [tdims[d] - bucket_shape[d] for d in range(ndim)], jnp.int32
+    )
+
+    def one(view, start, shp):
+        tile = tiles[view].astype(jnp.float32)
+        st = jnp.clip(start, 0, maxs)
+        win = jax.lax.dynamic_slice(
+            tile, [st[d] for d in range(ndim)], bucket_shape
+        )
+        delta = start - st  # >= 0 by construction (crop fits the view)
+        for d in range(ndim):
+            win = jnp.roll(win, -delta[d], axis=d)
+        mask = jnp.ones(bucket_shape, bool)
+        for d in range(ndim):
+            idx = jax.lax.broadcasted_iota(jnp.int32, bucket_shape, d)
+            mask &= idx < shp[d]
+        return jnp.where(mask, win, jnp.nan)
+
+    return jax.vmap(one)(views, starts, shapes)
+
+
+@jax.jit
+def _crop_const_flags(f_crops, m_crops):
+    """Per-item constant-overlap flags (device side of the reference's
+    constant guard, registration.py:1504-1530): True when either crop's
+    finite values are all equal. All-NaN pad rows compare NaN==NaN ->
+    False, matching the host path (their results are discarded)."""
+
+    def one(a, b):
+        return (jnp.nanmin(a) == jnp.nanmax(a)) | (
+            jnp.nanmin(b) == jnp.nanmax(b)
+        )
+
+    flat = lambda x: x.reshape(x.shape[0], -1)  # noqa: E731
+    return jax.vmap(one)(flat(f_crops), flat(m_crops))
+
+
 @partial(
     jax.jit, static_argnames=("out_shape", "upsample_factor", "region_mode")
 )
@@ -867,8 +930,10 @@ def _bin_sim(sim: Sim, binning: Dict[str, int]) -> Sim:
     return out
 
 
-def _sel_spatial_range(sim: Sim, ranges: Dict[str, Tuple[float, float]]) -> Sim:
-    """Select pixel-center coords within [lo, hi] per spatial dim."""
+def _spatial_range_slices(
+    sim: Sim, ranges: Dict[str, Tuple[float, float]]
+) -> Dict[str, slice]:
+    """Index slices selecting pixel-center coords within [lo, hi] per dim."""
     indexers = {}
     for d, (lo, hi) in ranges.items():
         origin = sim.origin[d]
@@ -878,7 +943,12 @@ def _sel_spatial_range(sim: Sim, ranges: Dict[str, Tuple[float, float]]) -> Sim:
         i0 = max(0, i0)
         i1 = min(sim.sizes[d] - 1, i1)
         indexers[d] = slice(i0, i1 + 1)
-    return sim.isel(indexers)
+    return indexers
+
+
+def _sel_spatial_range(sim: Sim, ranges: Dict[str, Tuple[float, float]]) -> Sim:
+    """Select pixel-center coords within [lo, hi] per spatial dim."""
+    return sim.isel(_spatial_range_slices(sim, ranges))
 
 
 def _select_and_crop_pair(
@@ -894,7 +964,10 @@ def _select_and_crop_pair(
 ):
     """Level/binning selection + overlap crop shared by the per-pair and
     batched pairwise paths. Returns (sim1, sim2, reg_sims_b, lowers, uppers,
-    overlap_tolerance).
+    overlap_tolerance, crop_info) where ``crop_info`` carries the crop
+    index slices, the pre-crop (binned) sims and the selected scale key —
+    enough for the device-resident crop path to slice the same windows
+    from an on-device tile stack instead of uploading host crops.
 
     ``bin_cache``/``cache_keys``: optional dict + per-view identity keys so
     batched callers bin each FULL view once per register() call instead of
@@ -988,8 +1061,8 @@ def _select_and_crop_pair(
 
     spacings = [si_utils.get_spacing_from_sim(s) for s in reg_sims_b]
     tol = 1e-6
-    reg_sims_b = [
-        _sel_spatial_range(
+    crop_slices = [
+        _spatial_range_slices(
             sim,
             {
                 d: (
@@ -1001,7 +1074,17 @@ def _select_and_crop_pair(
         )
         for isim, sim in enumerate(reg_sims_b)
     ]
-    return sim1, sim2, reg_sims_b, lowers, uppers, overlap_tolerance
+    crop_info = {
+        "slices": crop_slices,
+        "full_sims": list(reg_sims_b),
+        "scale_key": scale_key,
+    }
+    reg_sims_b = [
+        sim.isel(sl) for sim, sl in zip(reg_sims_b, crop_slices)
+    ]
+    return (
+        sim1, sim2, reg_sims_b, lowers, uppers, overlap_tolerance, crop_info
+    )
 
 
 def register_pair_of_msims(
@@ -1031,7 +1114,7 @@ def register_pair_of_msims(
     spatial_dims = msi_utils.get_spatial_dims(msim1)
     ndim = len(spatial_dims)
 
-    sim1, sim2, reg_sims_b, lowers, uppers, overlap_tolerance = (
+    sim1, sim2, reg_sims_b, lowers, uppers, overlap_tolerance, _crop_info = (
         _select_and_crop_pair(
             msim1,
             msim2,
@@ -1300,6 +1383,7 @@ def register(
     pairwise_executor: Optional[Callable] = None,
     return_dict: bool = False,
     mesh=None,
+    device_tiles: Optional[bool] = None,
     scheduler=None,  # deprecated (reference registration.py:2248)
 ):
     """Register a list of views to a common extrinsic coordinate system.
@@ -1312,6 +1396,15 @@ def register(
     registrations across devices (SURVEY.md §2.4 P1) — each device registers
     a disjoint subset of the (edge, t) work units; the tiny global solve
     stays host-side.
+
+    ``device_tiles``: slice registration crops ON DEVICE from a resident
+    (V, *tile) stack — the same stack ``fuse()`` uses — so a
+    register→fuse pipeline uploads each tile once (the reference runs the
+    two phases as separate passes over the same data, registration.py:2227
+    + fusion/_core.py:1068). ``True`` seeds the stack here; ``None``
+    (default) uses it only when already resident; ``False`` disables.
+    Requires integer-dtype single-field views at scale0/binning 1; other
+    inputs silently use the host crop path.
     """
     pairwise_reg_func_kwargs = pairwise_reg_func_kwargs or {}
     groupwise_resolution_kwargs = groupwise_resolution_kwargs or {}
@@ -1390,6 +1483,7 @@ def register(
             n_parallel_pairwise_regs=n_parallel_pairwise_regs,
             pairwise_executor=pairwise_executor,
             mesh=mesh,
+            device_tiles=device_tiles,
         )
 
     if post_registration_do_quality_filter:
@@ -1486,7 +1580,10 @@ def compute_pairwise_registrations(
     edges = [tuple(sorted([e[0], e[1]])) for e in g_reg.edges]
 
     if pairwise_executor is not None:
-        params = pairwise_executor(msims, edges, dict(register_kwargs))
+        exec_kwargs = {
+            k: v for k, v in register_kwargs.items() if k != "device_tiles"
+        }
+        params = pairwise_executor(msims, edges, exec_kwargs)
         if len(params) != len(edges):
             raise ValueError(
                 f"pairwise_executor returned {len(params)} results for "
@@ -1497,6 +1594,7 @@ def compute_pairwise_registrations(
     params = _try_batched_phase_correlation(
         msims, edges, register_kwargs, mesh=mesh
     )
+    register_kwargs.pop("device_tiles", None)  # batched-path-only kwarg
     if params is None:
         params = [
             register_pair_of_msims_over_time(
@@ -1529,6 +1627,7 @@ def _try_batched_phase_correlation(msims, edges, register_kwargs, mesh=None):
     registration_binning = kwargs.pop("registration_binning", None)
     reg_res_level = kwargs.pop("reg_res_level", None)
     overlap_tolerance = kwargs.pop("overlap_tolerance", None)
+    device_tiles = kwargs.pop("device_tiles", None)
 
     if pairwise_reg_func is not phase_correlation_registration:
         return None
@@ -1546,11 +1645,49 @@ def _try_batched_phase_correlation(msims, edges, register_kwargs, mesh=None):
         else [None]
     )
 
+    # device-resident crop path (VERDICT r4 item 2, single-upload stitch):
+    # when the full tile set lives (or can live) on device as one stack,
+    # registration crops are sliced ON DEVICE from the resident tiles and
+    # no crop bytes cross the host link. The stack is the same one fuse()
+    # uses (fusion._core._tiles_to_device), so a subsequent fuse() over
+    # the same views pays zero tile re-upload. Auto mode (None) enables
+    # the path only when the stack is ALREADY resident — uploading whole
+    # tiles just to register would cost more wire than the crops; pass
+    # device_tiles=True (as stitch() does) to seed the stack here.
+    from multiview_stitcher_tpu.fusion import _core as _fusion_core
+
+    field_sims = None
+    use_dev = device_tiles is not False and not has_t
+    if use_dev:
+        field_sims = [msi_utils.get_sim_from_msim(m) for m in msims]
+        key = _fusion_core._DeviceTileCache.key_for(field_sims)
+        resident = _fusion_core._device_tile_cache.get(key) is not None
+        if device_tiles is None and not resident:
+            use_dev = False
+        elif not resident:
+            budget = _fusion_core._device_tile_cache._budget()
+            total = sum(
+                int(np.prod(s.data.shape))
+                * np.dtype(s.data.dtype).itemsize
+                for s in field_sims
+            )
+            if key is None or total > budget:
+                use_dev = False
+        if use_dev:
+            for s in field_sims:
+                if si_utils.get_nonspatial_dims_from_sim(s) or not (
+                    np.issubdtype(np.dtype(s.data.dtype), np.integer)
+                ):
+                    # float tiles may carry NaN the resident stack zeroes;
+                    # integer tiles round-trip exactly
+                    use_dev = False
+                    break
+
     # per (edge, t) work units: host planning + one device resample each.
     # (view, t) selections and binned full views are cached across edges —
     # each view joins ~2*ndim edges and re-binning per edge dominated the
     # end-to-end planning rate.
-    units = []  # (edge_idx, t_idx, im0, im1, sims_px, bbox) or precomputed
+    units = []  # (edge_idx, t_idx, crop_ref0, crop_ref1, ..., bbox)
     results_direct = {}
     bboxes = {}
     msim_sel_cache = {}
@@ -1572,7 +1709,7 @@ def _try_batched_phase_correlation(msims, edges, register_kwargs, mesh=None):
             tkey = None if t is None else float(t)
             m1 = msim_at(i, t)
             m2 = msim_at(j, t)
-            sim1, sim2, reg_sims_b, lowers, uppers, otol = (
+            sim1, sim2, reg_sims_b, lowers, uppers, otol, crop_info = (
                 _select_and_crop_pair(
                     m1,
                     m2,
@@ -1585,6 +1722,17 @@ def _try_batched_phase_correlation(msims, edges, register_kwargs, mesh=None):
                     cache_keys=((i, tkey), (j, tkey)),
                 )
             )
+            if use_dev and not (
+                crop_info["scale_key"] == "scale0"
+                and crop_info["full_sims"][0].data is field_sims[i].data
+                and crop_info["full_sims"][1].data is field_sims[j].data
+            ):
+                # binning/pyramid level in play for this pair (binning or
+                # level selection rewraps .data in a new array, so DATA
+                # identity is the right test — sim wrappers are recreated
+                # per edge by the bin cache): the resident scale0 stack
+                # cannot serve its crops — host path for all
+                use_dev = False
             if ei not in bboxes:
                 overlap_phys = _get_overlap_bboxes(
                     sim1,
@@ -1599,19 +1747,21 @@ def _try_batched_phase_correlation(msims, edges, register_kwargs, mesh=None):
                     [overlap_phys["lowers"][0], overlap_phys["uppers"][0]]
                 )
             ndim = len(sim1.spatial_dims)
-            f_arr = reg_sims_b[0].to_numpy()
-            m_arr = reg_sims_b[1].to_numpy()
-            if np.nanmin(f_arr) == np.nanmax(f_arr) or np.nanmin(
-                m_arr
-            ) == np.nanmax(m_arr):
-                warnings.warn(
-                    "An overlap region between tiles/views is all zero or "
-                    "constant. Assuming identity transform.",
-                    UserWarning,
-                    stacklevel=2,
+            # crops are NOT materialized here: the host path materializes
+            # (and runs the constant guard) after the loop, the device
+            # path slices the same windows from the resident tile stack
+            refs = [
+                _CropRef(
+                    v,
+                    [
+                        crop_info["slices"][k][d].start
+                        for d in reg_sims_b[k].spatial_dims
+                    ],
+                    tuple(reg_sims_b[k].data.shape),
+                    reg_sims_b[k],
                 )
-                results_direct[(ei, ti)] = (np.eye(ndim + 1), np.nan)
-                continue
+                for k, v in enumerate((i, j))
+            ]
 
             # intrinsic (fixed-pixel-grid) output window + per-image resample
             # params (reference sims_to_intrinsic_coord_system, computed
@@ -1667,10 +1817,48 @@ def _try_batched_phase_correlation(msims, edges, register_kwargs, mesh=None):
             )
             units.append(
                 (
-                    ei, ti, f_arr, m_arr, fmat, foff, mmat, moff,
+                    ei, ti, refs[0], refs[1], fmat, foff, mmat, moff,
                     out_shape, T,
                 )
             )
+
+    tiles_dev = None
+    if use_dev:
+        # one upload (or a cache hit from a prior register()/fuse()): the
+        # SAME resident stack later serves fuse() over these views
+        try:
+            tiles_dev, _nbits = _fusion_core._tiles_to_device(field_sims)
+        except Exception as e:  # noqa: BLE001
+            warnings.warn(
+                f"device-tile registration upload failed "
+                f"({type(e).__name__}: {e}); falling back to host crops.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            use_dev = False
+    if not use_dev:
+        # host path: materialize crops and run the constant guard
+        # (reference registration.py:1504-1530) before batching
+        kept = []
+        for u in units:
+            for ref in (u[2], u[3]):
+                if ref.arr is None:
+                    ref.arr = np.asarray(ref.sim.to_numpy())
+            if np.nanmin(u[2].arr) == np.nanmax(u[2].arr) or np.nanmin(
+                u[3].arr
+            ) == np.nanmax(u[3].arr):
+                warnings.warn(
+                    "An overlap region between tiles/views is all zero or "
+                    "constant. Assuming identity transform.",
+                    UserWarning,
+                    stacklevel=2,
+                )
+                results_direct[(u[0], u[1])] = (
+                    np.eye(len(u[8]) + 1), np.nan,
+                )
+                continue
+            kept.append(u)
+        units = kept
 
     upsample_factor = reg_func_kwargs.get("upsample_factor")
     region_mode = reg_func_kwargs.get("disambiguate_region_mode")
@@ -1707,26 +1895,67 @@ def _try_batched_phase_correlation(msims, edges, register_kwargs, mesh=None):
             if mesh is not None and mesh.size > 1:
                 Bq = max(Bq, mesh.size)
                 Bq += (-Bq) % mesh.size
-            f_crops = np.full((Bq,) + fshape, np.nan, dtype=np.float32)
-            m_crops = np.full((Bq,) + mshape, np.nan, dtype=np.float32)
             fmats = np.zeros((Bq, ndim, ndim), dtype=np.float32)
             foffs = np.zeros((Bq, ndim), dtype=np.float32)
             mmats = np.zeros((Bq, ndim, ndim), dtype=np.float32)
             moffs = np.zeros((Bq, ndim), dtype=np.float32)
             for bi, u in enumerate(chunk):
-                f_crops[bi][tuple(slice(0, s) for s in u[2].shape)] = u[2]
-                m_crops[bi][tuple(slice(0, s) for s in u[3].shape)] = u[3]
                 fmats[bi] = u[4]
                 foffs[bi] = u[5]
                 mmats[bi] = u[6]
                 moffs[bi] = u[7]
 
-            # packed uploads (lossless): integer-valued crops ship as
-            # uint16+delta at ~10 bits/px instead of raw f32; NaN pad is
-            # rebuilt on device from the true per-crop shapes
+            const_dev = None
+            if use_dev:
+                # crops sliced on device from the resident tile stack:
+                # zero crop bytes on the wire (single-upload stitch);
+                # pad rows point at view 0 with shape 0 -> all NaN, same
+                # as the host path's NaN pad rows
+                def ref_arrays(slot):
+                    views = np.zeros((Bq,), np.int32)
+                    starts = np.zeros((Bq, ndim), np.int32)
+                    shapes = np.zeros((Bq, ndim), np.int32)
+                    for bi, u in enumerate(chunk):
+                        views[bi] = u[slot].view
+                        starts[bi] = u[slot].starts
+                        shapes[bi] = u[slot].shape
+                    return (
+                        jnp.asarray(views), jnp.asarray(starts),
+                        jnp.asarray(shapes),
+                    )
+
+                f_dev = _crops_from_resident(
+                    tiles_dev, *ref_arrays(2), fshape
+                )
+                m_dev = _crops_from_resident(
+                    tiles_dev, *ref_arrays(3), mshape
+                )
+                # constant guard runs on device (host never reads crops)
+                const_dev = _crop_const_flags(f_dev, m_dev)
+            else:
+                f_crops = np.full((Bq,) + fshape, np.nan, dtype=np.float32)
+                m_crops = np.full((Bq,) + mshape, np.nan, dtype=np.float32)
+                for bi, u in enumerate(chunk):
+                    f_crops[bi][
+                        tuple(slice(0, s) for s in u[2].shape)
+                    ] = u[2].arr
+                    m_crops[bi][
+                        tuple(slice(0, s) for s in u[3].shape)
+                    ] = u[3].arr
+
+                # packed uploads (lossless): integer-valued crops ship as
+                # uint16+delta at ~10 bits/px instead of raw f32; NaN pad
+                # is rebuilt on device from the true per-crop shapes
+                f_dev = _crops_to_device(
+                    f_crops, [u[2].shape for u in chunk]
+                )
+                m_dev = _crops_to_device(
+                    m_crops, [u[3].shape for u in chunk]
+                )
+
             args = (
-                _crops_to_device(f_crops, [u[2].shape for u in chunk]),
-                _crops_to_device(m_crops, [u[3].shape for u in chunk]),
+                f_dev,
+                m_dev,
                 jnp.asarray(fmats),
                 jnp.asarray(foffs),
                 jnp.asarray(mmats),
@@ -1749,14 +1978,19 @@ def _try_batched_phase_correlation(msims, edges, register_kwargs, mesh=None):
             # (CLAUDE.md) — block per bucket there.
             if jax.default_backend() == "cpu":
                 jax.block_until_ready((shifts, qualities))
-            pending.append((chunk, shifts, qualities))
+            pending.append((chunk, shifts, qualities, const_dev))
 
     def _fetch(entry):
-        chunk, shifts, qualities = entry
+        chunk, shifts, qualities, const_dev = entry
         return (
             chunk,
             np.asarray(shifts)[: len(chunk)],
             np.asarray(qualities)[: len(chunk)],
+            (
+                np.asarray(const_dev)[: len(chunk)]
+                if const_dev is not None
+                else np.zeros(len(chunk), bool)
+            ),
         )
 
     if pending:
@@ -1770,9 +2004,21 @@ def _try_batched_phase_correlation(msims, edges, register_kwargs, mesh=None):
 
             with ThreadPoolExecutor(min(8, len(pending))) as ex:
                 fetched = list(ex.map(_fetch, pending))
-        for chunk, shifts, qualities in fetched:
-            for u, t_vec, q in zip(chunk, shifts, qualities):
+        for chunk, shifts, qualities, consts in fetched:
+            for u, t_vec, q, const in zip(chunk, shifts, qualities, consts):
                 ei, ti = u[0], u[1]
+                if const:
+                    # device-side constant guard (host path warns earlier)
+                    warnings.warn(
+                        "An overlap region between tiles/views is all zero "
+                        "or constant. Assuming identity transform.",
+                        UserWarning,
+                        stacklevel=2,
+                    )
+                    unit_results[(ei, ti)] = (
+                        np.eye(len(u[8]) + 1), np.nan,
+                    )
+                    continue
                 T = u[9]
                 affine_px = param_utils.affine_from_translation(
                     np.asarray(t_vec, dtype=float)
