@@ -108,7 +108,8 @@ _PIPELINE_BUILDERS = {
 
 
 def _run_pipeline_config(name):
-    """register(return_dict=True) -> (edge dict, resolved param list)."""
+    """register(return_dict=True) -> (edge dict, resolved param list,
+    fused stats dict)."""
     sims, kwargs = _PIPELINE_BUILDERS[name]()
     msims = [msi_utils.get_msim_from_sim(s, scale_factors=[]) for s in sims]
     result = registration.register(
@@ -128,7 +129,46 @@ def _run_pipeline_config(name):
             "quality": float(np.asarray(data["quality"]).squeeze()),
         }
     params = [np.asarray(p).squeeze().tolist() for p in result["params"]]
-    return edges, params
+    fused_stats = _fused_stats_for_msims(msims)
+    return edges, params, fused_stats
+
+
+def _fused_stats_for_msims(msims):
+    """Fuse the registered views and summarize the OUTPUT VOXELS.
+
+    Params-only pins leave fusion geometry/blending regressions invisible
+    (the class the reference's shape math guards against,
+    fusion/_core.py:1068 + transformation.py:118); the reference's private
+    bench pins actual transforms (_tests/test_bench.py:66-96) — this is
+    the fusion-side analogue. Integer outputs pin an exact CRC32 of the
+    voxel bytes (the CPU suite is deterministic); float outputs pin
+    mean/std/corner statistics at 1e-5.
+    """
+    import zlib
+
+    fused = fusion.fuse(
+        [msi_utils.get_sim_from_msim(m) for m in msims],
+        transform_key="registered",
+    )
+    arr = np.asarray(fused.data)
+    stats = {
+        "shape": list(arr.shape),
+        "dtype": str(arr.dtype),
+        "mean": float(np.nanmean(arr.astype(np.float64))),
+        "std": float(np.nanstd(arr.astype(np.float64))),
+        "nonzero": int(np.count_nonzero(np.nan_to_num(arr))),
+    }
+    if np.issubdtype(arr.dtype, np.integer):
+        stats["crc32"] = int(
+            zlib.crc32(np.ascontiguousarray(arr).tobytes())
+        )
+    else:
+        flat = arr.reshape(-1)
+        step = max(1, flat.size // 64)
+        stats["samples"] = [
+            float(x) for x in np.nan_to_num(flat[::step][:64])
+        ]
+    return stats
 
 
 def _run_marker_affine_config():
@@ -190,8 +230,8 @@ def _compare_affine(actual, expected, label):
 def regenerate():
     fixtures = {}
     for name in _PIPELINE_BUILDERS:
-        edges, params = _run_pipeline_config(name)
-        fixtures[name] = {"edges": edges, "params": params}
+        edges, params, fused = _run_pipeline_config(name)
+        fixtures[name] = {"edges": edges, "params": params, "fused": fused}
     fixtures["marker_affine"] = _run_marker_affine_config()
     os.makedirs(os.path.dirname(FIXTURE_PATH), exist_ok=True)
     with open(FIXTURE_PATH, "w") as f:
@@ -218,7 +258,7 @@ def _load_fixtures():
 def test_pipeline_params_match_fixture(name):
     fixtures = _load_fixtures()
     expected = fixtures[name]
-    edges, params = _run_pipeline_config(name)
+    edges, params, fused = _run_pipeline_config(name)
     assert sorted(edges) == sorted(expected["edges"]), (
         f"{name}: edge set changed"
     )
@@ -230,6 +270,39 @@ def test_pipeline_params_match_fixture(name):
     assert len(params) == len(expected["params"])
     for i, (a, e) in enumerate(zip(params, expected["params"])):
         _compare_affine(a, e, f"{name} resolved param {i}")
+    _compare_fused(fused, expected["fused"], name)
+
+
+def _compare_fused(actual, expected, label):
+    """Fused-voxel pins: geometry (shape/dtype) exactly, content by CRC32
+    for integer outputs and by mean/std/samples at 1e-5 for float."""
+    assert actual["shape"] == expected["shape"], (
+        f"{label}: fused output shape changed "
+        f"{expected['shape']} -> {actual['shape']}"
+    )
+    assert actual["dtype"] == expected["dtype"], f"{label}: fused dtype"
+    if "crc32" in expected:
+        if actual.get("crc32") != expected["crc32"]:
+            raise AssertionError(
+                f"{label}: fused voxel content changed (crc32 "
+                f"{expected['crc32']} -> {actual.get('crc32')}; mean "
+                f"{expected['mean']:.6f} -> {actual['mean']:.6f}, std "
+                f"{expected['std']:.6f} -> {actual['std']:.6f}, nonzero "
+                f"{expected['nonzero']} -> {actual['nonzero']})"
+            )
+    else:
+        np.testing.assert_allclose(
+            actual["samples"], expected["samples"], rtol=1e-5, atol=1e-5,
+            err_msg=f"{label}: fused float samples drifted",
+        )
+    np.testing.assert_allclose(
+        actual["mean"], expected["mean"], rtol=1e-5,
+        err_msg=f"{label}: fused mean drifted",
+    )
+    np.testing.assert_allclose(
+        actual["std"], expected["std"], rtol=1e-5,
+        err_msg=f"{label}: fused std drifted",
+    )
 
 
 def test_marker_affine_matches_fixture():
