@@ -1486,7 +1486,8 @@ def _fuse_chunk_batch_kernel(
 @partial(
     jax.jit,
     static_argnames=(
-        "out_shape", "win", "wwin", "tile", "mode", "use_bw", "interpret"
+        "out_shape", "win", "wwin", "tile", "mode", "use_bw", "kind3d",
+        "interpret",
     ),
 )
 def _fuse_chunk_batch_kernel_exact(
@@ -1504,12 +1505,17 @@ def _fuse_chunk_batch_kernel_exact(
     tile: tuple,  # static Pallas output tile
     mode: str = "weighted_average",
     use_bw: bool = True,
+    kind3d: str = "sepy",
     interpret: bool = False,
 ):
     """EXACT-affine variant of :func:`_fuse_chunk_batch_kernel`: the
     per-(chunk, view) resamples run through the banded-hat Pallas kernels
     (ops/exact_affine.py — scipy-parity, no gathers); the NaN-aware blend
-    stays in XLA. Default tier for rotated multiview fuse() on TPU."""
+    stays in XLA. Default tier for rotated multiview fuse() on TPU.
+
+    ``kind3d`` picks the 3D kernel: "sepy" (y-decoupled family, fastest)
+    or "general" (any affine — the affine-groupwise-resolution family,
+    VERDICT r4 items 3-4)."""
     from multiview_stitcher_tpu.ops import exact_affine as ea
 
     B, K = slabs.shape[:2]
@@ -1522,6 +1528,13 @@ def _fuse_chunk_batch_kernel_exact(
             slabs.reshape((BK,) + slabs.shape[2:]),
             mats_f, offs_f, extents.reshape(BK, ndim),
             out_shape, tile=tile, HW=win[0], WW=win[1],
+            cval=jnp.nan, interpret=interpret,
+        )
+    elif kind3d == "general":
+        data_t = ea.exact_affine_batch_3d_general(
+            slabs.reshape((BK,) + slabs.shape[2:]),
+            mats_f, offs_f, extents.reshape(BK, ndim),
+            out_shape, tile=tile, ZS=win[0], YB=win[1], XS=win[2],
             cval=jnp.nan, interpret=interpret,
         )
     else:
@@ -1548,6 +1561,12 @@ def _fuse_chunk_batch_kernel_exact(
                 out_shape, tile=tile, HW=wwin[0], WW=wwin[1],
                 cval=0.0, interpret=interpret,
             )
+        elif kind3d == "general":
+            bw = ea.exact_affine_batch_3d_general(
+                wg, wmats_f, woffs_f, grid_ext,
+                out_shape, tile=tile, ZS=wwin[0], YB=wwin[1], XS=wwin[2],
+                cval=0.0, interpret=interpret,
+            )
         else:
             bw = ea.exact_affine_batch_3d_sepy(
                 wg, wmats_f, woffs_f, grid_ext,
@@ -1570,7 +1589,7 @@ def _fuse_chunk_batch_kernel_exact(
     jax.jit,
     static_argnames=(
         "S_max", "out_shape", "win", "wwin", "tile", "mode", "use_bw",
-        "interpret",
+        "kind3d", "interpret",
     ),
 )
 def _fuse_chunk_batch_kernel_exact_devtiles(
@@ -1579,7 +1598,7 @@ def _fuse_chunk_batch_kernel_exact_devtiles(
     starts,       # (B, K, ndim) int32 slab window starts (pre-clamped)
     mats, offs, extents, wgrids, wmats, woffs, view_valid,
     S_max, out_shape, win, wwin, tile, mode, use_bw,
-    interpret=False,
+    kind3d="sepy", interpret=False,
 ):
     """Exact-tier batch kernel reading slabs from a DEVICE-RESIDENT tile
     stack via dynamic_slice — repeated rotated fuse() calls skip the
@@ -1602,7 +1621,8 @@ def _fuse_chunk_batch_kernel_exact_devtiles(
     slabs = jax.vmap(jax.vmap(slice_one))(tile_idx, starts)
     return _fuse_chunk_batch_kernel_exact(
         slabs, mats, offs, extents, wgrids, wmats, woffs, view_valid,
-        out_shape, win, wwin, tile, mode, use_bw, interpret=interpret,
+        out_shape, win, wwin, tile, mode, use_bw, kind3d=kind3d,
+        interpret=interpret,
     )
 
 
@@ -2609,27 +2629,43 @@ def _execute_fusion_plan_batched(
         all_m_e = np.stack(
             [it["m"] for e in entries for it in e["_kernel_params"]]
         )
-        etile = (8, 128) if ndim == 2 else (8, 32, 128)
-        eligible = ndim == 2 or ea_ops.is_y_decoupled(all_m_e)
-        if eligible:
-            planner = (
-                ea_ops.plan_windows_2d if ndim == 2
-                else ea_ops.plan_windows_3d
+        all_wm_e = (
+            np.stack(
+                [it["wm"] for e in entries for it in e["_kernel_params"]]
             )
-            win = planner(all_m_e, etile)
-            wwin = None
-            if win is not None and use_bw:
-                all_wm_e = np.stack(
-                    [it["wm"] for e in entries for it in e["_kernel_params"]]
+            if use_bw
+            else None
+        )
+        # 3D kernel selection: y-decoupled maps (rotate-around-y
+        # multiview family) take the fast sepy kernel; ANY other affine
+        # — e.g. affine groupwise resolution output, which perturbs
+        # every matrix entry (VERDICT r4 items 3-4) — takes the general
+        # kernel (exact, window-volume cost). Falls through to
+        # shear/gather only when the planned windows exceed VMEM.
+        candidates = []  # (kind3d, planner, etile)
+        if ndim == 2:
+            candidates.append(("2d", ea_ops.plan_windows_2d, (8, 128)))
+        else:
+            if ea_ops.is_y_decoupled(all_m_e) and (
+                all_wm_e is None or ea_ops.is_y_decoupled(all_wm_e)
+            ):
+                candidates.append(
+                    ("sepy", ea_ops.plan_windows_3d, (8, 32, 128))
                 )
-                if ndim == 3 and not ea_ops.is_y_decoupled(all_wm_e):
-                    win = None
-                else:
-                    wwin = planner(all_wm_e, etile)
-                    if wwin is None:
-                        win = None
-            if win is not None:
-                exact_bundle = (win, wwin, etile)
+            candidates.append(
+                ("general", ea_ops.plan_windows_3d_general, (8, 4, 32))
+            )
+        for kind3d, planner, etile in candidates:
+            win = planner(all_m_e, etile)
+            if win is None:
+                continue
+            wwin = None
+            if use_bw:
+                wwin = planner(all_wm_e, etile)
+                if wwin is None:
+                    continue
+            exact_bundle = (win, wwin, etile, kind3d)
+            break
 
     # shear tier: one static decomposition over every map in the plan;
     # any failure (large rotation, extreme scale, non-factorable) falls
@@ -2746,7 +2782,7 @@ def _execute_fusion_plan_batched(
         (slabs, tile_idx, starts, mats, offs, extents, wgrids, wmats,
          woffs, valid) = arrays
         if exact_bundle is not None:
-            win, wwin, etile = exact_bundle
+            win, wwin, etile, kind3d = exact_bundle
             interp = jax.devices()[0].platform == "cpu"
             if device_tiles:
                 return _fuse_chunk_batch_kernel_exact_devtiles(
@@ -2760,7 +2796,7 @@ def _execute_fusion_plan_batched(
                     jnp.asarray(woffs, dtype=jnp.float32),
                     jnp.asarray(valid),
                     S_max, O_max, win, wwin, etile, mode, use_bw,
-                    interpret=interp,
+                    kind3d=kind3d, interpret=interp,
                 )
             return _fuse_chunk_batch_kernel_exact(
                 jnp.asarray(slabs),
@@ -2772,6 +2808,7 @@ def _execute_fusion_plan_batched(
                 jnp.asarray(woffs, dtype=jnp.float32),
                 jnp.asarray(valid),
                 O_max, win, wwin, etile, mode, use_bw,
+                kind3d=kind3d,
                 interpret=jax.devices()[0].platform == "cpu",
             )
         if shear_bundle is not None:

@@ -30,7 +30,19 @@ observations:
    matmul across all y — ~1-2K f32 MACs/voxel instead of the 2D kernel's
    window-area cost — followed by an exact banded y-lerp matmul.
 
-Fully general 3D affines (all axes coupled) keep the gather tier.
+3. Fully general 3D affines (all axes coupled — e.g. affine groupwise
+   resolution output, reference linear_two_pass.py:216-545, which
+   perturbs every matrix entry) use a third kernel that keeps ALL THREE
+   sample coordinates exactly affine in the flattened output-lane index:
+   a small (TZ, TY, TX) output tile flattens to the lanes, one
+   (ZS*YB, XS) @ (XS, N) MXU matmul x-interpolates every (z, y) window
+   row at the per-lane x positions, and a tensor-product tent
+   contraction (exactly <=4 nonzero (r, l) pairs per lane) reduces to
+   the output. Cost is window-volume MACs/voxel — an order above the
+   y-decoupled kernel, but still MXU-class and exact, vs the gather
+   tier's ~1 Mvox/s.
+
+Maps whose planned windows exceed VMEM keep the gather tier.
 """
 
 from __future__ import annotations
@@ -591,4 +603,273 @@ def exact_affine_batch_3d_sepy(
         & (u >= 0) & (u <= ext[:, 1, None, None, None] - 1)
         & (v >= 0) & (v <= ext[:, 2, None, None, None] - 1)
     )
+    return jnp.where(valid, vals, jnp.asarray(cval, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# 3D: fully general affine (all axes coupled)
+# ---------------------------------------------------------------------------
+
+# ceiling on the (ZS * YB) matmul M dim of the general kernel: the
+# x-interpolated intermediate P is (ZS*YB, N) f32 in registers/VMEM
+_MAX_GENERAL_ROWS = 1024
+
+
+def plan_windows_3d_general(mats, tile=(8, 4, 32)):
+    """Static (ZS, YB, XS) window sizes for the general 3D kernel, or
+    None when too large. ``tile`` is the (TZ, TY, TX) output tile; the
+    window is in NATURAL (z, y, x) layout.
+
+    Every row of the map contributes to every window dim (all couplings
+    budgeted — VERDICT r4 item 3). Margins: +3 interpolation/floor
+    slack, plus the DMA alignment residual on the sublane (y: 8) and
+    lane (x: 128) dims; z is an untiled major dim (arbitrary start)."""
+    m = np.abs(np.asarray(mats, dtype=np.float64)).reshape(-1, 3, 3)
+    TZ, TYS, TX = tile
+    spans = [
+        float(np.max(m[:, r, 0])) * (TZ - 1)
+        + float(np.max(m[:, r, 1])) * (TYS - 1)
+        + float(np.max(m[:, r, 2])) * (TX - 1)
+        for r in range(3)
+    ]
+    ZS = int(np.ceil(spans[0])) + 3
+    YB = _round_up(int(np.ceil(spans[1])) + 3 + 8, 8)
+    XS = _round_up(int(np.ceil(spans[2])) + 3 + 128, 128)
+    if ZS * YB * XS > _MAX_WINDOW_ELEMS_3D or ZS * YB > _MAX_GENERAL_ROWS:
+        return None
+    return ZS, YB, XS
+
+
+def _exact3d_general_kernel(
+    # scalar prefetch — per-ITEM scalars only (windows/bases computed
+    # in-kernel: SMEM stays O(B), not O(B * n_tiles))
+    mats_ref,     # (B, 9) f32 row-major 3x3 output-voxel -> input-voxel
+    offs_ref,     # (B, 3) f32 (z, y, x) translation in PADDED coords
+    # tensor input: (B, Zp, Yp, Xp) f32 — NATURAL layout, zero-padded
+    data_ref,
+    # output: (1, 1, 1, 1, N) f32, N = TZ*TYS*TX
+    out_ref,
+    # scratch
+    win_ref,      # (ZS, YB, XS) f32
+    sem,
+    *,
+    TZ: int,
+    TYS: int,
+    TX: int,
+    ZS: int,
+    YB: int,
+    XS: int,
+    ZP: int,
+    YP: int,
+    XP: int,
+):
+    b = pl.program_id(0)
+    tz = pl.program_id(1)
+    ty = pl.program_id(2)
+    tx = pl.program_id(3)
+    N = TZ * TYS * TX
+
+    m00 = mats_ref[b, 0]
+    m01 = mats_ref[b, 1]
+    m02 = mats_ref[b, 2]
+    m10 = mats_ref[b, 3]
+    m11 = mats_ref[b, 4]
+    m12 = mats_ref[b, 5]
+    m20 = mats_ref[b, 6]
+    m21 = mats_ref[b, 7]
+    m22 = mats_ref[b, 8]
+
+    z0 = (tz * TZ).astype(jnp.float32)
+    y0 = (ty * TYS).astype(jnp.float32)
+    x0 = (tx * TX).astype(jnp.float32)
+    w00 = m00 * z0 + m01 * y0 + m02 * x0 + offs_ref[b, 0]
+    u00 = m10 * z0 + m11 * y0 + m12 * x0 + offs_ref[b, 1]
+    v00 = m20 * z0 + m21 * y0 + m22 * x0 + offs_ref[b, 2]
+
+    def tile_min(base, ma, mb, mc):
+        return (
+            base
+            + jnp.minimum(ma * (TZ - 1), 0.0)
+            + jnp.minimum(mb * (TYS - 1), 0.0)
+            + jnp.minimum(mc * (TX - 1), 0.0)
+        )
+
+    wmin = tile_min(w00, m00, m01, m02)
+    umin = tile_min(u00, m10, m11, m12)
+    vmin = tile_min(v00, m20, m21, m22)
+    wz = jnp.clip(
+        jnp.floor(wmin).astype(jnp.int32) - 1, 0, ZP - ZS
+    )  # z: untiled major dim, any start
+    wy = jnp.clip(
+        ((jnp.floor(umin).astype(jnp.int32) - 1) // 8) * 8,
+        0, ((YP - YB) // 8) * 8,
+    )
+    wx = jnp.clip(
+        ((jnp.floor(vmin).astype(jnp.int32) - 1) // 128) * 128,
+        0, ((XP - XS) // 128) * 128,
+    )
+    wy = pl.multiple_of(wy, 8)
+    wx = pl.multiple_of(wx, 128)
+
+    copy = pltpu.make_async_copy(
+        data_ref.at[b, pl.ds(wz, ZS), pl.ds(wy, YB), pl.ds(wx, XS)],
+        win_ref,
+        sem,
+    )
+    copy.start()
+
+    # per-lane output offsets: n = (dz*TYS + dy)*TX + dx
+    n_ids = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    dz_i = n_ids // (TYS * TX)
+    rem = n_ids - dz_i * (TYS * TX)
+    dy_i = rem // TX
+    dx_i = rem - dy_i * TX
+    dz = dz_i.astype(jnp.float32)
+    dy = dy_i.astype(jnp.float32)
+    dx = dx_i.astype(jnp.float32)
+    w = (w00 - wz.astype(jnp.float32)) + m00 * dz + m01 * dy + m02 * dx
+    u = (u00 - wy.astype(jnp.float32)) + m10 * dz + m11 * dy + m12 * dx
+    v = (v00 - wx.astype(jnp.float32)) + m20 * dz + m21 * dy + m22 * dx
+
+    # x-interpolation matrix at the per-lane x positions
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (XS, N), 0).astype(
+        jnp.float32
+    )
+    Hv = jnp.maximum(0.0, 1.0 - jnp.abs(v - c_ids))       # (XS, N)
+
+    copy.wait()
+    # ONE big MXU matmul x-interpolates every (z, y) window row at every
+    # lane's x position; HIGHEST keeps true f32 image values
+    win2d = win_ref[:, :, :].reshape(ZS * YB, XS)
+    P = jnp.dot(
+        win2d, Hv,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                     # (ZS*YB, N)
+
+    # tensor-product tent contraction over the (z=r, y=l) window rows:
+    # exactly <=2 nonzero r and <=2 nonzero l per lane
+    rl = jax.lax.broadcasted_iota(jnp.int32, (ZS * YB, N), 0)
+    r_i = rl // YB
+    l_i = rl - r_i * YB
+    Wt = jnp.maximum(
+        0.0, 1.0 - jnp.abs(w - r_i.astype(jnp.float32))
+    ) * jnp.maximum(0.0, 1.0 - jnp.abs(u - l_i.astype(jnp.float32)))
+    out_ref[0, 0, 0, 0, :] = jnp.sum(Wt * P, axis=0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("out_shape", "tile", "ZS", "YB", "XS", "interpret"),
+)
+def _exact3d_general_call(
+    data,        # (B, Sz, Sy, Sx) f32, NATURAL layout (NaN-free)
+    mats9,       # (B, 9) f32 row-major output-voxel -> input-voxel
+    offs,        # (B, 3) f32 (z, y, x) translation
+    out_shape: Tuple[int, int, int],
+    tile: Tuple[int, int, int],
+    ZS: int,
+    YB: int,
+    XS: int,
+    interpret: bool = False,
+):
+    B, Sz, Sy, Sx = data.shape
+    TZ, TYS, TX = tile
+    OZ, OY, OX = out_shape
+    N = TZ * TYS * TX
+    n_tz = -(-OZ // TZ)
+    n_ty = -(-OY // TYS)
+    n_tx = -(-OX // TX)
+
+    data_p = jnp.pad(data, ((0, 0), (ZS, ZS), (YB, YB), (XS, XS)))
+    Zp, Yp, Xp = Sz + 2 * ZS, Sy + 2 * YB, Sx + 2 * XS
+    offs_p = offs.astype(jnp.float32) + jnp.asarray(
+        [ZS, YB, XS], jnp.float32
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, n_tz, n_ty, n_tx),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, 1, N),
+            lambda b, i, j, k, *_: (b, i, j, k, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ZS, YB, XS), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    tiles_out = pl.pallas_call(
+        partial(
+            _exact3d_general_kernel,
+            TZ=TZ, TYS=TYS, TX=TX, ZS=ZS, YB=YB, XS=XS,
+            ZP=Zp, YP=Yp, XP=Xp,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_tz, n_ty, n_tx, N), jnp.float32
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(mats9.astype(jnp.float32), offs_p, data_p)
+
+    # (B, n_tz, n_ty, n_tx, TZ, TYS, TX) -> (B, OZ, OY, OX)
+    out = tiles_out.reshape(B, n_tz, n_ty, n_tx, TZ, TYS, TX)
+    out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(
+        B, n_tz * TZ, n_ty * TYS, n_tx * TX
+    )
+    return out[:, :OZ, :OY, :OX]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("out_shape", "tile", "ZS", "YB", "XS", "interpret"),
+)
+def exact_affine_batch_3d_general(
+    data,        # (B, Sz, Sy, Sx) float (may contain NaN padding)
+    mats,        # (B, 3, 3) ANY output-voxel -> input-voxel maps
+    offs,        # (B, 3)
+    extents,     # (B, 3) f32 TRUE per-item (z, y, x) extents
+    out_shape: Tuple[int, int, int],
+    tile: Tuple[int, int, int] = (8, 4, 32),
+    ZS: int = 16,
+    YB: int = 16,
+    XS: int = 256,
+    cval=jnp.nan,
+    interpret: bool = False,
+):
+    """Exact batched 3D affine resample for FULLY GENERAL maps (scipy
+    order=1 'constant' parity, reference transformation.py:118-139 — any
+    affine, one code path). ``tile`` is (TZ, TY, TX); use
+    :func:`plan_windows_3d_general` for (ZS, YB, XS)."""
+    data_f = jnp.nan_to_num(data.astype(jnp.float32))
+    mats = mats.astype(jnp.float32)
+    vals = _exact3d_general_call(
+        data_f, mats.reshape(-1, 9), offs, out_shape, tile,
+        ZS, YB, XS, interpret,
+    )
+
+    OZ, OY, OX = out_shape
+    zz = jnp.arange(OZ, dtype=jnp.float32)[None, :, None, None]
+    yy = jnp.arange(OY, dtype=jnp.float32)[None, None, :, None]
+    xx = jnp.arange(OX, dtype=jnp.float32)[None, None, None, :]
+    offs = offs.astype(jnp.float32)
+
+    def coord(r):
+        return (
+            mats[:, r, 0, None, None, None] * zz
+            + mats[:, r, 1, None, None, None] * yy
+            + mats[:, r, 2, None, None, None] * xx
+            + offs[:, r, None, None, None]
+        )
+
+    ext = extents.astype(jnp.float32)
+    valid = jnp.ones((mats.shape[0], OZ, OY, OX), bool)
+    for r in range(3):
+        c = coord(r)
+        valid &= (c >= 0) & (c <= ext[:, r, None, None, None] - 1)
     return jnp.where(valid, vals, jnp.asarray(cval, jnp.float32))

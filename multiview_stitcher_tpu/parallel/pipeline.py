@@ -117,14 +117,21 @@ def sharded_fuse_chunks_exact(
 
     ndim = len(out_shape)
     mats = np.asarray(mats, np.float32)
-    if tile is None:
-        tile = (8, 128) if ndim == 2 else (8, 32, 128)
-    planner = ea.plan_windows_2d if ndim == 2 else ea.plan_windows_3d
+    kind3d = "sepy"
     if ndim == 3 and not ea.is_y_decoupled(mats.reshape(-1, 3, 3)):
-        raise ValueError(
-            "sharded exact fusion needs y-decoupled 3D maps "
-            "(rotate-around-y family); use the gather tier otherwise"
+        # fully coupled maps: the general exact kernel (VERDICT r4 3-4)
+        kind3d = "general"
+    if tile is None:
+        tile = (
+            (8, 128) if ndim == 2
+            else (8, 32, 128) if kind3d == "sepy"
+            else (8, 4, 32)
         )
+    planner = (
+        ea.plan_windows_2d if ndim == 2
+        else ea.plan_windows_3d if kind3d == "sepy"
+        else ea.plan_windows_3d_general
+    )
     if win is None:
         win = planner(mats.reshape(-1, ndim, ndim), tile)
     if use_bw and wwin is None:
@@ -140,7 +147,7 @@ def sharded_fuse_chunks_exact(
         return _fuse_chunk_batch_kernel_exact(
             s_, m_, o_, e_, wg_, wm_, wo_, v_,
             out_shape, win, wwin, tile, mode, use_bw,
-            interpret=interpret,
+            kind3d=kind3d, interpret=interpret,
         )
 
     import jax.numpy as jnp

@@ -157,6 +157,19 @@ def _try_exact_affine(arr, matrix, offset, out_shape, cval):
                 tuple(out_shape), ZS=win[0], XS=win[1], YW=win[2],
                 cval=cval, interpret=jax.default_backend() == "cpu",
             )[0]
+        elif ndim == 3:
+            # fully coupled map (all entries may be nonzero): the general
+            # exact kernel handles any affine (VERDICT r4 items 3-4)
+            win = ea.plan_windows_3d_general(m[None])
+            if win is None:
+                return None
+            out = ea.exact_affine_batch_3d_general(
+                arr[None], jnp.asarray(m, jnp.float32)[None],
+                jnp.asarray(offset, jnp.float32)[None],
+                jnp.asarray([arr.shape], jnp.float32),
+                tuple(out_shape), ZS=win[0], YB=win[1], XS=win[2],
+                cval=cval, interpret=jax.default_backend() == "cpu",
+            )[0]
         else:
             return None
     except Exception:  # noqa: BLE001  (Mosaic limits -> gather fallback)
