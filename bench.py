@@ -682,6 +682,91 @@ def exact_affine_kernel_rate_small(repeats=3):
     return _rate_loop(call, out_shape, C, repeats)
 
 
+def exact_affine_general_kernel_rate(repeats=3):
+    """Device-side throughput of the GENERAL exact 3D affine kernel
+    (ops/exact_affine.exact_affine_batch_3d_general) on fully coupled
+    maps — the affine-groupwise-resolution family that previously fell
+    to the 0.7 Mvox/s gather tier (VERDICT r4 items 3-4; target
+    >=10 Mvox/s). ~2 MB packed upload so the metric records even on a
+    degraded link."""
+    import jax as _jax
+    import jax.numpy as jnp
+
+    from multiview_stitcher_tpu.fusion import _core
+    from multiview_stitcher_tpu.ops import exact_affine as ea_ops
+    from multiview_stitcher_tpu.ops import link_codec
+
+    rng = np.random.default_rng(0)
+    C, K = 2, 2
+    slab = (24, 72, 72)
+    out_shape = (16, 64, 128)
+    raw = rng.integers(0, 1000, (C, K) + slab).astype(np.uint16)
+    slabs = link_codec.put_packed(raw).astype(jnp.float32)
+    _ = np.asarray(slabs[0, 0, 0, 0, :2])
+    # rotate-around-y composed with ~1e-2 couplings in every entry
+    th = 0.05
+    c_, s_ = np.cos(th), np.sin(th)
+    rot = np.array([[c_, 0, -s_], [0, 1, 0], [s_, 0, c_]], np.float32)
+    rot += rng.uniform(0.005, 0.02, (3, 3)).astype(np.float32)
+    mats = np.broadcast_to(rot, (C, K, 3, 3)).copy()
+    assert not ea_ops.is_y_decoupled(mats.reshape(-1, 3, 3))
+    etile = (8, 4, 32)
+    win = ea_ops.plan_windows_3d_general(mats.reshape(-1, 3, 3), etile)
+    wmats = np.broadcast_to(
+        np.diag([0.1, 0.03, 0.03]).astype(np.float32), (C, K, 3, 3)
+    ).copy()
+    wwin = ea_ops.plan_windows_3d_general(wmats.reshape(-1, 3, 3), etile)
+    dev_args = [
+        jnp.asarray(a)
+        for a in (
+            mats,
+            rng.random((C, K, 3)).astype(np.float32) * 4,
+            np.broadcast_to(np.asarray(slab, np.float32), (C, K, 3)).copy(),
+            np.ones((C, K, 5, 5, 5), np.float32),
+            wmats,
+            np.zeros((C, K, 3), np.float32),
+            np.ones((C, K), bool),
+        )
+    ]
+    for a in dev_args:
+        a.block_until_ready()
+    interp = _jax.devices()[0].platform == "cpu"
+
+    def call():
+        return _core._fuse_chunk_batch_kernel_exact(
+            slabs, *dev_args, out_shape, win, wwin, etile,
+            "weighted_average", True, kind3d="general", interpret=interp,
+        )
+
+    return _rate_loop(call, out_shape, C, repeats)
+
+
+def stitch_rate(n=3, tile=100, overlap=20, repeats=2):
+    """End-to-end single-upload stitch(): register from device-resident
+    tiles -> resolve -> fuse from the SAME residency (VERDICT r4 item 2 —
+    the reference runs register and fuse as separate passes over the same
+    data, registration.py:2227 + fusion/_core.py:1068). Voxel rate =
+    fused output voxels / wall time of the full pipeline; each repeat
+    clears the device tile cache so the tile upload is paid (once)."""
+    from multiview_stitcher_tpu import stitch as stitch_mod
+    from multiview_stitcher_tpu.fusion import _core
+
+    best = 0.0
+    for _ in range(repeats):
+        _core.clear_device_tile_cache()
+        sims = make_grid_sims(n=n, tile=tile, overlap=overlap, ndim=3)
+        t0 = time.perf_counter()
+        fused = stitch_mod.stitch(
+            sims,
+            register_kwargs=dict(pre_registration_pruning_method=None),
+        )
+        arr = np.asarray(fused.data)
+        dt = time.perf_counter() - t0
+        assert arr.max() > 0
+        best = max(best, arr.size / dt)
+    return best
+
+
 def pairwise_reg_floor_rate(n_pairs=128, crop=(128, 128), repeats=2):
     """Weather-proof registration throughput floor (VERDICT r3 item 1a):
     ONE pre-bucketed pair batch, uint16 crops staged once through the
@@ -1359,6 +1444,25 @@ def main():
             f"{r / 1e6:.0f} Mvox/s device-side"
         )
         extras["kernel_affine_exact_mvox_s"] = round(r / 1e6, 1)
+
+    r = _midtier(
+        "general exact affine kernel", exact_affine_general_kernel_rate,
+        240,
+    )
+    if r is not None:
+        log(
+            f"3D GENERAL exact affine kernel (coupled maps): "
+            f"{r / 1e6:.1f} Mvox/s device-side"
+        )
+        extras["kernel_affine_general_mvox_s"] = round(r / 1e6, 1)
+
+    r = _midtier("single-upload stitch", stitch_rate, 360)
+    if r is not None:
+        log(
+            f"end-to-end single-upload stitch() (3x3x100^3): "
+            f"{r / 1e6:.2f} Mvox/s"
+        )
+        extras["stitch_3x3_mvox_s"] = round(r / 1e6, 3)
 
     r = _midtier("affine shear kernel", affine_kernel_rate, 300)
     if r is not None:
