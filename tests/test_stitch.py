@@ -255,6 +255,41 @@ class TestDeviceTilesRegistration:
         assert any("constant" in str(w.message) for w in rec)
 
 
+class TestDeviceTilesWithMesh:
+    def test_mesh_sharded_device_crops_match_host(self):
+        """register(mesh=, device_tiles=True): crops sliced from the
+        resident stack feed the SHARDED pcc batch; results match the
+        unsharded host-crop path."""
+        import jax
+        from jax.sharding import Mesh
+
+        sims = _grid_sims(ndim=2, n=2, tile=32, overlap=10)
+        kwargs = dict(
+            transform_key=si_utils.DEFAULT_TRANSFORM_KEY,
+            pre_registration_pruning_method=None,
+        )
+        msims_a = [
+            msi_utils.get_msim_from_sim(s.copy(), scale_factors=[])
+            for s in sims
+        ]
+        params_host = registration.register(
+            msims_a, device_tiles=False, **kwargs
+        )
+        fusion_core.clear_device_tile_cache()
+        mesh = Mesh(np.array(jax.devices()[:4]), ("b",))
+        msims_b = [
+            msi_utils.get_msim_from_sim(s.copy(), scale_factors=[])
+            for s in sims
+        ]
+        params_mesh = registration.register(
+            msims_b, device_tiles=True, mesh=mesh, **kwargs
+        )
+        for ph, pm in zip(params_host, params_mesh):
+            np.testing.assert_allclose(
+                np.asarray(pm), np.asarray(ph), atol=1e-5,
+            )
+
+
 class TestStitchPipeline:
     def test_single_upload_end_to_end(self, monkeypatch):
         """stitch() uploads the tile stack once; fuse() reuses it; the
