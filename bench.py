@@ -1550,6 +1550,16 @@ def main():
         if r is not None:
             log(f"EXACT affine kernel FLOOR: {r/1e6:.0f} Mvox/s")
             extras["kernel_affine_exact_mvox_s_floor"] = round(r / 1e6, 1)
+    if "kernel_affine_general_mvox_s" not in extras:
+        r = _bounded(
+            "general exact kernel floor",
+            exact_affine_general_kernel_rate, 110, 1,
+        )
+        if r is not None:
+            log(f"GENERAL exact affine kernel FLOOR: {r/1e6:.1f} Mvox/s")
+            extras["kernel_affine_general_mvox_s_floor"] = round(
+                r / 1e6, 1
+            )
     if (
         "fuse_3x3_100_mvox_s" not in extras
         and "fuse_4x4_128_mvox_s" not in extras
