@@ -2448,6 +2448,7 @@ def _execute_fusion_plan_batched(
     out_dtype,
     out_sink=None,
     max_batch_elements=2**25,
+    allow_exact_tier=True,
 ):
     """Uniform-shape batched execution for builtin fusion funcs.
 
@@ -2620,7 +2621,8 @@ def _execute_fusion_plan_batched(
     import os as _os3
 
     if (
-        _exact_affine_tier_enabled()
+        allow_exact_tier
+        and _exact_affine_tier_enabled()
         and not float_nan_risk
         and _os3.environ.get("MVS_TPU_SHEAR") != "1"
     ):
@@ -3148,11 +3150,7 @@ def _execute_fusion_plan(
         and weights_func is None
         and not (fusion_func_kwargs or {})
     ):
-        return _execute_fusion_plan_batched(
-            plan,
-            field_sims,
-            output_stack_properties,
-            sdims,
+        batched_kwargs = dict(
             mode=builtin_mode,
             use_bw=misc_utils.has_keyword(fusion_func, "blending_weights"),
             overlap_in_pixels=overlap_in_pixels,
@@ -3162,6 +3160,28 @@ def _execute_fusion_plan(
             out_dtype=out_dtype,
             out_sink=out_sink,
         )
+        try:
+            return _execute_fusion_plan_batched(
+                plan, field_sims, output_stack_properties, sdims,
+                **batched_kwargs,
+            )
+        except Exception as e:  # noqa: BLE001
+            # the exact Pallas tier can hit Mosaic limits the interpret
+            # mode accepts (block-shape rules, SMEM/VMEM ceilings); degrade
+            # to the XLA shear/gather tiers instead of failing fuse().
+            # Region writes are idempotent, so the retry simply rewrites.
+            if not _exact_affine_tier_enabled():
+                raise
+            warnings.warn(
+                f"Exact Pallas affine tier failed ({type(e).__name__}: "
+                f"{e}); retrying with the XLA execution tiers.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return _execute_fusion_plan_batched(
+                plan, field_sims, output_stack_properties, sdims,
+                allow_exact_tier=False, **batched_kwargs,
+            )
 
     ndim = len(sdims)
     out_shape_full = tuple(output_stack_properties["shape"][d] for d in sdims)

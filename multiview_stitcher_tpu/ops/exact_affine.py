@@ -647,7 +647,11 @@ def _exact3d_general_kernel(
     offs_ref,     # (B, 3) f32 (z, y, x) translation in PADDED coords
     # tensor input: (B, Zp, Yp, Xp) f32 — NATURAL layout, zero-padded
     data_ref,
-    # output: (1, 1, 1, 1, N) f32, N = TZ*TYS*TX
+    # output: (1, 1, 1, 1, 1, N) f32, N = TZ*TYS*TX (trailing singleton
+    # keeps the last-two block dims equal to the array dims — Mosaic
+    # rejects a (1, N) block over an (n_tx, N) trailing pair: the
+    # second-to-last block dim must be divisible by 8 or equal to the
+    # array dim; caught live on v5e, interpret mode accepts either)
     out_ref,
     # scratch
     win_ref,      # (ZS, YB, XS) f32
@@ -755,7 +759,7 @@ def _exact3d_general_kernel(
     Wt = jnp.maximum(
         0.0, 1.0 - jnp.abs(w - r_i.astype(jnp.float32))
     ) * jnp.maximum(0.0, 1.0 - jnp.abs(u - l_i.astype(jnp.float32)))
-    out_ref[0, 0, 0, 0, :] = jnp.sum(Wt * P, axis=0)
+    out_ref[0, 0, 0, 0, 0, :] = jnp.sum(Wt * P, axis=0)
 
 
 @partial(
@@ -792,8 +796,8 @@ def _exact3d_general_call(
         grid=(B, n_tz, n_ty, n_tx),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 1, 1, 1, N),
-            lambda b, i, j, k, *_: (b, i, j, k, 0),
+            (1, 1, 1, 1, 1, N),
+            lambda b, i, j, k, *_: (b, i, j, k, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -809,7 +813,7 @@ def _exact3d_general_call(
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (B, n_tz, n_ty, n_tx, N), jnp.float32
+            (B, n_tz, n_ty, n_tx, 1, N), jnp.float32
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024

@@ -510,3 +510,48 @@ def test_fusion_clean_floats_still_take_exact_tier(monkeypatch):
     ).to_numpy()
     assert calls["n"] >= 1, "clean float views should take the exact tier"
     assert np.isfinite(out[out != 0]).all()
+
+
+def test_fusion_falls_back_when_exact_kernel_fails(monkeypatch):
+    """A Mosaic-class failure in the exact Pallas tier (e.g. a lowering
+    rule interpret mode accepts but the real chip rejects — caught live
+    on v5e with the general kernel's block shape) must degrade fuse() to
+    the XLA tiers with a warning, not fail the call."""
+    rng = np.random.default_rng(3)
+    th = 0.1
+    R = np.eye(3)
+    R[:2, :2] = _rot2(th)
+    sims = []
+    for i in range(2):
+        data = rng.integers(100, 1100, size=(40, 60)).astype(np.uint16)
+        sim = si_utils.get_sim_from_array(
+            data, dims=("y", "x"), translation={"y": 0.0, "x": i * 40.0}
+        )
+        si_utils.set_sim_affine(
+            sim, R if i else np.eye(3), transform_key="affine"
+        )
+        sims.append(sim)
+
+    monkeypatch.setenv("MVS_TPU_EXACT_AFFINE", "0")
+    monkeypatch.setenv("MVS_TPU_SHEAR", "0")
+    ref = fusion.fuse(
+        [s.copy() for s in sims], transform_key="affine",
+        output_chunksize=32,
+    ).to_numpy()
+
+    def boom(*a, **k):
+        raise ValueError(
+            "The Pallas TPU lowering currently requires ... (simulated)"
+        )
+
+    monkeypatch.setenv("MVS_TPU_EXACT_AFFINE", "1")
+    monkeypatch.setattr(_core, "_fuse_chunk_batch_kernel_exact", boom)
+    monkeypatch.setattr(
+        _core, "_fuse_chunk_batch_kernel_exact_devtiles", boom
+    )
+    with pytest.warns(RuntimeWarning, match="retrying with the XLA"):
+        out = fusion.fuse(
+            [s.copy() for s in sims], transform_key="affine",
+            output_chunksize=32,
+        ).to_numpy()
+    np.testing.assert_array_equal(out, ref)
