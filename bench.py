@@ -84,21 +84,48 @@ def _device_metrics_from_extras(extras):
     return {
         k: v
         for k, v in extras.items()
-        if k not in _HOST_ONLY_KEYS and not k.startswith("last_good")
+        if k not in _HOST_ONLY_KEYS
+        and not k.startswith(("last_good", "best_measured"))
     }
+
+
+# rate-class keys (higher = better) whose BEST measured value is worth
+# keeping alongside the last-good: tunnel weather swings 4-50 MB/s minute
+# to minute, so the capture-time number can understate the engineering by
+# 3-5x. The best block is measured + per-key timestamped, never
+# substituted into ``value`` — same honesty contract as last_good.
+_BEST_TRACKED_PREFIXES = (
+    "fuse_", "kernel_", "register_", "zarr_to_zarr_", "stitch_",
+)
+_BEST_TRACKED_KEYS = {
+    "headline_mvox_s", "vs_baseline", "pairwise_reg_s", "reg_vs_cpu",
+}
+
+
+def _is_best_tracked(key):
+    return key in _BEST_TRACKED_KEYS or key.startswith(
+        _BEST_TRACKED_PREFIXES
+    )
 
 
 def _update_ledger(new_metrics):
     """Merge freshly measured device metrics into the ledger (per-key
-    timestamps; newer values overwrite). Atomic write."""
+    timestamps; newer values overwrite last_good, maxima update best).
+    Atomic write."""
     if not new_metrics:
         return
     led = _load_ledger() or {"version": 1, "last_good": {"metrics": {}, "at": {}}}
     lg = led.setdefault("last_good", {"metrics": {}, "at": {}})
+    best = led.setdefault("best", {"metrics": {}, "at": {}})
     now = _utcnow_iso()
     for k, v in new_metrics.items():
         lg.setdefault("metrics", {})[k] = v
         lg.setdefault("at", {})[k] = now
+        if _is_best_tracked(k) and isinstance(v, (int, float)):
+            prev = best.setdefault("metrics", {}).get(k)
+            if prev is None or v > prev:
+                best["metrics"][k] = v
+                best.setdefault("at", {})[k] = now
     lg["updated_at"] = now
     tmp = _LEDGER_PATH + ".tmp"
     try:
@@ -126,6 +153,18 @@ def _merge_last_good(extras):
             extras["last_good_at_per_key"] = at
     elif lg.get("updated_at"):
         extras["last_good_at"] = lg["updated_at"]
+
+def _merge_best(extras):
+    """Attach the ledger's best-measured block (labeled, per-key
+    timestamped) to the outgoing JSON — shipped on EVERY emit, so a
+    bad-weather capture still carries the round's best measured device
+    numbers next to the live ones. Never touches ``value``."""
+    led = _load_ledger()
+    best = (led or {}).get("best") or {}
+    if best.get("metrics"):
+        extras["best_measured"] = best["metrics"]
+        if best.get("at"):
+            extras["best_measured_at_per_key"] = best["at"]
 
 
 def _smooth_tile(rng, shape, scale=1000.0, sigma=1.5):
@@ -1089,6 +1128,7 @@ def _emit():
             dev["headline_mvox_s"] = round(tpu_rate / 1e6, 3)
             dev["vs_baseline"] = round(tpu_rate / cpu_rate, 3)
         _update_ledger(dev)
+        _merge_best(extras)  # after update: includes this run's maxima
     except Exception as e:  # noqa: BLE001 — emission must never fail
         log(f"ledger step failed: {type(e).__name__}: {e}")
     print(
