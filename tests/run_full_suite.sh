@@ -1,37 +1,43 @@
 #!/usr/bin/env bash
-# Full test suite (incl. slow-marked tests) in TWO fresh processes.
+# Full test suite (incl. slow-marked tests) in THREE fresh processes.
 #
-# Why split: one full-suite process has segfaulted inside XLA's CPU
-# backend_compile_and_load at the service tests, where spawned worker
-# processes compile XLA concurrently with the parent on this 1-core box
-# (CLAUDE.md "Performance rules"). Both halves pass in fresh processes;
-# the shared persistent compile cache (exported to workers via env vars
-# in tests/conftest.py) makes warm runs skip those compiles entirely,
-# but a cold cache can still hit the crash in a single process. This
-# runner is the release recipe: front half (everything before
-# test_service), then test_service onward, each `-m ''` (slow included).
+# Why split: single-process full-suite runs segfault XLA's CPU stack on
+# this 1-core box once enough compiled executables accumulate — first at
+# the service tests (spawned workers compiling concurrently, r4), then at
+# test_registration.py::test_diversity_stitching with a stack inside
+# compilation_cache cache READS (r5; the same test passes in a fresh
+# process, and the file alone passes 52/52 — cross-file process state,
+# not a corrupt cache entry: purging the cache did not move the crash).
+# Each segment passes in a fresh process; the shared persistent compile
+# cache (exported to spawned workers via env vars in tests/conftest.py)
+# keeps warm runs fast. This runner is the release recipe:
+#   A: everything before test_registration
+#   B: test_registration up to (excluding) test_service
+#   C: test_service onward
 #
 # Usage: bash tests/run_full_suite.sh  [extra pytest args...]
-# Output: /tmp/suite_front.log and /tmp/suite_tail.log (full pytest
+# Output: /tmp/suite_a.log /tmp/suite_b.log /tmp/suite_c.log (full pytest
 # output incl. the summary line that piping through tail would lose).
 set -u
 cd "$(dirname "$0")/.."
 
-FRONT=$(ls tests/test_*.py | sort | sed '/test_service/,$d')
-TAIL=$(ls tests/test_*.py | sort | sed -n '/test_service/,$p')
+A=$(ls tests/test_*.py | sort | sed '/test_registration/,$d')
+B=$(ls tests/test_*.py | sort | sed -n '/test_registration/,/test_service/p' | sed '/test_service/d')
+C=$(ls tests/test_*.py | sort | sed -n '/test_service/,$p')
 
-echo "== front half =="
-python -m pytest $FRONT -q -m '' "$@" >/tmp/suite_front.log 2>&1
-front_rc=$?
-tail -n 3 /tmp/suite_front.log
+rc=0
+for seg in A B C; do
+  eval "files=\$$seg"
+  log=/tmp/suite_$(echo "$seg" | tr 'A-Z' 'a-z').log
+  echo "== segment $seg =="
+  python -m pytest $files -q -m '' "$@" >"$log" 2>&1
+  seg_rc=$?
+  tail -n 3 "$log"
+  [ $seg_rc -ne 0 ] && rc=1
+done
 
-echo "== tail half (test_service onward) =="
-python -m pytest $TAIL -q -m '' "$@" >/tmp/suite_tail.log 2>&1
-tail_rc=$?
-tail -n 3 /tmp/suite_tail.log
-
-if [ $front_rc -ne 0 ] || [ $tail_rc -ne 0 ]; then
-  echo "FULL SUITE: FAILED (front=$front_rc tail=$tail_rc)"
+if [ $rc -ne 0 ]; then
+  echo "FULL SUITE: FAILED"
   exit 1
 fi
 echo "FULL SUITE: GREEN"
