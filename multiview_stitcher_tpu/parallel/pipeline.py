@@ -118,8 +118,18 @@ def sharded_fuse_chunks_exact(
     ndim = len(out_shape)
     mats = np.asarray(mats, np.float32)
     kind3d = "sepy"
-    if ndim == 3 and not ea.is_y_decoupled(mats.reshape(-1, 3, 3)):
-        # fully coupled maps: the general exact kernel (VERDICT r4 3-4)
+    if ndim == 3 and not (
+        ea.is_y_decoupled(mats.reshape(-1, 3, 3))
+        and (
+            not use_bw
+            or ea.is_y_decoupled(
+                np.asarray(wmats, np.float32).reshape(-1, 3, 3)
+            )
+        )
+    ):
+        # any coupling in the view maps OR the weight maps: the general
+        # exact kernel (VERDICT r4 3-4) — the sepy kernel reads only the
+        # 5 decoupled entries and would silently drop coupling terms
         kind3d = "general"
     if tile is None:
         tile = (

@@ -373,3 +373,61 @@ def test_sharded_exact_affine_chunks_match_unsharded():
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-4)
+
+
+def test_sharded_exact_coupled_weight_maps_take_general_kernel():
+    """sepy-eligible VIEW maps with COUPLED weight maps must route to the
+    general kernel: the sepy kernel reads only the 5 decoupled matrix
+    entries and would silently drop the weight maps' coupling terms."""
+    import jax
+
+    from multiview_stitcher_tpu.fusion._core import (
+        _fuse_chunk_batch_kernel_exact,
+    )
+    from multiview_stitcher_tpu.ops import exact_affine as ea
+    from multiview_stitcher_tpu.parallel import mesh as mesh_utils
+    from multiview_stitcher_tpu.parallel import pipeline
+
+    mesh = mesh_utils.get_mesh(len(jax.devices()))
+    rng = np.random.default_rng(7)
+    C, K = len(jax.devices()), 2
+    th = 0.08
+    # y-decoupled (rotate-around-y) view maps
+    Ry = np.array(
+        [
+            [np.cos(th), 0.0, -np.sin(th)],
+            [0.0, 1.0, 0.0],
+            [np.sin(th), 0.0, np.cos(th)],
+        ],
+        np.float32,
+    )
+    S_in, out_shape = (16, 24, 24), (12, 16, 32)
+    slabs = (rng.random((C, K) + S_in) * 500).astype(np.float32)
+    mats = np.broadcast_to(Ry, (C, K, 3, 3)).copy()
+    assert ea.is_y_decoupled(mats.reshape(-1, 3, 3))
+    offs = rng.random((C, K, 3)).astype(np.float32) * 2
+    extents = np.broadcast_to(
+        np.asarray(S_in, np.float32), (C, K, 3)
+    ).copy()
+    wgrids = rng.random((C, K, 5, 5, 5)).astype(np.float32)
+    # weight maps with coupling in EVERY entry
+    wm = np.diag([0.3, 0.15, 0.15]).astype(np.float32) + 0.02
+    wmats = np.broadcast_to(wm, (C, K, 3, 3)).copy()
+    assert not ea.is_y_decoupled(wmats.reshape(-1, 3, 3))
+    woffs = np.zeros((C, K, 3), np.float32)
+    valid = np.ones((C, K), bool)
+
+    fused = pipeline.sharded_fuse_chunks_exact(
+        slabs, mats, offs, extents, wgrids, wmats, woffs, valid,
+        out_shape, mesh, interpret=True,
+    )
+    # oracle: the general kernel unsharded (handles any coupling exactly)
+    tile = (8, 4, 32)
+    win = ea.plan_windows_3d_general(mats.reshape(-1, 3, 3), tile)
+    wwin = ea.plan_windows_3d_general(wmats.reshape(-1, 3, 3), tile)
+    ref = _fuse_chunk_batch_kernel_exact(
+        slabs, mats, offs, extents, wgrids, wmats, woffs, valid,
+        out_shape, win, wwin, tile, "weighted_average", True,
+        kind3d="general", interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-4)
