@@ -54,6 +54,7 @@ _HOST_ONLY_KEYS = {
     "cpu_baseline_mvox_s",
     "cpu_baseline_reg_s",
     "ns_entropy_floor_up_bits_per_vox",
+    "ns_entropy_floor2_up_bits_per_vox",
     "backend_unavailable",
     "skipped_for_budget",
     "host_plan_edges_s",
@@ -189,6 +190,23 @@ def _delta_entropy_bits(arr):
 
     flat = np.asarray(arr, dtype=np.uint16).reshape(-1)
     _, resid = link_codec.delta_encode_np(flat)
+    counts = np.bincount(resid)
+    p = counts[counts > 0] / resid.size
+    return float(-(p * np.log2(p)).sum())
+
+
+def _delta2_entropy_bits(arr):
+    """Shannon entropy (bits/value) of the SECOND-difference residual
+    stream (the delta2 candidate's floor — on smooth image content it
+    sits ~1 bit below the first-order delta floor)."""
+    from multiview_stitcher_tpu.ops import link_codec
+
+    arr = np.asarray(arr, dtype=np.uint16)
+    if not link_codec.delta2_eligible(arr.shape):
+        return _delta_entropy_bits(arr)
+    _, resid = link_codec.delta2_encode_np(
+        arr.reshape(-1), int(arr.shape[-1])
+    )
     counts = np.bincount(resid)
     p = counts[counts > 0] / resid.size
     return float(-(p * np.log2(p)).sum())
@@ -1017,6 +1035,9 @@ def large_zarr_to_zarr_rate(extras, n=32, tile=64, overlap=12, chunksize=128,
     extras["ns_entropy_floor_up_bits_per_vox"] = round(
         _delta_entropy_bits(base), 2
     )
+    extras["ns_entropy_floor2_up_bits_per_vox"] = round(
+        _delta2_entropy_bits(base), 2
+    )
 
     def one_rep(label, key, deadline_s):
         shutil.rmtree(out_url, ignore_errors=True)
@@ -1053,6 +1074,10 @@ def large_zarr_to_zarr_rate(extras, n=32, tile=64, overlap=12, chunksize=128,
         if tele.get("up_delta_batches") or tele.get("down_delta_bands"):
             extras["ns_delta_up_batches"] = tele.get("up_delta_batches", 0)
             extras["ns_delta_down_bands"] = tele.get("down_delta_bands", 0)
+        if tele.get("up_delta2_batches") or tele.get("down_delta2_bands"):
+            # second-difference candidate engaged (subset of the above)
+            extras["ns_delta2_up_batches"] = tele.get("up_delta2_batches", 0)
+            extras["ns_delta2_down_bands"] = tele.get("down_delta2_bands", 0)
         if tele.get("up_batches_reused"):
             # warm rep resumed from the cold rep's stashed uploads
             extras["ns_up_reused_batches"] = tele["up_batches_reused"]
@@ -1072,6 +1097,9 @@ def large_zarr_to_zarr_rate(extras, n=32, tile=64, overlap=12, chunksize=128,
                 )
                 extras["ns_entropy_floor_down_bits_per_vox"] = round(
                     _delta_entropy_bits(slab), 2
+                )
+                extras["ns_entropy_floor2_down_bits_per_vox"] = round(
+                    _delta2_entropy_bits(slab), 2
                 )
             except Exception:  # noqa: BLE001 — telemetry only
                 pass

@@ -216,6 +216,8 @@ def execute_streaming(
         "up_batches_reused": 0,
         "up_delta_batches": 0,
         "down_delta_bands": 0,
+        "up_delta2_batches": 0,
+        "down_delta2_bands": 0,
         "voxels_written": 0,
         "elapsed_s": 0.0,
         "aborted": False,
@@ -356,6 +358,8 @@ def execute_streaming(
             tele["up_bytes"] += info["bytes"]
             if info.get("delta"):
                 tele["up_delta_batches"] += 1
+            if info.get("mode") == "delta2":
+                tele["up_delta2_batches"] += 1
         return dev, bmax
 
     zero_batch = None  # lazy: only needed when a window overruns the tail
@@ -399,6 +403,8 @@ def execute_streaming(
                 tele["down_bytes"] += info["bytes"]
                 if info.get("delta"):
                     tele["down_delta_bands"] += 1
+                if info.get("mode") == "delta2":
+                    tele["down_delta2_bands"] += 1
                 tele["voxels_written"] += buf.size
                 tele["bands_done"] += 1
                 tele["elapsed_s"] = _time.perf_counter() - t_begin

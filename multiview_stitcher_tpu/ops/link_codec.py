@@ -386,6 +386,102 @@ def delta_decode_jax(firsts: jax.Array, resid_z: jax.Array, count: int):
     return vals.reshape(-1)[:count]
 
 
+# ---------------------------------------------------------------------------
+# second-difference transform ("delta2"): horizontal first difference along
+# the array's LAST dimension (true image rows, not the flat 2048-segments),
+# then a vertical difference between consecutive rows. On smooth 2D/3D
+# image content the 2nd-order residual entropy sits ~1 bit below the plain
+# row delta (gradients are locally constant), and unlike a MED/LOCO-I
+# predictor BOTH directions stay fully vectorized: encode is two diffs,
+# decode is two wraparound cumsums (host numpy and device XLA alike).
+# The first column of every row travels raw (2 bytes/row); everything is
+# mod-2^16 wraparound so reconstruction is exact for any uint16 content.
+# The codec stays self-deciding per transfer: delta2 ships only when its
+# exact wire cost (incl. exceptions) undercuts plain AND first-order delta.
+# ---------------------------------------------------------------------------
+
+
+def delta2_eligible(shape) -> bool:
+    """delta2 needs >= 2 true rows and >= 2 columns."""
+    if len(shape) < 2:
+        return False
+    X = int(shape[-1])
+    R = 1
+    for s in shape[:-1]:
+        R *= int(s)
+    return X >= 2 and R >= 2
+
+
+def delta2_byte_count(count: int, X: int, nbits_resid: int) -> int:
+    """Wire bytes for the delta2 encoding of ``count`` values in rows of
+    ``X``."""
+    R = count // X
+    return 2 * R + packed_byte_count(R * (X - 1), nbits_resid)
+
+
+def delta2_encode_np(flat: np.ndarray, X: int):
+    """uint16 stream (rows of X) -> (raw first column, zigzag 2nd-order
+    residuals)."""
+    m = flat.reshape(-1, X).astype(np.uint16, copy=False)
+    firsts = m[:, 0].copy()
+    d1 = m[:, 1:] - m[:, :-1]  # uint16 wraparound
+    r2 = d1.copy()
+    r2[1:] -= d1[:-1]
+    di = r2.view(np.int16).astype(np.int32)
+    z = (((di << 1) ^ (di >> 15)) & 0xFFFF).astype(np.uint16)
+    return firsts, z.reshape(-1)
+
+
+def delta2_decode_np(firsts: np.ndarray, resid_z: np.ndarray, X: int, count: int):
+    """Inverse of :func:`delta2_encode_np` (two wraparound cumsums)."""
+    R = firsts.size
+    zi = resid_z.reshape(R, X - 1).astype(np.int32)
+    d = (zi >> 1) ^ -(zi & 1)
+    # uint32 cumsum wraps mod 2^32; & 0xFFFF recovers the mod-2^16 value
+    d1 = np.cumsum(d.astype(np.uint32), axis=0, dtype=np.uint32)
+    m = np.concatenate([firsts[:, None].astype(np.uint32), d1], axis=1)
+    vals = (np.cumsum(m, axis=1, dtype=np.uint32) & 0xFFFF).astype(np.uint16)
+    return vals.reshape(-1)[:count]
+
+
+@partial(jax.jit, static_argnames=("X",))
+def delta2_encode_jax(flat: jax.Array, X: int):
+    """Device-side :func:`delta2_encode_np` (same wire values)."""
+    m = flat.reshape(-1, X).astype(jnp.uint16)
+    firsts = m[:, 0]
+    d1 = m[:, 1:] - m[:, :-1]
+    r2 = d1.at[1:].add(-d1[:-1])
+    di = jax.lax.bitcast_convert_type(r2, jnp.int16).astype(jnp.int32)
+    z = (((di << 1) ^ (di >> 15)) & 0xFFFF).astype(jnp.uint16)
+    return firsts, z.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("X", "count"))
+def delta2_decode_jax(firsts: jax.Array, resid_z: jax.Array, X: int, count: int):
+    """Device-side inverse of the delta2 transform."""
+    R = firsts.size
+    zi = resid_z.reshape(R, X - 1).astype(jnp.int32)
+    d = (zi >> 1) ^ -(zi & 1)
+    du = jax.lax.bitcast_convert_type(d, jnp.uint32)
+    d1 = jnp.cumsum(du, axis=0)  # uint32 wraparound
+    m = jnp.concatenate([firsts[:, None].astype(jnp.uint32), d1], axis=1)
+    vals = (jnp.cumsum(m, axis=1) & 0xFFFF).astype(jnp.uint16)
+    return vals.reshape(-1)[:count]
+
+
+def _default_delta2() -> bool:
+    """MVS_TPU_LINK_DELTA2=0 disables the delta2 candidate (the transform
+    only ever ships when it packs strictly smaller, so this is a debug
+    kill switch, not a tuning knob)."""
+    import os
+
+    return os.environ.get("MVS_TPU_LINK_DELTA2", "1").lower() in (
+        "1",
+        "true",
+        "auto",
+    )
+
+
 @jax.jit
 def _delta_probe_jax(flat: jax.Array):
     """(plain max, resid max, #resid over each sub-16 width limit) in one
@@ -401,6 +497,31 @@ def _delta_probe_jax(flat: jax.Array):
             for nb in ALLOWED_NBITS
             if nb < 16
         ]
+    )
+
+
+@partial(jax.jit, static_argnames=("X",))
+def _delta2_probe_jax(flat: jax.Array, X: int):
+    """(resid2 max, #resid2 over each sub-16 width limit) — the delta2
+    side of the width/exception decision, same ordering contract as
+    :func:`_delta_probe_jax`."""
+    _, z = delta2_encode_jax(flat, X)
+    z32 = z.astype(jnp.int32)
+    return jnp.stack(
+        [jnp.max(z32)]
+        + [
+            jnp.sum(z32 > ((1 << nb) - 1))
+            for nb in ALLOWED_NBITS
+            if nb < 16
+        ]
+    )
+
+
+@partial(jax.jit, static_argnames=("X",))
+def _delta_probe_both_jax(flat: jax.Array, X: int):
+    """Both probes in one device computation -> one tiny fetch."""
+    return jnp.concatenate(
+        [_delta_probe_jax(flat), _delta2_probe_jax(flat, X)]
     )
 
 
@@ -561,12 +682,13 @@ def put_packed(
     count = arr.size
     flat = arr.reshape(-1)
 
-    # try the delta representation (uint16 only: signed wraparound
+    # try the delta representations (uint16 only: signed wraparound
     # semantics are defined for the unsigned container)
     firsts = resid = None
     exc_idx = exc_val = None
-    use_delta = False
+    use_delta = use_delta2 = False
     nbits_send, count_send = nbits, count
+    X2 = int(arr.shape[-1]) if arr.ndim else 0
     if delta and arr.dtype == np.uint16:
         firsts, resid = delta_encode_np(flat)
         nbits_d, exc_idx, exc_val = _choose_delta_width_np(resid)
@@ -580,23 +702,43 @@ def put_packed(
         if dbytes < packed_byte_count(count, nbits):
             use_delta = True
             nbits_send, count_send = nbits_d, resid.size
-            if exc_idx is not None:
-                # zero out-of-width residuals in the packed stream (their
-                # high bits would corrupt neighbouring bit fields); the
-                # exception scatter restores the true values on device
-                resid[exc_idx] = 0
         else:
             exc_idx = exc_val = None
-    send = resid if use_delta else flat
+        # second-difference candidate: ships only when it undercuts BOTH
+        # plain packing and the first-order delta
+        if _default_delta2() and delta2_eligible(arr.shape):
+            firsts2, resid2 = delta2_encode_np(flat, X2)
+            nbits_d2, exc_idx2, exc_val2 = _choose_delta_width_np(resid2)
+            n_exc2 = 0 if exc_idx2 is None else exc_idx2.size
+            d2bytes = delta2_byte_count(count, X2, nbits_d2) + _EXC_BYTES * (
+                _exc_capacity(n_exc2)
+            )
+            best_now = dbytes if use_delta else packed_byte_count(count, nbits)
+            if d2bytes < best_now:
+                use_delta2, use_delta = True, False
+                firsts, resid = firsts2, resid2
+                exc_idx, exc_val = exc_idx2, exc_val2
+                nbits_send, count_send = nbits_d2, resid2.size
+        if (use_delta or use_delta2) and exc_idx is not None:
+            # zero out-of-width residuals in the packed stream (their
+            # high bits would corrupt neighbouring bit fields); the
+            # exception scatter restores the true values on device
+            resid[exc_idx] = 0
+    send = resid if (use_delta or use_delta2) else flat
     if info is not None:
         info.update(
             nbits=nbits_send,
-            delta=use_delta,
+            delta=bool(use_delta or use_delta2),
+            mode=("delta2" if use_delta2 else "delta" if use_delta else "plain"),
             bytes=(
-                delta_byte_count(count, nbits_send)
+                (
+                    delta2_byte_count(count, X2, nbits_send)
+                    if use_delta2
+                    else delta_byte_count(count, nbits_send)
+                )
                 + _EXC_BYTES
                 * _exc_capacity(0 if exc_idx is None else exc_idx.size)
-                if use_delta
+                if (use_delta or use_delta2)
                 else packed_byte_count(count, nbits_send)
             ),
         )
@@ -619,6 +761,20 @@ def put_packed(
 
     part_counts = tuple(int(bounds[i + 1] - bounds[i]) for i in range(n_streams))
 
+    if use_delta2:
+        if exc_idx is not None:
+            pidx, pval = _pad_exceptions(exc_idx, exc_val)
+            return _assemble_streams_delta2_exc(
+                jax.device_put(firsts), jax.device_put(pidx),
+                jax.device_put(pval), parts_dev,
+                nbits=nbits_send, counts=part_counts, count=count, X=X2,
+                shape=arr.shape, dtype=np.dtype(arr.dtype).name,
+            )
+        return _assemble_streams_delta2(
+            jax.device_put(firsts), parts_dev,
+            nbits=nbits_send, counts=part_counts, count=count, X=X2,
+            shape=arr.shape, dtype=np.dtype(arr.dtype).name,
+        )
     if use_delta:
         if exc_idx is not None:
             pidx, pval = _pad_exceptions(exc_idx, exc_val)
@@ -673,6 +829,39 @@ def _assemble_streams_delta_exc(
     )
     resid = resid.at[exc_idx].set(exc_val)
     return delta_decode_jax(firsts, resid, count).reshape(shape).astype(dtype)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nbits", "counts", "count", "X", "shape", "dtype"),
+)
+def _assemble_streams_delta2(
+    firsts, parts, nbits, counts, count, X, shape, dtype
+):
+    """delta2 variant of :func:`_assemble_streams_delta` (two cumsums)."""
+    resid = jnp.concatenate(
+        [unpack_jax(p, nbits, c, jnp.uint16) for p, c in zip(parts, counts)]
+    )
+    return (
+        delta2_decode_jax(firsts, resid, X, count).reshape(shape).astype(dtype)
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nbits", "counts", "count", "X", "shape", "dtype"),
+)
+def _assemble_streams_delta2_exc(
+    firsts, exc_idx, exc_val, parts, nbits, counts, count, X, shape, dtype
+):
+    """Exception-list variant of :func:`_assemble_streams_delta2`."""
+    resid = jnp.concatenate(
+        [unpack_jax(p, nbits, c, jnp.uint16) for p, c in zip(parts, counts)]
+    )
+    resid = resid.at[exc_idx].set(exc_val)
+    return (
+        delta2_decode_jax(firsts, resid, X, count).reshape(shape).astype(dtype)
+    )
 
 
 @partial(jax.jit, static_argnames=("nbits", "counts"))
@@ -736,6 +925,42 @@ def _pack_bands_delta_exc(x, nbits, counts, E):
     return firsts, idx_buf[:E], val_buf[:E], parts
 
 
+@partial(jax.jit, static_argnames=("nbits", "counts", "X"))
+def _pack_bands_delta2(x, nbits, counts, X):
+    """delta2 variant of :func:`_pack_bands_delta` (device-side encode)."""
+    firsts, resid = delta2_encode_jax(x.reshape(-1), X)
+    parts, o = [], 0
+    for c in counts:
+        parts.append(
+            pack_jax(jax.lax.dynamic_slice(resid, (o,), (c,)), nbits)
+        )
+        o += c
+    return firsts, parts
+
+
+@partial(jax.jit, static_argnames=("nbits", "counts", "E", "X"))
+def _pack_bands_delta2_exc(x, nbits, counts, E, X):
+    """delta2 variant of :func:`_pack_bands_delta_exc` — same exception
+    compaction contract (incl. the raw-residual-0 init rule)."""
+    firsts, resid = delta2_encode_jax(x.reshape(-1), X)
+    lim = jnp.uint16((1 << nbits) - 1)
+    mask = resid > lim
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    slot = jnp.where(mask & (pos < E), pos, E)  # E = trash slot
+    idx_buf = jnp.zeros(E + 1, jnp.int32).at[slot].set(
+        jnp.arange(resid.size, dtype=jnp.int32)
+    )
+    val_buf = jnp.full(E + 1, resid[0], jnp.uint16).at[slot].set(resid)
+    resid = jnp.where(mask, jnp.uint16(0), resid)
+    parts, o = [], 0
+    for c in counts:
+        parts.append(
+            pack_jax(jax.lax.dynamic_slice(resid, (o,), (c,)), nbits)
+        )
+        o += c
+    return firsts, idx_buf[:E], val_buf[:E], parts
+
+
 def fetch_packed(
     arr: jax.Array,
     out: np.ndarray = None,
@@ -777,16 +1002,29 @@ def fetch_packed(
         return out
 
     count = arr.size
-    use_delta = False
+    use_delta = use_delta2 = False
     nbits_d = 16
     n_exc = 0
+    X2 = int(arr.shape[-1]) if arr.ndim else 0
     if delta and dtype == np.uint16:
-        probe = [int(v) for v in np.asarray(_delta_probe_jax(arr.reshape(-1)))]
+        try_d2 = _default_delta2() and delta2_eligible(arr.shape)
+        sub16 = [n for n in ALLOWED_NBITS if n < 16]
+        k = len(sub16)
+        if try_d2:
+            probe = [
+                int(v)
+                for v in np.asarray(
+                    _delta_probe_both_jax(arr.reshape(-1), X2)
+                )
+            ]
+        else:
+            probe = [
+                int(v) for v in np.asarray(_delta_probe_jax(arr.reshape(-1)))
+            ]
         pm, zm = probe[0], probe[1]
         if nbits is None:
             nbits = nbits_for_max(pm)
-        sub16 = [n for n in ALLOWED_NBITS if n < 16]
-        counts_over = dict(zip(sub16, probe[2:]))
+        counts_over = dict(zip(sub16, probe[2:2 + k]))
         counts_over[16] = 0
         best = None
         for nb in ALLOWED_NBITS:
@@ -796,12 +1034,28 @@ def fetch_packed(
             if best is None or cost < best[0]:
                 best = (cost, nb, ne)
         dcost, nbits_d, n_exc = best
-        use_delta = dcost < packed_byte_count(count, nbits)
+        plain_cost = packed_byte_count(count, nbits)
+        use_delta = dcost < plain_cost
+        if try_d2:
+            co2 = dict(zip(sub16, probe[3 + k : 3 + 2 * k]))
+            co2[16] = 0
+            best2 = None
+            for nb in ALLOWED_NBITS:
+                ne2 = co2[nb]
+                cost2 = delta2_byte_count(count, X2, nb) + _EXC_BYTES * (
+                    _exc_capacity(ne2)
+                )
+                if best2 is None or cost2 < best2[0]:
+                    best2 = (cost2, nb, ne2)
+            d2cost, nbits_d2, n_exc2 = best2
+            if d2cost < min(dcost, plain_cost):
+                use_delta2, use_delta = True, False
+                nbits_d, n_exc = nbits_d2, n_exc2
     elif nbits is None:
         nbits = nbits_for_max(int(jnp.max(arr)))
         if np.issubdtype(dtype, np.signedinteger) and int(jnp.min(arr)) < 0:
             nbits = 16
-    if nbits >= 16 and not use_delta:
+    if nbits >= 16 and not (use_delta or use_delta2):
         if out is None:
             out = np.empty(arr.shape, dtype=dtype)
         _fetch_bands_raw(arr, out, n_streams)
@@ -811,8 +1065,13 @@ def fetch_packed(
     # contiguous buffers (a slice of one big packed buffer would interleave
     # lo/hi planes across bands)
     grain = 8
-    count_send = _delta_rows(count) * (_DELTA_ROW - 1) if use_delta else count
-    nbits_send = nbits_d if use_delta else nbits
+    if use_delta2:
+        count_send = (count // X2) * (X2 - 1)
+    elif use_delta:
+        count_send = _delta_rows(count) * (_DELTA_ROW - 1)
+    else:
+        count_send = count
+    nbits_send = nbits_d if (use_delta or use_delta2) else nbits
     n_streams = max(1, min(n_streams, count_send * 2 // _STREAM_MIN_BYTES))
     bounds = _stream_bounds(count_send, n_streams, grain)
     n_streams = len(bounds) - 1
@@ -821,11 +1080,18 @@ def fetch_packed(
     if info is not None:
         info.update(
             nbits=nbits_send,
-            delta=use_delta,
+            delta=bool(use_delta or use_delta2),
+            mode=(
+                "delta2" if use_delta2 else "delta" if use_delta else "plain"
+            ),
             bytes=(
-                delta_byte_count(count, nbits_send)
+                (
+                    delta2_byte_count(count, X2, nbits_send)
+                    if use_delta2
+                    else delta_byte_count(count, nbits_send)
+                )
                 + _EXC_BYTES * _exc_capacity(n_exc)
-                if use_delta
+                if (use_delta or use_delta2)
                 else packed_byte_count(count, nbits_send)
             ),
         )
@@ -834,9 +1100,22 @@ def fetch_packed(
         out = np.empty(arr.shape, dtype=dtype)
     flat_out = out.reshape(-1)
 
-    if use_delta:
+    if use_delta or use_delta2:
         exc_idx_dev = exc_val_dev = None
-        if n_exc > 0:
+        if use_delta2:
+            if n_exc > 0:
+                E = _exc_capacity(n_exc)
+                firsts_dev, exc_idx_dev, exc_val_dev, bands = (
+                    _pack_bands_delta2_exc(
+                        arr, nbits=nbits_send, counts=part_counts, E=E,
+                        X=X2,
+                    )
+                )
+            else:
+                firsts_dev, bands = _pack_bands_delta2(
+                    arr, nbits=nbits_send, counts=part_counts, X=X2
+                )
+        elif n_exc > 0:
             E = _exc_capacity(n_exc)
             firsts_dev, exc_idx_dev, exc_val_dev, bands = (
                 _pack_bands_delta_exc(
@@ -869,7 +1148,11 @@ def fetch_packed(
         if exc_idx_dev is not None:
             # restore out-of-width residuals before the cumsum
             resid[exc_idx] = exc_val
-        flat_out[:] = delta_decode_np(firsts, resid, count)
+        flat_out[:] = (
+            delta2_decode_np(firsts, resid, X2, count)
+            if use_delta2
+            else delta_decode_np(firsts, resid, count)
+        )
         return out
 
     bands = _pack_bands(arr, nbits=nbits_send, counts=part_counts)

@@ -380,3 +380,111 @@ def test_put_packed_info_bytes_count_padded_exceptions():
     n_exc_shipped = (info["bytes"] - base) // lc._EXC_BYTES
     assert n_exc_shipped == lc._exc_capacity(n_exc_shipped)  # quantized
     np.testing.assert_array_equal(np.asarray(dev), vals)
+
+
+# ---------------------------------------------------------------------------
+# second-difference ("delta2") candidate
+# ---------------------------------------------------------------------------
+
+
+def _smooth_2d(shape, seed=0, scale=3000.0):
+    """Band-limited 2-D content: locally constant gradients, where the
+    2nd-order residual entropy sits well below the 1st-order delta."""
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(seed)
+    d = gaussian_filter(rng.random(shape), 3.0)
+    d -= d.min()
+    return (d * (scale / max(d.max(), 1e-9))).astype(np.uint16)
+
+
+def test_delta2_roundtrip_np_jax_parity():
+    rng = np.random.default_rng(0)
+    for shape in [(64, 130), (7, 33, 257), (3, 5, 9)]:
+        for vals in [
+            rng.integers(0, 1 << 16, shape).astype(np.uint16),
+            np.zeros(shape, np.uint16),
+            _smooth_2d(shape, seed=1),
+        ]:
+            flat = vals.reshape(-1)
+            X = shape[-1]
+            f, z = lc.delta2_encode_np(flat, X)
+            np.testing.assert_array_equal(
+                lc.delta2_decode_np(f, z, X, flat.size), flat
+            )
+            fj, zj = lc.delta2_encode_jax(flat, X)
+            np.testing.assert_array_equal(np.asarray(fj), f)
+            np.testing.assert_array_equal(np.asarray(zj), z)
+            np.testing.assert_array_equal(
+                np.asarray(lc.delta2_decode_jax(fj, zj, X, flat.size)), flat
+            )
+
+
+def test_put_packed_delta2_smooth_2d_wins_and_roundtrips():
+    vals = _smooth_2d((1024, 1024), seed=2)
+    info = {}
+    dev = lc.put_packed(vals, delta=True, info=info)
+    assert info["delta"] is True and info["mode"] == "delta2"
+    # self-deciding: must undercut BOTH plain and first-order delta
+    f1, r1 = lc.delta_encode_np(vals.reshape(-1))
+    nb1, ei, _ = lc._choose_delta_width_np(r1)
+    d1_bytes = lc.delta_byte_count(vals.size, nb1) + lc._EXC_BYTES * (
+        lc._exc_capacity(0 if ei is None else ei.size)
+    )
+    assert info["bytes"] < d1_bytes
+    np.testing.assert_array_equal(np.asarray(dev), vals)
+
+
+def test_fetch_packed_delta2_smooth_2d_wins_and_roundtrips():
+    import jax.numpy as jnp
+
+    vals = _smooth_2d((40, 181, 211), seed=3)
+    dev = jnp.asarray(vals)
+    info = {}
+    out = lc.fetch_packed(dev, delta=True, info=info)
+    assert info["delta"] is True and info["mode"] == "delta2"
+    np.testing.assert_array_equal(out, vals)
+    buf = np.empty(vals.shape, np.uint16)
+    out2 = lc.fetch_packed(dev, out=buf, delta=True)
+    assert out2 is buf
+    np.testing.assert_array_equal(buf, vals)
+
+
+def test_delta2_exception_path_roundtrips_both_directions():
+    import jax.numpy as jnp
+
+    # smooth field + sparse hot pixels: hot residuals exceed the chosen
+    # width and must travel on the exception list — including when the
+    # FIRST residual is an exception (the r4 pad-slot corruption class)
+    vals = _smooth_2d((512, 1100), seed=4)
+    vals[0, 1] = 65000
+    vals[100, 500] = 64000
+    vals[511, 1099] = 63000
+    info = {}
+    dev = lc.put_packed(vals, delta=True, info=info)
+    assert info["mode"] == "delta2"
+    np.testing.assert_array_equal(np.asarray(dev), vals)
+
+    info_f = {}
+    out = lc.fetch_packed(jnp.asarray(vals), delta=True, info=info_f)
+    assert info_f["mode"] == "delta2"
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_delta2_kill_switch(monkeypatch):
+    monkeypatch.setenv("MVS_TPU_LINK_DELTA2", "0")
+    vals = _smooth_2d((1024, 1024), seed=5)
+    info = {}
+    dev = lc.put_packed(vals, delta=True, info=info)
+    assert info["mode"] in ("delta", "plain")
+    np.testing.assert_array_equal(np.asarray(dev), vals)
+
+
+def test_delta2_ineligible_1d_falls_back():
+    # 1-D stream: no true rows -> delta2 never considered
+    rng = np.random.default_rng(6)
+    vals = (2000 + np.cumsum(rng.integers(-2, 3, 1 << 20))).astype(np.uint16)
+    info = {}
+    dev = lc.put_packed(vals, delta=True, info=info)
+    assert info["mode"] in ("delta", "plain")
+    np.testing.assert_array_equal(np.asarray(dev), vals)
