@@ -444,3 +444,52 @@ def test_streaming_abort_stashes_uploads_for_resume(
     ).to_numpy()
     assert _streaming.last_telemetry["up_bytes"] == 0
     np.testing.assert_array_equal(again, ref)
+
+
+def test_streaming_smooth_data_ships_delta2(force_streaming, monkeypatch):
+    """Band-limited (locally constant gradient) content engages the
+    SECOND-difference wire candidate end-to-end — and ships strictly
+    fewer bytes than with delta2 disabled, bit-exactly."""
+    from scipy.ndimage import gaussian_filter
+
+    from multiview_stitcher_tpu.ops import link_codec
+
+    monkeypatch.setattr(link_codec, "_MIN_PACK_SIZE", 0)
+    monkeypatch.setenv("MVS_TPU_STREAM_BATCH_BYTES", str(6 * 48 * 48 * 2))
+    tk = si_utils.DEFAULT_TRANSFORM_KEY
+    n, tile, overlap = 6, 48, 12
+    step = tile - overlap
+    rng = np.random.default_rng(7)
+    sims = []
+    for idx in np.ndindex((n, n)):
+        d = gaussian_filter(rng.random((tile, tile)), 3.0)
+        d -= d.min()
+        data = (d * (3000 / max(d.max(), 1e-9))).astype(np.uint16)
+        sims.append(
+            si_utils.get_sim_from_array(
+                data, dims=["y", "x"],
+                translation={"y": float(idx[0] * step),
+                             "x": float(idx[1] * step)},
+            )
+        )
+    _core.clear_device_tile_cache()
+    fused = fusion.fuse(sims, transform_key=tk, output_chunksize=64)
+    out = np.asarray(fused.data)
+    tele = dict(_streaming.last_telemetry)
+    assert tele["down_delta2_bands"] > 0
+    # delta2 counters are a subset of the delta-family counters
+    assert tele["down_delta_bands"] >= tele["down_delta2_bands"]
+
+    # disabling ONLY delta2 must grow (or keep) wire bytes, bit-exactly
+    monkeypatch.setenv("MVS_TPU_LINK_DELTA2", "0")
+    _core.clear_device_tile_cache()
+    out_d1 = np.asarray(
+        fusion.fuse(sims, transform_key=tk, output_chunksize=64).data
+    )
+    tele_d1 = dict(_streaming.last_telemetry)
+    assert tele_d1["down_delta2_bands"] == 0
+    np.testing.assert_array_equal(out, out_d1)
+    assert (
+        tele["up_bytes"] + tele["down_bytes"]
+        <= tele_d1["up_bytes"] + tele_d1["down_bytes"]
+    )
