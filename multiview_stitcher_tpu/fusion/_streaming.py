@@ -21,6 +21,7 @@ along one axis to form >= 3 bands with distinct view subsets.
 from __future__ import annotations
 
 import threading
+import warnings
 from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 
@@ -214,6 +215,7 @@ def execute_streaming(
         "up_bytes": 0,
         "down_bytes": 0,
         "up_batches_reused": 0,
+        "up_batches_reused_packed": 0,
         "up_delta_batches": 0,
         "down_delta_bands": 0,
         "up_delta2_batches": 0,
@@ -311,6 +313,34 @@ def execute_streaming(
         entry = _upload_stash.get("entry")
         if entry is not None and entry["key"] == stash_key:
             stash_batches = entry["batches"]
+    # packed-stream stash: when the tile set is too large for the device
+    # tile cache (retain_batches False), keep each upload's PACKED device
+    # buffers instead — the residual streams are 3-8x smaller than the
+    # unpacked tiles, so whole input sets fit HBM in packed form. A repeat
+    # pass over the same inputs rebuilds every batch with a device unpack
+    # (zero up-leg traffic) — the north-star warm rep becomes download-
+    # only even after a SUCCESSFUL cold pass, not just after an abort.
+    # MVS_TPU_UPLOAD_STASH_BYTES bounds it (0 disables).
+    import os as _os
+
+    # Engaged regardless of retain_batches: run 4 of the r5 bench showed a
+    # SUCCESSFUL cold pass whose tile-cache seeding failed silently, so the
+    # warm rep re-paid the full 461 MB up leg — the packed stash is the
+    # insurance net for that case too (if the resident stack serves, the
+    # stash is simply never read).
+    packed_key = None
+    packed_batches: dict = {}
+    packed_budget = int(
+        _os.environ.get("MVS_TPU_UPLOAD_STASH_BYTES", 4 << 30)
+    )
+    if cache_key is not None and packed_budget > 0:
+        packed_key = (
+            cache_key, U, tile, n_batches,
+            hash(np.ascontiguousarray(order).tobytes()),
+        )
+        entry = _upload_stash.get("packed_entry")
+        if entry is not None and entry["key"] == packed_key:
+            packed_batches = entry["batches"]
     NB = -(-NV // U) + 1  # batches per assembly window
     packable = link_codec.is_packable(dtype_in)
     use_delta = _stream_delta_default()
@@ -321,6 +351,13 @@ def execute_streaming(
             with tele_lock:
                 tele["up_batches_reused"] += 1
             return hit
+        hitp = packed_batches.get(bi)
+        if hitp is not None:
+            rec, bmax = hitp
+            with tele_lock:
+                tele["up_batches_reused"] += 1
+                tele["up_batches_reused_packed"] += 1
+            return link_codec.reassemble_packed(rec), bmax
         vs = list(range(bi * U, min((bi + 1) * U, V)))
         if resident is not None:
             # tiles already on device (original order): gather the sorted
@@ -350,9 +387,10 @@ def execute_streaming(
             )
         nb = 16 if (not packable or bneg) else link_codec.nbits_for_max(bmax)
         info = {}
+        rec = {} if packed_key is not None else None
         dev = link_codec.put_packed(
             arr, nbits=nb, delta=use_delta and packable and not bneg,
-            info=info,
+            info=info, keep_packed=rec,
         )
         with tele_lock:
             tele["up_bytes"] += info["bytes"]
@@ -360,6 +398,12 @@ def execute_streaming(
                 tele["up_delta_batches"] += 1
             if info.get("mode") == "delta2":
                 tele["up_delta2_batches"] += 1
+            if rec and rec.get("parts") is not None:
+                used = sum(
+                    v[0]["packed_bytes"] for v in packed_batches.values()
+                )
+                if used + rec["packed_bytes"] <= packed_budget:
+                    packed_batches[bi] = (rec, bmax)
         return dev, bmax
 
     zero_batch = None  # lazy: only needed when a window overruns the tail
@@ -543,9 +587,13 @@ def execute_streaming(
 
     def _save_stash():
         if stash_key is not None and stash_batches:
-            _upload_stash.clear()
+            _upload_stash.pop("entry", None)
             _upload_stash["entry"] = {
                 "key": stash_key, "batches": stash_batches,
+            }
+        if packed_key is not None and packed_batches:
+            _upload_stash["packed_entry"] = {
+                "key": packed_key, "batches": packed_batches,
             }
 
     def _finalize_wire_stats():
@@ -593,7 +641,21 @@ def execute_streaming(
                 [s.data for s in field_sims
                  if isinstance(s.data, (np.ndarray, jnp.ndarray))],
             )
-        except Exception:  # noqa: BLE001
-            pass  # cache seeding is best-effort
+        except Exception as e:  # noqa: BLE001
+            # best-effort, but VISIBLY so: a silent failure here makes the
+            # next pass re-pay the whole up leg (bench r5 run 4: 461 MB)
+            warnings.warn(
+                f"device tile cache seeding failed "
+                f"({type(e).__name__}: {e}); repeat passes fall back to "
+                "the packed upload stash.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         _upload_stash.pop("entry", None)  # superseded by the full cache
+    if packed_key is not None and packed_batches:
+        # successful pass: keep the packed upload streams resident so the
+        # NEXT pass over these inputs pays zero up-leg traffic
+        _upload_stash["packed_entry"] = {
+            "key": packed_key, "batches": packed_batches,
+        }
     return out

@@ -647,6 +647,7 @@ def put_packed(
     n_streams: int = None,
     delta: bool = None,
     info: dict = None,
+    keep_packed: dict = None,
 ) -> jax.Array:
     """Host->device transfer of an integer array via packed parallel streams.
 
@@ -659,7 +660,16 @@ def put_packed(
     ``delta`` (default: MVS_TPU_LINK_DELTA env) additionally tries the
     row-segmented delta transform and sends whichever representation packs
     smaller. ``info`` (optional dict) receives the chosen encoding:
-    ``{"nbits", "delta", "bytes"}``.
+    ``{"nbits", "delta", "mode", "bytes"}``.
+
+    ``keep_packed`` (optional dict) receives the uploaded PACKED device
+    buffers plus the static assembly metadata — enough for
+    :func:`reassemble_packed` to rebuild the unpacked array on device with
+    ZERO further link traffic. Packed residual streams are 3-8x smaller
+    than the unpacked array, so a caller can keep whole input sets device-
+    resident in packed form (repeat-pass uploads become device unpacks).
+    Left empty when the transfer took the raw ``device_put`` path (nothing
+    smaller than the array itself to keep).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -761,37 +771,69 @@ def put_packed(
 
     part_counts = tuple(int(bounds[i + 1] - bounds[i]) for i in range(n_streams))
 
-    if use_delta2:
+    rec = {
+        "mode": "delta2" if use_delta2 else "delta" if use_delta else "plain",
+        "parts": parts_dev,
+        "nbits": nbits_send,
+        "counts": part_counts,
+        "count": count,
+        "X": X2,
+        "shape": arr.shape,
+        "dtype": np.dtype(arr.dtype).name,
+        "firsts": None,
+        "exc_idx": None,
+        "exc_val": None,
+    }
+    if use_delta or use_delta2:
+        rec["firsts"] = jax.device_put(firsts)
         if exc_idx is not None:
             pidx, pval = _pad_exceptions(exc_idx, exc_val)
+            rec["exc_idx"] = jax.device_put(pidx)
+            rec["exc_val"] = jax.device_put(pval)
+    rec["packed_bytes"] = sum(int(p.nbytes) for p in parts_dev) + sum(
+        int(rec[k].nbytes) for k in ("firsts", "exc_idx", "exc_val")
+        if rec[k] is not None
+    )
+    if keep_packed is not None:
+        keep_packed.update(rec)
+    return reassemble_packed(rec)
+
+
+def reassemble_packed(rec: dict) -> jax.Array:
+    """Rebuild the unpacked device array from a ``keep_packed`` record —
+    pure device computation (the module-level assemble jits), no link
+    traffic."""
+    mode = rec["mode"]
+    if mode == "delta2":
+        if rec["exc_idx"] is not None:
             return _assemble_streams_delta2_exc(
-                jax.device_put(firsts), jax.device_put(pidx),
-                jax.device_put(pval), parts_dev,
-                nbits=nbits_send, counts=part_counts, count=count, X=X2,
-                shape=arr.shape, dtype=np.dtype(arr.dtype).name,
+                rec["firsts"], rec["exc_idx"], rec["exc_val"], rec["parts"],
+                nbits=rec["nbits"], counts=rec["counts"],
+                count=rec["count"], X=rec["X"],
+                shape=rec["shape"], dtype=rec["dtype"],
             )
         return _assemble_streams_delta2(
-            jax.device_put(firsts), parts_dev,
-            nbits=nbits_send, counts=part_counts, count=count, X=X2,
-            shape=arr.shape, dtype=np.dtype(arr.dtype).name,
+            rec["firsts"], rec["parts"],
+            nbits=rec["nbits"], counts=rec["counts"],
+            count=rec["count"], X=rec["X"],
+            shape=rec["shape"], dtype=rec["dtype"],
         )
-    if use_delta:
-        if exc_idx is not None:
-            pidx, pval = _pad_exceptions(exc_idx, exc_val)
+    if mode == "delta":
+        if rec["exc_idx"] is not None:
             return _assemble_streams_delta_exc(
-                jax.device_put(firsts), jax.device_put(pidx),
-                jax.device_put(pval), parts_dev,
-                nbits=nbits_send, counts=part_counts, count=count,
-                shape=arr.shape, dtype=np.dtype(arr.dtype).name,
+                rec["firsts"], rec["exc_idx"], rec["exc_val"], rec["parts"],
+                nbits=rec["nbits"], counts=rec["counts"],
+                count=rec["count"],
+                shape=rec["shape"], dtype=rec["dtype"],
             )
         return _assemble_streams_delta(
-            jax.device_put(firsts), parts_dev,
-            nbits=nbits_send, counts=part_counts, count=count,
-            shape=arr.shape, dtype=np.dtype(arr.dtype).name,
+            rec["firsts"], rec["parts"],
+            nbits=rec["nbits"], counts=rec["counts"], count=rec["count"],
+            shape=rec["shape"], dtype=rec["dtype"],
         )
     return _assemble_streams(
-        parts_dev, nbits=nbits_send, counts=part_counts,
-        shape=arr.shape, dtype=np.dtype(arr.dtype).name,
+        rec["parts"], nbits=rec["nbits"], counts=rec["counts"],
+        shape=rec["shape"], dtype=rec["dtype"],
     )
 
 

@@ -493,3 +493,82 @@ def test_streaming_smooth_data_ships_delta2(force_streaming, monkeypatch):
         tele["up_bytes"] + tele["down_bytes"]
         <= tele_d1["up_bytes"] + tele_d1["down_bytes"]
     )
+
+
+def test_packed_upload_stash_makes_repeat_pass_download_only(
+    force_streaming, monkeypatch
+):
+    """When the tile set exceeds the device tile cache budget, a
+    SUCCESSFUL pass keeps its uploads' PACKED device streams; the next
+    pass over the same inputs rebuilds every batch with a device unpack —
+    zero up-leg bytes — and matches bit-exactly. (Previously only an
+    ABORTED pass donated its uploads via the unpacked resume stash.)"""
+    from multiview_stitcher_tpu.ops import link_codec
+
+    monkeypatch.setattr(link_codec, "_MIN_PACK_SIZE", 0)
+    monkeypatch.setenv("MVS_TPU_TILE_CACHE_BYTES", "0")  # force streaming-only
+    monkeypatch.setenv("MVS_TPU_STREAM_BATCH_BYTES", str(6 * 48 * 48 * 2))
+    tk = si_utils.DEFAULT_TRANSFORM_KEY
+    sims = _grid_sims(n=6, tile=48, overlap=12, ndim=2)
+    _core.clear_device_tile_cache()
+
+    out1 = np.asarray(fusion.fuse(sims, transform_key=tk,
+                                  output_chunksize=64).data)
+    tele1 = dict(_streaming.last_telemetry)
+    assert tele1["up_bytes"] > 0
+    assert tele1["up_batches_reused_packed"] == 0
+    assert "packed_entry" in _streaming._upload_stash
+
+    out2 = np.asarray(fusion.fuse(sims, transform_key=tk,
+                                  output_chunksize=64).data)
+    tele2 = dict(_streaming.last_telemetry)
+    assert tele2["up_bytes"] == 0, tele2["up_bytes"]
+    assert tele2["up_batches_reused_packed"] > 0
+    np.testing.assert_array_equal(out1, out2)
+
+    # budget 0 disables the packed stash entirely
+    monkeypatch.setenv("MVS_TPU_UPLOAD_STASH_BYTES", "0")
+    _core.clear_device_tile_cache()
+    out3 = np.asarray(fusion.fuse(sims, transform_key=tk,
+                                  output_chunksize=64).data)
+    tele3 = dict(_streaming.last_telemetry)
+    assert tele3["up_bytes"] > 0
+    assert "packed_entry" not in _streaming._upload_stash
+    np.testing.assert_array_equal(out1, out3)
+
+
+def test_packed_stash_covers_tile_cache_seeding_failure(
+    force_streaming, monkeypatch
+):
+    """If device-tile-cache seeding fails after a successful pass (seen
+    live: bench r5 run 4 silently re-paid the full up leg), the repeat
+    pass must fall back to the packed upload stash — download-only, with
+    a visible warning instead of a silent re-upload."""
+    from multiview_stitcher_tpu.ops import link_codec
+
+    monkeypatch.setattr(link_codec, "_MIN_PACK_SIZE", 0)
+    monkeypatch.setenv("MVS_TPU_STREAM_BATCH_BYTES", str(6 * 48 * 48 * 2))
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated reorder failure")
+
+    monkeypatch.setattr(_streaming, "_reorder_concat", boom)
+    tk = si_utils.DEFAULT_TRANSFORM_KEY
+    sims = _grid_sims(n=6, tile=48, overlap=12, ndim=2)
+    _core.clear_device_tile_cache()
+
+    with pytest.warns(RuntimeWarning, match="seeding failed"):
+        out1 = np.asarray(
+            fusion.fuse(sims, transform_key=tk, output_chunksize=64).data
+        )
+    assert _streaming.last_telemetry["up_bytes"] > 0
+    assert "packed_entry" in _streaming._upload_stash
+
+    with pytest.warns(RuntimeWarning, match="seeding failed"):
+        out2 = np.asarray(
+            fusion.fuse(sims, transform_key=tk, output_chunksize=64).data
+        )
+    tele2 = dict(_streaming.last_telemetry)
+    assert tele2["up_bytes"] == 0
+    assert tele2["up_batches_reused_packed"] > 0
+    np.testing.assert_array_equal(out1, out2)
