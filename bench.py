@@ -1081,6 +1081,11 @@ def large_zarr_to_zarr_rate(extras, n=32, tile=64, overlap=12, chunksize=128,
         if tele.get("up_batches_reused"):
             # warm rep resumed from the cold rep's stashed uploads
             extras["ns_up_reused_batches"] = tele["up_batches_reused"]
+        if tele.get("up_batches_reused_packed"):
+            extras["ns_up_reused_packed"] = tele["up_batches_reused_packed"]
+        if tele.get("up_batches_resident"):
+            # warm rep gathered batches from the seeded device tile cache
+            extras["ns_up_resident_batches"] = tele["up_batches_resident"]
         extras["ns_link_mb_s"] = round(mb / max(dt, 1e-9), 1)
         extras["ns_aborted"] = extras.get("ns_aborted", False) or aborted
         if not aborted and "ns_entropy_floor_down_bits_per_vox" not in extras:

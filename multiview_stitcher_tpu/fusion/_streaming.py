@@ -216,6 +216,7 @@ def execute_streaming(
         "down_bytes": 0,
         "up_batches_reused": 0,
         "up_batches_reused_packed": 0,
+        "up_batches_resident": 0,
         "up_delta_batches": 0,
         "down_delta_bands": 0,
         "up_delta2_batches": 0,
@@ -362,6 +363,8 @@ def execute_streaming(
         if resident is not None:
             # tiles already on device (original order): gather the sorted
             # batch device-side — no host link traffic at all
+            with tele_lock:
+                tele["up_batches_resident"] += 1
             idxs = np.zeros(U, dtype=np.int32)
             idxs[: len(vs)] = order[vs[0] : vs[0] + len(vs)]
             dev = _gather_batch(resident["dev"], idxs)
