@@ -337,3 +337,59 @@ class TestHostPlanRate:
     def test_small_grid_rates_positive(self, bench):
         edges_s, chunks_s = bench.host_plan_rate(n=4)
         assert edges_s > 0 and chunks_s > 0
+
+
+class TestLedgerBestBlock:
+    """best_measured: per-key MAXIMA of rate-class metrics, shipped on
+    every emit — a bad-weather capture cannot erase the round's best
+    measured device numbers."""
+
+    @pytest.fixture()
+    def tmp_ledger(self, bench, tmp_path, monkeypatch):
+        path = str(tmp_path / "ledger.json")
+        monkeypatch.setattr(bench, "_LEDGER_PATH", path)
+        return path
+
+    def test_best_keeps_maxima_last_good_keeps_latest(
+        self, bench, tmp_ledger
+    ):
+        bench._update_ledger({"fuse_3x3_100_mvox_s": 10.0, "ns_aborted": True})
+        bench._update_ledger({"fuse_3x3_100_mvox_s": 7.0})
+        led = bench._load_ledger()
+        assert led["last_good"]["metrics"]["fuse_3x3_100_mvox_s"] == 7.0
+        assert led["best"]["metrics"]["fuse_3x3_100_mvox_s"] == 10.0
+        # telemetry / non-rate keys are never tracked as "best"
+        assert "ns_aborted" not in led["best"]["metrics"]
+
+    def test_merge_best_ships_on_every_emit(self, bench, tmp_ledger):
+        bench._update_ledger({"headline_mvox_s": 5.0, "vs_baseline": 2.5})
+        extras = {}
+        bench._merge_best(extras)
+        assert extras["best_measured"]["headline_mvox_s"] == 5.0
+        assert "best_measured_at_per_key" in extras
+        # merged keys must never feed back into the ledger as metrics
+        assert not bench._device_metrics_from_extras(extras)
+
+    def test_live_emit_carries_best_block(self, bench, tmp_ledger):
+        bench._update_ledger({"headline_mvox_s": 50.0})
+        bench._state.update(
+            {
+                "extras": {"cpu_baseline_mvox_s": 2.0},
+                "cpu_rate": 2e6,
+                "tpu_rate": 6e6,  # live device rate, worse than best
+                "done": False,
+            }
+        )
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            bench._emit()
+        out = json.loads(buf.getvalue().strip())
+        assert out["value"] == 6.0  # live value untouched
+        assert out["best_measured"]["headline_mvox_s"] == 50.0
+        # this live run is worse; best must retain the earlier maximum
+        led = bench._load_ledger()
+        assert led["best"]["metrics"]["headline_mvox_s"] == 50.0
+        assert led["last_good"]["metrics"]["headline_mvox_s"] == 6.0
