@@ -212,6 +212,23 @@ def _delta2_entropy_bits(arr):
     return float(-(p * np.log2(p)).sum())
 
 
+def _delta3_entropy_bits(arr):
+    """Shannon entropy (bits/value) of the THIRD-difference residual
+    stream (the delta3 candidate's floor — z-correlated volumes carry
+    ~1 bit/vox less in d/dx d/dy d/dz than in the second difference)."""
+    from multiview_stitcher_tpu.ops import link_codec
+
+    arr = np.asarray(arr, dtype=np.uint16)
+    if not link_codec.delta3_eligible(arr.shape):
+        return _delta2_entropy_bits(arr)
+    _, resid = link_codec.delta3_encode_np(
+        arr.reshape(-1), int(arr.shape[-1]), int(arr.shape[-2])
+    )
+    counts = np.bincount(resid)
+    p = counts[counts > 0] / resid.size
+    return float(-(p * np.log2(p)).sum())
+
+
 def make_grid_sims(n=3, tile=100, overlap=20, ndim=3, dtype=np.uint16):
     from multiview_stitcher_tpu import si_utils
 
@@ -1038,6 +1055,9 @@ def large_zarr_to_zarr_rate(extras, n=32, tile=64, overlap=12, chunksize=128,
     extras["ns_entropy_floor2_up_bits_per_vox"] = round(
         _delta2_entropy_bits(base), 2
     )
+    extras["ns_entropy_floor3_up_bits_per_vox"] = round(
+        _delta3_entropy_bits(base), 2
+    )
 
     def one_rep(label, key, deadline_s):
         shutil.rmtree(out_url, ignore_errors=True)
@@ -1078,6 +1098,10 @@ def large_zarr_to_zarr_rate(extras, n=32, tile=64, overlap=12, chunksize=128,
             # second-difference candidate engaged (subset of the above)
             extras["ns_delta2_up_batches"] = tele.get("up_delta2_batches", 0)
             extras["ns_delta2_down_bands"] = tele.get("down_delta2_bands", 0)
+        if tele.get("up_delta3_batches") or tele.get("down_delta3_bands"):
+            # third-difference candidate engaged (subset of the above)
+            extras["ns_delta3_up_batches"] = tele.get("up_delta3_batches", 0)
+            extras["ns_delta3_down_bands"] = tele.get("down_delta3_bands", 0)
         if tele.get("up_batches_reused"):
             # warm rep resumed from the cold rep's stashed uploads
             extras["ns_up_reused_batches"] = tele["up_batches_reused"]
@@ -1105,6 +1129,9 @@ def large_zarr_to_zarr_rate(extras, n=32, tile=64, overlap=12, chunksize=128,
                 )
                 extras["ns_entropy_floor2_down_bits_per_vox"] = round(
                     _delta2_entropy_bits(slab), 2
+                )
+                extras["ns_entropy_floor3_down_bits_per_vox"] = round(
+                    _delta3_entropy_bits(slab), 2
                 )
             except Exception:  # noqa: BLE001 — telemetry only
                 pass

@@ -221,6 +221,8 @@ def execute_streaming(
         "down_delta_bands": 0,
         "up_delta2_batches": 0,
         "down_delta2_bands": 0,
+        "up_delta3_batches": 0,
+        "down_delta3_bands": 0,
         "voxels_written": 0,
         "elapsed_s": 0.0,
         "aborted": False,
@@ -401,6 +403,8 @@ def execute_streaming(
                 tele["up_delta_batches"] += 1
             if info.get("mode") == "delta2":
                 tele["up_delta2_batches"] += 1
+            if info.get("mode") == "delta3":
+                tele["up_delta3_batches"] += 1
             if rec and rec.get("parts") is not None:
                 used = sum(
                     v[0]["packed_bytes"] for v in packed_batches.values()
@@ -452,6 +456,8 @@ def execute_streaming(
                     tele["down_delta_bands"] += 1
                 if info.get("mode") == "delta2":
                     tele["down_delta2_bands"] += 1
+                if info.get("mode") == "delta3":
+                    tele["down_delta3_bands"] += 1
                 tele["voxels_written"] += buf.size
                 tele["bands_done"] += 1
                 tele["elapsed_s"] = _time.perf_counter() - t_begin

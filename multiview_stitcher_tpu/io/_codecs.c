@@ -170,16 +170,24 @@ long mvs_bitpack(const uint16_t *v, long count, int nbits, uint8_t *out)
     if (nbits < 8) {
         /* sub-byte widths (delta residuals): groups of g values -> b
          * bytes, little-endian fields (ops/link_codec.py
-         * _SUB_BYTE_GROUP layout) */
-        int g = nbits == 4 ? 2 : 4, b = nbits == 6 ? 3 : 1, j;
-        long groups = (count + g - 1) / g;
-        if (nbits != 2 && nbits != 4 && nbits != 6)
+         * _SUB_BYTE_GROUP layout); odd widths use group-of-8 (up to
+         * 56 bits -> uint64 accumulator) */
+        int g, b, j;
+        long groups;
+        if (nbits == 2)      { g = 4; b = 1; }
+        else if (nbits == 3) { g = 8; b = 3; }
+        else if (nbits == 4) { g = 2; b = 1; }
+        else if (nbits == 5) { g = 8; b = 5; }
+        else if (nbits == 6) { g = 4; b = 3; }
+        else if (nbits == 7) { g = 8; b = 7; }
+        else
             return -1;
+        groups = (count + g - 1) / g;
         for (k = 0; k < groups; k++) {
-            uint32_t acc = 0;
+            uint64_t acc = 0;
             for (i = 0; i < g; i++) {
                 long p = k * (long)g + i;
-                uint32_t f = p < count ? (uint32_t)v[p] : 0;
+                uint64_t f = p < count ? (uint64_t)v[p] : 0;
                 acc |= f << (i * nbits);
             }
             for (j = 0; j < b; j++)
@@ -187,7 +195,7 @@ long mvs_bitpack(const uint16_t *v, long count, int nbits, uint8_t *out)
         }
         return groups * (long)b;
     }
-    if (e != 2 && e != 4)
+    if (e != 1 && e != 2 && e != 4)
         return -1;
     per = 8 / e;
     for (k = 0; k < count; k++)
@@ -272,17 +280,24 @@ long mvs_bitunpack(const uint8_t *buf, long buf_len, int nbits, long count,
         return count;
     }
     if (nbits < 8) {
-        int g = nbits == 4 ? 2 : 4, b = nbits == 6 ? 3 : 1, j;
-        long groups = (count + g - 1) / g;
-        uint32_t m = (uint32_t)((1u << nbits) - 1);
-        if (nbits != 2 && nbits != 4 && nbits != 6)
+        int g, b, j;
+        long groups;
+        uint64_t m = (uint64_t)((1u << nbits) - 1);
+        if (nbits == 2)      { g = 4; b = 1; }
+        else if (nbits == 3) { g = 8; b = 3; }
+        else if (nbits == 4) { g = 2; b = 1; }
+        else if (nbits == 5) { g = 8; b = 5; }
+        else if (nbits == 6) { g = 4; b = 3; }
+        else if (nbits == 7) { g = 8; b = 7; }
+        else
             return -1;
+        groups = (count + g - 1) / g;
         if (buf_len < groups * (long)b)
             return -1;
         for (k = 0; k < groups; k++) {
-            uint32_t acc = 0;
+            uint64_t acc = 0;
             for (j = 0; j < b; j++)
-                acc |= (uint32_t)buf[k * (long)b + j] << (8 * j);
+                acc |= (uint64_t)buf[k * (long)b + j] << (8 * j);
             for (i = 0; i < g; i++) {
                 long p = k * (long)g + i;
                 if (p < count)
@@ -291,7 +306,7 @@ long mvs_bitunpack(const uint8_t *buf, long buf_len, int nbits, long count,
         }
         return count;
     }
-    if (e != 2 && e != 4)
+    if (e != 1 && e != 2 && e != 4)
         return -1;
     per = 8 / e;
     mask = (uint8_t)((1 << e) - 1);
@@ -311,7 +326,7 @@ long mvs_bitunpack(const uint8_t *buf, long buf_len, int nbits, long count,
             out[j + 3] = (uint16_t)(buf[j + 3] | (((acc >> 6) & 3u) << 8));
         }
         k = full;
-    } else {
+    } else if (e == 4) {
         long full = count / 2;
         const uint8_t *hi = buf + count;
         for (k = 0; k < full; k++) {
@@ -321,6 +336,8 @@ long mvs_bitunpack(const uint8_t *buf, long buf_len, int nbits, long count,
             out[j + 1] = (uint16_t)(buf[j + 1] | (((acc >> 4) & 15u) << 8));
         }
         k = full;
+    } else { /* e == 1 (9-bit): the ragged loop below handles all blocks */
+        k = 0;
     }
     for (; k < blocks; k++) { /* ragged tail */
         uint8_t acc = buf[count + k];

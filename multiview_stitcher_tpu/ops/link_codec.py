@@ -34,10 +34,16 @@ import numpy as np
 # so round up to a small allowed set (16 = passthrough). Sub-byte widths
 # (2/4/6) exist for the delta path: smooth microscopy content's zigzag
 # residuals concentrate far below 8 bits, and the wire is the bottleneck.
-ALLOWED_NBITS = (2, 4, 6, 8, 10, 12, 16)
+ALLOWED_NBITS = (2, 3, 4, 5, 6, 7, 8, 9, 10, 12, 16)
 
-# sub-byte widths pack groups of G values into B bytes (G*nbits == 8*B)
-_SUB_BYTE_GROUP = {2: (4, 1), 4: (2, 1), 6: (4, 3)}
+# sub-byte widths pack groups of G values into B bytes (G*nbits == 8*B).
+# Odd widths use group-of-8 (G*nbits up to 56 bits: two uint32
+# accumulators device-side, uint64 in the C codec); the delta2 residual
+# entropy of smooth microscopy content sits at 6-7 bits, so the 6->8
+# tier jump alone cost ~15-25% wire bytes before 7 existed.
+_SUB_BYTE_GROUP = {
+    2: (4, 1), 3: (8, 3), 4: (2, 1), 5: (8, 5), 6: (4, 3), 7: (8, 7),
+}
 
 _PACKABLE_DTYPES = (np.uint16, np.int16)
 
@@ -117,6 +123,62 @@ def _native_codecs():
     return lib
 
 
+def _pack_wide_group(m, nbits, g, nb):
+    """(n_groups, g) uint32 fields -> list of nb uint8 byte columns.
+
+    Two 32-bit accumulators (bits 0-31 / 32-63) cover group bit counts up
+    to 64 without uint64 (TPU-friendly; works on numpy and jax arrays —
+    all shift amounts are Python-static and < 32).
+    """
+    lo = hi = None
+    for i in range(g):
+        o = i * nbits
+        f = m[:, i]
+        if o + nbits <= 32:
+            t = (f << np.uint32(o)) if o else f
+            lo = t if lo is None else (lo | t)
+        elif o < 32:
+            lo = lo | (f << np.uint32(o))
+            t = f >> np.uint32(32 - o)
+            hi = t if hi is None else (hi | t)
+        else:
+            t = f << np.uint32(o - 32)
+            hi = t if hi is None else (hi | t)
+    cols = []
+    for b in range(nb):
+        acc = lo if b < 4 else hi
+        cols.append(
+            ((acc >> np.uint32(8 * (b % 4))) & np.uint32(0xFF)).astype(
+                np.uint8
+            )
+        )
+    return cols
+
+
+def _unpack_wide_group(bb, nbits, g, nb):
+    """Inverse of :func:`_pack_wide_group`: (n_groups, nb) uint32 byte
+    columns -> list of g uint32 field columns."""
+    lo = bb[:, 0]
+    for b in range(1, min(nb, 4)):
+        lo = lo | (bb[:, b] << np.uint32(8 * b))
+    hi = None
+    for b in range(4, nb):
+        t = bb[:, b] << np.uint32(8 * (b - 4))
+        hi = t if hi is None else (hi | t)
+    mask = np.uint32((1 << nbits) - 1)
+    fields = []
+    for i in range(g):
+        o = i * nbits
+        if o + nbits <= 32:
+            f = (lo >> np.uint32(o)) & mask
+        elif o < 32:
+            f = ((lo >> np.uint32(o)) | (hi << np.uint32(32 - o))) & mask
+        else:
+            f = (hi >> np.uint32(o - 32)) & mask
+        fields.append(f)
+    return fields
+
+
 def pack_np(values: np.ndarray, nbits: int) -> np.ndarray:
     """Pack a flat integer array into a flat uint8 byte stream."""
     v = values.reshape(-1)
@@ -137,6 +199,10 @@ def pack_np(values: np.ndarray, nbits: int) -> np.ndarray:
         if n_pad != v.size:
             v = np.concatenate([v, np.zeros(n_pad - v.size, np.uint16)])
         m = v.reshape(-1, g).astype(np.uint32)
+        if g * nbits > 32:
+            return np.stack(
+                _pack_wide_group(m, nbits, g, nb), axis=1
+            ).reshape(-1)
         acc = m[:, 0].copy()
         for i in range(1, g):
             acc |= m[:, i] << np.uint32(i * nbits)
@@ -176,6 +242,11 @@ def unpack_np(buf: np.ndarray, nbits: int, count: int, dtype=np.uint16) -> np.nd
     if nbits < 8:
         g, nb = _SUB_BYTE_GROUP[nbits]
         bb = buf[: -(-count // g) * nb].reshape(-1, nb).astype(np.uint32)
+        if g * nbits > 32:
+            fields = np.stack(
+                _unpack_wide_group(bb, nbits, g, nb), axis=1
+            ).reshape(-1)[:count]
+            return fields.astype(np.uint16).view(dtype)
         acc = bb[:, 0].copy()
         for b in range(1, nb):
             acc |= bb[:, b] << np.uint32(8 * b)
@@ -223,6 +294,10 @@ def pack_jax(values: jax.Array, nbits: int) -> jax.Array:
         if n_pad != v.size:
             v = jnp.concatenate([v, jnp.zeros(n_pad - v.size, jnp.uint16)])
         m = v.reshape(-1, g).astype(jnp.uint32)
+        if g * nbits > 32:
+            return jnp.stack(
+                _pack_wide_group(m, nbits, g, nb), axis=1
+            ).reshape(-1)
         acc = m[:, 0]
         for i in range(1, g):
             acc = acc | (m[:, i] << np.uint32(i * nbits))
@@ -258,6 +333,10 @@ def unpack_jax(buf: jax.Array, nbits: int, count: int, dtype=jnp.uint16) -> jax.
     if nbits < 8:
         g, nb = _SUB_BYTE_GROUP[nbits]
         bb = buf[: -(-count // g) * nb].reshape(-1, nb).astype(jnp.uint32)
+        if g * nbits > 32:
+            return jnp.stack(
+                _unpack_wide_group(bb, nbits, g, nb), axis=1
+            ).reshape(-1)[:count].astype(dtype)
         acc = bb[:, 0]
         for b in range(1, nb):
             acc = acc | (bb[:, b] << np.uint32(8 * b))
@@ -469,6 +548,101 @@ def delta2_decode_jax(firsts: jax.Array, resid_z: jax.Array, X: int, count: int)
     return vals.reshape(-1)[:count]
 
 
+def delta3_eligible(shape) -> bool:
+    """delta3 needs a >=3-D layout with >=2 planes, >=2 rows per plane
+    and >=2 columns."""
+    if len(shape) < 3:
+        return False
+    X, Y = int(shape[-1]), int(shape[-2])
+    Z = 1
+    for s in shape[:-2]:
+        Z *= int(s)
+    return X >= 2 and Y >= 2 and Z >= 2
+
+
+def delta3_byte_count(count: int, X: int, nbits_resid: int) -> int:
+    """Wire bytes for the delta3 encoding (same layout as delta2: R raw
+    first-column values + R*(X-1) packed residuals)."""
+    return delta2_byte_count(count, X, nbits_resid)
+
+
+def delta3_encode_np(flat: np.ndarray, X: int, Y: int):
+    """uint16 stream (planes of Y rows of X) -> (raw first column, zigzag
+    3rd-order residuals: d/dx then d/dy then d/dz).
+
+    3-D-smooth content (z-correlated microscopy stacks, fused volumes)
+    carries ~1 bit/vox less entropy in the third difference than in the
+    second — worth a whole width tier on the wire."""
+    m = flat.reshape(-1, X).astype(np.uint16, copy=False)
+    firsts = m[:, 0].copy()
+    d1 = m[:, 1:] - m[:, :-1]  # uint16 wraparound
+    r2 = d1.copy()
+    r2[1:] -= d1[:-1]
+    r3 = r2.copy()
+    r3[Y:] -= r2[:-Y]
+    di = r3.view(np.int16).astype(np.int32)
+    z = (((di << 1) ^ (di >> 15)) & 0xFFFF).astype(np.uint16)
+    return firsts, z.reshape(-1)
+
+
+def delta3_decode_np(
+    firsts: np.ndarray, resid_z: np.ndarray, X: int, Y: int, count: int
+):
+    """Inverse of :func:`delta3_encode_np` (three wraparound cumsums)."""
+    R = firsts.size
+    zi = resid_z.reshape(R, X - 1).astype(np.int32)
+    d = (zi >> 1) ^ -(zi & 1)
+    du = d.astype(np.uint32)
+    r2 = np.cumsum(
+        du.reshape(-1, Y, X - 1), axis=0, dtype=np.uint32
+    ).reshape(R, X - 1)
+    d1 = np.cumsum(r2, axis=0, dtype=np.uint32)
+    m = np.concatenate([firsts[:, None].astype(np.uint32), d1], axis=1)
+    vals = (np.cumsum(m, axis=1, dtype=np.uint32) & 0xFFFF).astype(np.uint16)
+    return vals.reshape(-1)[:count]
+
+
+@partial(jax.jit, static_argnames=("X", "Y"))
+def delta3_encode_jax(flat: jax.Array, X: int, Y: int):
+    """Device-side :func:`delta3_encode_np` (same wire values)."""
+    m = flat.reshape(-1, X).astype(jnp.uint16)
+    firsts = m[:, 0]
+    d1 = m[:, 1:] - m[:, :-1]
+    r2 = d1.at[1:].add(-d1[:-1])
+    r3 = r2.at[Y:].add(-r2[:-Y])
+    di = jax.lax.bitcast_convert_type(r3, jnp.int16).astype(jnp.int32)
+    z = (((di << 1) ^ (di >> 15)) & 0xFFFF).astype(jnp.uint16)
+    return firsts, z.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("X", "Y", "count"))
+def delta3_decode_jax(
+    firsts: jax.Array, resid_z: jax.Array, X: int, Y: int, count: int
+):
+    """Device-side inverse of the delta3 transform."""
+    R = firsts.size
+    zi = resid_z.reshape(R, X - 1).astype(jnp.int32)
+    d = (zi >> 1) ^ -(zi & 1)
+    du = jax.lax.bitcast_convert_type(d, jnp.uint32)
+    r2 = jnp.cumsum(du.reshape(-1, Y, X - 1), axis=0).reshape(R, X - 1)
+    d1 = jnp.cumsum(r2, axis=0)  # uint32 wraparound
+    m = jnp.concatenate([firsts[:, None].astype(jnp.uint32), d1], axis=1)
+    vals = (jnp.cumsum(m, axis=1) & 0xFFFF).astype(jnp.uint16)
+    return vals.reshape(-1)[:count]
+
+
+def _default_delta3() -> bool:
+    """MVS_TPU_LINK_DELTA3=0 disables the delta3 candidate (like delta2,
+    it only ever ships when strictly smaller — debug kill switch)."""
+    import os
+
+    return os.environ.get("MVS_TPU_LINK_DELTA3", "1").lower() in (
+        "1",
+        "true",
+        "auto",
+    )
+
+
 def _default_delta2() -> bool:
     """MVS_TPU_LINK_DELTA2=0 disables the delta2 candidate (the transform
     only ever ships when it packs strictly smaller, so this is a debug
@@ -522,6 +696,35 @@ def _delta_probe_both_jax(flat: jax.Array, X: int):
     """Both probes in one device computation -> one tiny fetch."""
     return jnp.concatenate(
         [_delta_probe_jax(flat), _delta2_probe_jax(flat, X)]
+    )
+
+
+@partial(jax.jit, static_argnames=("X", "Y"))
+def _delta3_probe_jax(flat: jax.Array, X: int, Y: int):
+    """(resid3 max, #resid3 over each sub-16 width limit) — the delta3
+    side of the width/exception decision, same ordering contract as
+    :func:`_delta_probe_jax`."""
+    _, z = delta3_encode_jax(flat, X, Y)
+    z32 = z.astype(jnp.int32)
+    return jnp.stack(
+        [jnp.max(z32)]
+        + [
+            jnp.sum(z32 > ((1 << nb) - 1))
+            for nb in ALLOWED_NBITS
+            if nb < 16
+        ]
+    )
+
+
+@partial(jax.jit, static_argnames=("X", "Y"))
+def _delta_probe_all_jax(flat: jax.Array, X: int, Y: int):
+    """All three probes in one device computation -> one tiny fetch."""
+    return jnp.concatenate(
+        [
+            _delta_probe_jax(flat),
+            _delta2_probe_jax(flat, X),
+            _delta3_probe_jax(flat, X, Y),
+        ]
     )
 
 
@@ -696,9 +899,10 @@ def put_packed(
     # semantics are defined for the unsigned container)
     firsts = resid = None
     exc_idx = exc_val = None
-    use_delta = use_delta2 = False
+    use_delta = use_delta2 = use_delta3 = False
     nbits_send, count_send = nbits, count
     X2 = int(arr.shape[-1]) if arr.ndim else 0
+    Y2 = int(arr.shape[-2]) if arr.ndim >= 2 else 0
     if delta and arr.dtype == np.uint16:
         firsts, resid = delta_encode_np(flat)
         nbits_d, exc_idx, exc_val = _choose_delta_width_np(resid)
@@ -729,26 +933,55 @@ def put_packed(
                 firsts, resid = firsts2, resid2
                 exc_idx, exc_val = exc_idx2, exc_val2
                 nbits_send, count_send = nbits_d2, resid2.size
-        if (use_delta or use_delta2) and exc_idx is not None:
+        # third-difference candidate for z-correlated volumes: ships only
+        # when it undercuts every other representation
+        if _default_delta3() and delta3_eligible(arr.shape):
+            firsts3, resid3 = delta3_encode_np(flat, X2, Y2)
+            nbits_d3, exc_idx3, exc_val3 = _choose_delta_width_np(resid3)
+            n_exc3 = 0 if exc_idx3 is None else exc_idx3.size
+            d3bytes = delta3_byte_count(count, X2, nbits_d3) + _EXC_BYTES * (
+                _exc_capacity(n_exc3)
+            )
+            best_now = (
+                delta2_byte_count(count, X2, nbits_send)
+                + _EXC_BYTES
+                * _exc_capacity(0 if exc_idx is None else exc_idx.size)
+                if use_delta2
+                else dbytes
+                if use_delta
+                else packed_byte_count(count, nbits)
+            )
+            if d3bytes < best_now:
+                use_delta3, use_delta2, use_delta = True, False, False
+                firsts, resid = firsts3, resid3
+                exc_idx, exc_val = exc_idx3, exc_val3
+                nbits_send, count_send = nbits_d3, resid3.size
+        if (use_delta or use_delta2 or use_delta3) and exc_idx is not None:
             # zero out-of-width residuals in the packed stream (their
             # high bits would corrupt neighbouring bit fields); the
             # exception scatter restores the true values on device
             resid[exc_idx] = 0
-    send = resid if (use_delta or use_delta2) else flat
+    any_delta = use_delta or use_delta2 or use_delta3
+    send = resid if any_delta else flat
     if info is not None:
         info.update(
             nbits=nbits_send,
-            delta=bool(use_delta or use_delta2),
-            mode=("delta2" if use_delta2 else "delta" if use_delta else "plain"),
+            delta=any_delta,
+            mode=(
+                "delta3" if use_delta3
+                else "delta2" if use_delta2
+                else "delta" if use_delta
+                else "plain"
+            ),
             bytes=(
                 (
                     delta2_byte_count(count, X2, nbits_send)
-                    if use_delta2
+                    if (use_delta2 or use_delta3)
                     else delta_byte_count(count, nbits_send)
                 )
                 + _EXC_BYTES
                 * _exc_capacity(0 if exc_idx is None else exc_idx.size)
-                if (use_delta or use_delta2)
+                if any_delta
                 else packed_byte_count(count, nbits_send)
             ),
         )
@@ -772,19 +1005,25 @@ def put_packed(
     part_counts = tuple(int(bounds[i + 1] - bounds[i]) for i in range(n_streams))
 
     rec = {
-        "mode": "delta2" if use_delta2 else "delta" if use_delta else "plain",
+        "mode": (
+            "delta3" if use_delta3
+            else "delta2" if use_delta2
+            else "delta" if use_delta
+            else "plain"
+        ),
         "parts": parts_dev,
         "nbits": nbits_send,
         "counts": part_counts,
         "count": count,
         "X": X2,
+        "Y": Y2,
         "shape": arr.shape,
         "dtype": np.dtype(arr.dtype).name,
         "firsts": None,
         "exc_idx": None,
         "exc_val": None,
     }
-    if use_delta or use_delta2:
+    if any_delta:
         rec["firsts"] = jax.device_put(firsts)
         if exc_idx is not None:
             pidx, pval = _pad_exceptions(exc_idx, exc_val)
@@ -804,6 +1043,20 @@ def reassemble_packed(rec: dict) -> jax.Array:
     pure device computation (the module-level assemble jits), no link
     traffic."""
     mode = rec["mode"]
+    if mode == "delta3":
+        if rec["exc_idx"] is not None:
+            return _assemble_streams_delta3_exc(
+                rec["firsts"], rec["exc_idx"], rec["exc_val"], rec["parts"],
+                nbits=rec["nbits"], counts=rec["counts"],
+                count=rec["count"], X=rec["X"], Y=rec["Y"],
+                shape=rec["shape"], dtype=rec["dtype"],
+            )
+        return _assemble_streams_delta3(
+            rec["firsts"], rec["parts"],
+            nbits=rec["nbits"], counts=rec["counts"],
+            count=rec["count"], X=rec["X"], Y=rec["Y"],
+            shape=rec["shape"], dtype=rec["dtype"],
+        )
     if mode == "delta2":
         if rec["exc_idx"] is not None:
             return _assemble_streams_delta2_exc(
@@ -906,6 +1159,43 @@ def _assemble_streams_delta2_exc(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("nbits", "counts", "count", "X", "Y", "shape", "dtype"),
+)
+def _assemble_streams_delta3(
+    firsts, parts, nbits, counts, count, X, Y, shape, dtype
+):
+    """delta3 variant of :func:`_assemble_streams_delta` (three cumsums)."""
+    resid = jnp.concatenate(
+        [unpack_jax(p, nbits, c, jnp.uint16) for p, c in zip(parts, counts)]
+    )
+    return (
+        delta3_decode_jax(firsts, resid, X, Y, count)
+        .reshape(shape)
+        .astype(dtype)
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nbits", "counts", "count", "X", "Y", "shape", "dtype"),
+)
+def _assemble_streams_delta3_exc(
+    firsts, exc_idx, exc_val, parts, nbits, counts, count, X, Y, shape, dtype
+):
+    """Exception-list variant of :func:`_assemble_streams_delta3`."""
+    resid = jnp.concatenate(
+        [unpack_jax(p, nbits, c, jnp.uint16) for p, c in zip(parts, counts)]
+    )
+    resid = resid.at[exc_idx].set(exc_val)
+    return (
+        delta3_decode_jax(firsts, resid, X, Y, count)
+        .reshape(shape)
+        .astype(dtype)
+    )
+
+
 @partial(jax.jit, static_argnames=("nbits", "counts"))
 def _pack_bands(x, nbits, counts):
     """Pack a device array into independent contiguous byte bands
@@ -1003,6 +1293,42 @@ def _pack_bands_delta2_exc(x, nbits, counts, E, X):
     return firsts, idx_buf[:E], val_buf[:E], parts
 
 
+@partial(jax.jit, static_argnames=("nbits", "counts", "X", "Y"))
+def _pack_bands_delta3(x, nbits, counts, X, Y):
+    """delta3 variant of :func:`_pack_bands_delta` (device-side encode)."""
+    firsts, resid = delta3_encode_jax(x.reshape(-1), X, Y)
+    parts, o = [], 0
+    for c in counts:
+        parts.append(
+            pack_jax(jax.lax.dynamic_slice(resid, (o,), (c,)), nbits)
+        )
+        o += c
+    return firsts, parts
+
+
+@partial(jax.jit, static_argnames=("nbits", "counts", "E", "X", "Y"))
+def _pack_bands_delta3_exc(x, nbits, counts, E, X, Y):
+    """delta3 variant of :func:`_pack_bands_delta_exc` — same exception
+    compaction contract (incl. the raw-residual-0 init rule)."""
+    firsts, resid = delta3_encode_jax(x.reshape(-1), X, Y)
+    lim = jnp.uint16((1 << nbits) - 1)
+    mask = resid > lim
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    slot = jnp.where(mask & (pos < E), pos, E)  # E = trash slot
+    idx_buf = jnp.zeros(E + 1, jnp.int32).at[slot].set(
+        jnp.arange(resid.size, dtype=jnp.int32)
+    )
+    val_buf = jnp.full(E + 1, resid[0], jnp.uint16).at[slot].set(resid)
+    resid = jnp.where(mask, jnp.uint16(0), resid)
+    parts, o = [], 0
+    for c in counts:
+        parts.append(
+            pack_jax(jax.lax.dynamic_slice(resid, (o,), (c,)), nbits)
+        )
+        o += c
+    return firsts, idx_buf[:E], val_buf[:E], parts
+
+
 def fetch_packed(
     arr: jax.Array,
     out: np.ndarray = None,
@@ -1044,15 +1370,26 @@ def fetch_packed(
         return out
 
     count = arr.size
-    use_delta = use_delta2 = False
+    use_delta = use_delta2 = use_delta3 = False
     nbits_d = 16
     n_exc = 0
     X2 = int(arr.shape[-1]) if arr.ndim else 0
+    Y2 = int(arr.shape[-2]) if arr.ndim >= 2 else 0
     if delta and dtype == np.uint16:
         try_d2 = _default_delta2() and delta2_eligible(arr.shape)
+        try_d3 = (
+            try_d2 and _default_delta3() and delta3_eligible(arr.shape)
+        )
         sub16 = [n for n in ALLOWED_NBITS if n < 16]
         k = len(sub16)
-        if try_d2:
+        if try_d3:
+            probe = [
+                int(v)
+                for v in np.asarray(
+                    _delta_probe_all_jax(arr.reshape(-1), X2, Y2)
+                )
+            ]
+        elif try_d2:
             probe = [
                 int(v)
                 for v in np.asarray(
@@ -1078,6 +1415,7 @@ def fetch_packed(
         dcost, nbits_d, n_exc = best
         plain_cost = packed_byte_count(count, nbits)
         use_delta = dcost < plain_cost
+        best_cost = min(dcost, plain_cost)
         if try_d2:
             co2 = dict(zip(sub16, probe[3 + k : 3 + 2 * k]))
             co2[16] = 0
@@ -1090,14 +1428,31 @@ def fetch_packed(
                 if best2 is None or cost2 < best2[0]:
                     best2 = (cost2, nb, ne2)
             d2cost, nbits_d2, n_exc2 = best2
-            if d2cost < min(dcost, plain_cost):
+            if d2cost < best_cost:
                 use_delta2, use_delta = True, False
                 nbits_d, n_exc = nbits_d2, n_exc2
+                best_cost = d2cost
+        if try_d3:
+            co3 = dict(zip(sub16, probe[4 + 2 * k : 4 + 3 * k]))
+            co3[16] = 0
+            best3 = None
+            for nb in ALLOWED_NBITS:
+                ne3 = co3[nb]
+                cost3 = delta3_byte_count(count, X2, nb) + _EXC_BYTES * (
+                    _exc_capacity(ne3)
+                )
+                if best3 is None or cost3 < best3[0]:
+                    best3 = (cost3, nb, ne3)
+            d3cost, nbits_d3, n_exc3 = best3
+            if d3cost < best_cost:
+                use_delta3, use_delta2, use_delta = True, False, False
+                nbits_d, n_exc = nbits_d3, n_exc3
     elif nbits is None:
         nbits = nbits_for_max(int(jnp.max(arr)))
         if np.issubdtype(dtype, np.signedinteger) and int(jnp.min(arr)) < 0:
             nbits = 16
-    if nbits >= 16 and not (use_delta or use_delta2):
+    any_delta = use_delta or use_delta2 or use_delta3
+    if nbits >= 16 and not any_delta:
         if out is None:
             out = np.empty(arr.shape, dtype=dtype)
         _fetch_bands_raw(arr, out, n_streams)
@@ -1107,13 +1462,13 @@ def fetch_packed(
     # contiguous buffers (a slice of one big packed buffer would interleave
     # lo/hi planes across bands)
     grain = 8
-    if use_delta2:
+    if use_delta2 or use_delta3:
         count_send = (count // X2) * (X2 - 1)
     elif use_delta:
         count_send = _delta_rows(count) * (_DELTA_ROW - 1)
     else:
         count_send = count
-    nbits_send = nbits_d if (use_delta or use_delta2) else nbits
+    nbits_send = nbits_d if any_delta else nbits
     n_streams = max(1, min(n_streams, count_send * 2 // _STREAM_MIN_BYTES))
     bounds = _stream_bounds(count_send, n_streams, grain)
     n_streams = len(bounds) - 1
@@ -1122,18 +1477,21 @@ def fetch_packed(
     if info is not None:
         info.update(
             nbits=nbits_send,
-            delta=bool(use_delta or use_delta2),
+            delta=any_delta,
             mode=(
-                "delta2" if use_delta2 else "delta" if use_delta else "plain"
+                "delta3" if use_delta3
+                else "delta2" if use_delta2
+                else "delta" if use_delta
+                else "plain"
             ),
             bytes=(
                 (
                     delta2_byte_count(count, X2, nbits_send)
-                    if use_delta2
+                    if (use_delta2 or use_delta3)
                     else delta_byte_count(count, nbits_send)
                 )
                 + _EXC_BYTES * _exc_capacity(n_exc)
-                if (use_delta or use_delta2)
+                if any_delta
                 else packed_byte_count(count, nbits_send)
             ),
         )
@@ -1142,9 +1500,22 @@ def fetch_packed(
         out = np.empty(arr.shape, dtype=dtype)
     flat_out = out.reshape(-1)
 
-    if use_delta or use_delta2:
+    if any_delta:
         exc_idx_dev = exc_val_dev = None
-        if use_delta2:
+        if use_delta3:
+            if n_exc > 0:
+                E = _exc_capacity(n_exc)
+                firsts_dev, exc_idx_dev, exc_val_dev, bands = (
+                    _pack_bands_delta3_exc(
+                        arr, nbits=nbits_send, counts=part_counts, E=E,
+                        X=X2, Y=Y2,
+                    )
+                )
+            else:
+                firsts_dev, bands = _pack_bands_delta3(
+                    arr, nbits=nbits_send, counts=part_counts, X=X2, Y=Y2
+                )
+        elif use_delta2:
             if n_exc > 0:
                 E = _exc_capacity(n_exc)
                 firsts_dev, exc_idx_dev, exc_val_dev, bands = (
@@ -1191,7 +1562,9 @@ def fetch_packed(
             # restore out-of-width residuals before the cumsum
             resid[exc_idx] = exc_val
         flat_out[:] = (
-            delta2_decode_np(firsts, resid, X2, count)
+            delta3_decode_np(firsts, resid, X2, Y2, count)
+            if use_delta3
+            else delta2_decode_np(firsts, resid, X2, count)
             if use_delta2
             else delta_decode_np(firsts, resid, count)
         )
