@@ -30,8 +30,37 @@ except Exception:  # noqa: BLE001
     pass
 
 
+# Worker-mode crash net: when set (by the supervisor, see _supervise),
+# every log line also snapshots the measurement state to this file, and
+# the final JSON line is written here instead of stdout — the supervisor
+# prints it, and if the worker SEGFAULTS mid-run (observed live: XLA-CPU
+# process-state segfaults on this 1-core box between scenarios) the
+# supervisor emits from the last snapshot, so the round's record can
+# never be information-free.
+_STATE_FILE = os.environ.get("MVS_BENCH_STATE_FILE")
+
+
+def _snapshot(final=None):
+    if not _STATE_FILE:
+        return
+    try:
+        snap = {
+            "extras": _state["extras"],
+            "cpu_rate": _state["cpu_rate"],
+            "tpu_rate": _state["tpu_rate"],
+            "final": final,
+        }
+        tmp = _STATE_FILE + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f, default=str)
+        os.replace(tmp, _STATE_FILE)
+    except Exception:  # noqa: BLE001 — the net must never break the run
+        pass
+
+
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
+    _snapshot()
 
 
 # --------------------------------------------------------------------------
@@ -44,7 +73,7 @@ def log(*args):
 # (BENCH_r04 recorded 0.0 with all r4 work existing only in PARITY.md).
 # --------------------------------------------------------------------------
 
-_LEDGER_PATH = os.path.join(
+_LEDGER_PATH = os.environ.get("MVS_BENCH_LEDGER") or os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_ledger.json"
 )
 
@@ -1191,18 +1220,20 @@ def _emit():
         _merge_best(extras)  # after update: includes this run's maxima
     except Exception as e:  # noqa: BLE001 — emission must never fail
         log(f"ledger step failed: {type(e).__name__}: {e}")
-    print(
-        json.dumps(
-            {
-                "metric": "fused_voxel_throughput",
-                "value": round(tpu_rate / 1e6, 3),
-                "unit": "Mvox/s/chip",
-                "vs_baseline": round(tpu_rate / cpu_rate, 3),
-                **_state["extras"],
-            }
-        ),
-        flush=True,
+    line = json.dumps(
+        {
+            "metric": "fused_voxel_throughput",
+            "value": round(tpu_rate / 1e6, 3),
+            "unit": "Mvox/s/chip",
+            "vs_baseline": round(tpu_rate / cpu_rate, 3),
+            **_state["extras"],
+        }
     )
+    if _STATE_FILE:
+        # worker mode: the supervisor prints the one JSON line
+        _snapshot(final=line)
+    else:
+        print(line, flush=True)
 
 
 def _install_term_handler():
@@ -1719,13 +1750,90 @@ def main():
     _emit()
 
 
+def _supervise(worker_cmd=None):
+    """Run the measurement in a worker child and GUARANTEE the one JSON
+    line. A segfault between scenarios (the XLA-CPU process-state class —
+    observed live after a weather-starved floor pass) must not leave the
+    driver with ZERO output: the worker snapshots state on every log line
+    and the supervisor emits from the last snapshot (CPU baselines,
+    completed scenarios, last-good ledger merge) when the worker dies
+    before its own emit."""
+    import signal
+    import subprocess
+    import tempfile
+
+    state_file = os.path.join(
+        tempfile.gettempdir(), f"mvs_bench_state_{os.getpid()}.json"
+    )
+    env = dict(os.environ, MVS_BENCH_STATE_FILE=state_file)
+    child = subprocess.Popen(
+        worker_cmd
+        or [sys.executable, os.path.abspath(__file__), "--worker"],
+        env=env,
+    )
+
+    def _finish():
+        snap = None
+        try:
+            with open(state_file) as f:
+                snap = json.load(f)
+        except Exception:  # noqa: BLE001
+            pass
+        try:
+            os.remove(state_file)
+        except OSError:
+            pass
+        if snap and snap.get("final"):
+            print(snap["final"], flush=True)
+        else:
+            # worker died before emitting: reconstruct and emit here
+            # (ledger update + last-good merge included)
+            _state["extras"] = (snap or {}).get("extras") or {}
+            _state["cpu_rate"] = (snap or {}).get("cpu_rate")
+            _state["tpu_rate"] = (snap or {}).get("tpu_rate") or 0.0
+            _state["extras"]["worker_exit"] = child.returncode
+            log(
+                f"supervisor: worker died (rc={child.returncode}) before "
+                "emitting; emitting from snapshot"
+            )
+            _emit()
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
+
+    def _forward(signum, frame):
+        log(f"supervisor: signal {signum} -> worker")
+        try:
+            child.send_signal(signal.SIGTERM)
+        except Exception:  # noqa: BLE001
+            pass
+        try:
+            # the worker's own SIGTERM handler emits within seconds
+            child.wait(timeout=25)
+        except Exception:  # noqa: BLE001
+            child.kill()
+        _finish()
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _forward)
+        except Exception:  # noqa: BLE001
+            pass
+    child.wait()
+    _finish()
+
+
 if __name__ == "__main__":
-    main()
-    # exit immediately: abandoned watchdog threads (_bounded shuts its
-    # executor down with wait=False) are non-daemon, and concurrent.futures'
-    # atexit hook would JOIN them — a single weather-stalled transfer thread
-    # would hold the exit code hostage until the driver's outer timeout
-    # (rc=124) even though the JSON line already shipped
-    sys.stdout.flush()
-    sys.stderr.flush()
-    os._exit(0)
+    if "--worker" in sys.argv or os.environ.get("MVS_BENCH_NO_SUPERVISOR"):
+        main()
+        # exit immediately: abandoned watchdog threads (_bounded shuts its
+        # executor down with wait=False) are non-daemon, and
+        # concurrent.futures' atexit hook would JOIN them — a single
+        # weather-stalled transfer thread would hold the exit code hostage
+        # until the driver's outer timeout (rc=124) even though the JSON
+        # line already shipped
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
+    else:
+        _supervise()

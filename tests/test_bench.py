@@ -393,3 +393,115 @@ class TestLedgerBestBlock:
         led = bench._load_ledger()
         assert led["best"]["metrics"]["headline_mvox_s"] == 50.0
         assert led["last_good"]["metrics"]["headline_mvox_s"] == 6.0
+
+
+class TestSupervisorCrashNet:
+    """`python bench.py` runs a supervisor that spawns the measurement in
+    a worker child: a worker segfault mid-run (the XLA-CPU process-state
+    class, observed live) must still yield the one JSON line."""
+
+    def _run_supervisor(self, bench, tmp_path, worker_py):
+        import subprocess
+
+        env = dict(
+            os.environ,
+            MVS_BENCH_LEDGER=str(tmp_path / "ledger.json"),
+        )
+        bench_dir = os.path.dirname(os.path.abspath(bench.__file__))
+        out = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import sys; sys.path.insert(0, %r); import bench; "
+                "bench._supervise([sys.executable, '-c', %r])"
+                % (bench_dir, worker_py),
+            ],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        return out
+
+    def test_worker_final_passes_through(self, bench, tmp_path):
+        # worker completes and writes its final line: supervisor prints
+        # it verbatim — exactly one JSON line on stdout
+        worker = (
+            "import json, os; "
+            "f = os.environ['MVS_BENCH_STATE_FILE']; "
+            "open(f, 'w').write(json.dumps({'extras': {}, 'cpu_rate': 2e6,"
+            " 'tpu_rate': 8e6, 'final': json.dumps({'metric': 'x',"
+            " 'value': 8.0})})); "
+            "os._exit(0)"
+        )
+        out = self._run_supervisor(bench, tmp_path, worker)
+        lines = [l for l in out.stdout.splitlines() if l.strip()]
+        assert len(lines) == 1, out.stderr
+        assert json.loads(lines[0])["value"] == 8.0
+
+    def test_worker_crash_emits_from_snapshot(self, bench, tmp_path):
+        # worker dies (segfault-style, no final): supervisor reconstructs
+        # from the snapshot and emits a well-formed line with the
+        # already-measured fields and the worker's exit code
+        worker = (
+            "import json, os; "
+            "f = os.environ['MVS_BENCH_STATE_FILE']; "
+            "open(f, 'w').write(json.dumps({'extras':"
+            " {'cpu_baseline_mvox_s': 2.22}, 'cpu_rate': 2.22e6,"
+            " 'tpu_rate': 0.0, 'final': None})); "
+            "os._exit(139)"
+        )
+        out = self._run_supervisor(bench, tmp_path, worker)
+        lines = [l for l in out.stdout.splitlines() if l.strip()]
+        assert len(lines) == 1, out.stderr
+        rec = json.loads(lines[0])
+        assert rec["metric"] == "fused_voxel_throughput"
+        assert rec["value"] == 0.0
+        assert rec["cpu_baseline_mvox_s"] == 2.22
+        assert rec["worker_exit"] == 139
+
+    def test_worker_crash_before_any_snapshot(self, bench, tmp_path):
+        # worker dies before writing ANYTHING: still one JSON line
+        out = self._run_supervisor(
+            bench, tmp_path, "import os; os._exit(134)"
+        )
+        lines = [l for l in out.stdout.splitlines() if l.strip()]
+        assert len(lines) == 1, out.stderr
+        rec = json.loads(lines[0])
+        assert rec["value"] == 0.0 and rec["worker_exit"] == 134
+
+    def test_worker_mode_emit_writes_state_file_not_stdout(
+        self, bench, tmp_path, monkeypatch
+    ):
+        state = tmp_path / "state.json"
+        monkeypatch.setattr(bench, "_STATE_FILE", str(state))
+        bench._state.update(
+            {
+                "extras": {"link_up_mb_s": 5.0},
+                "cpu_rate": 2e6,
+                "tpu_rate": 4e6,
+                "done": False,
+            }
+        )
+        outp = _capture_emit(bench)
+        assert outp == ""  # nothing on stdout in worker mode
+        snap = json.loads(state.read_text())
+        assert snap["final"] is not None
+        assert json.loads(snap["final"])["value"] == 4.0
+
+    def test_snapshot_tolerates_unserializable_extras(
+        self, bench, tmp_path, monkeypatch
+    ):
+        state = tmp_path / "state.json"
+        monkeypatch.setattr(bench, "_STATE_FILE", str(state))
+        bench._state.update(
+            {
+                "extras": {"weird": np.float32(1.5), "arr": np.arange(3)},
+                "cpu_rate": None,
+                "tpu_rate": 0.0,
+                "done": False,
+            }
+        )
+        bench._snapshot()
+        snap = json.loads(state.read_text())
+        assert "weird" in snap["extras"]
